@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational, Rollup, Scalars, Shapes}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 registers one `Q` in a
+  * module below; this object only concatenates them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private lazy val all: Seq[Q] =
+    Relational.queries ++ Shapes.queries ++ Scalars.queries ++ Rollup.queries
+
+  /** Flagship query (the DD daily rollup, SURVEY §3.3) on sf0.001;
+    * driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("dd_rollup")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

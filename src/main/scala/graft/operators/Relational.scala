@@ -1,0 +1,398 @@
+package graft.operators
+
+import graft.{Oracle, Q, Tables}
+import graft.Tables.{M, StoreId}
+import graft.functions.Fns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1–§2.4 + §2.7: sources, projections/filters, joins,
+  * aggregations, set operations. Every query mirrors a DuckDB oracle in
+  * `Q.oracle`; all money math is exact decimal with DOUBLE outputs.
+  */
+object Relational {
+
+  private val o = Oracle
+
+  val queries: Seq[Q] = Seq(
+
+    // ── §2.1 sources ────────────────────────────────────────────────────
+
+    // Drop-dir scan + filename-regex filter (reference getDDFiles,
+    // /root/reference/src/parse.ts:39-54): pathGlobFilter prunes at file
+    // listing (no data read for non-matching files); the _metadata regex
+    // mirrors the `/^DD \d\d.xls$/` name check.
+    Q("src_dir_scan", "SELECT COUNT(*) AS n_rows FROM lineitem") { (s, d) =>
+      s.read.option("pathGlobFilter", "lineitem.parquet").parquet(d)
+        .filter(col("_metadata.file_name").rlike("^lineitem\\.parquet$"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
+    // Projection + predicate pushed to the parquet scan (reference ships
+    // filters to Postgres via Prisma, /root/reference/src/queries.ts:13-34;
+    // .explain shows PushedFilters + 3-column ReadSchema here).
+    Q("src_pruned_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 49)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ── §2.2 projections / filters ──────────────────────────────────────
+
+    // Column projection (Prisma select blocks,
+    // /root/reference/src/queries.ts:19-34).
+    Q("prj_select", o.withCtes(
+      """SELECT id, date, CAST(amount AS DOUBLE) AS amount, customerId
+        |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
+      (s, d) =>
+        Tables.charge(s, d).filter(col("id") < 20000)
+          .select(col("id"), col("date"),
+            col("amount").cast("double").as("amount"), col("customerId"))
+          .orderBy("id")
+    },
+
+    // Nested projection (customer sub-select,
+    // /root/reference/src/queries.ts:24-30): build a struct, project
+    // fields back out of it.
+    Q("prj_nested",
+      """SELECT c_custkey, c_name AS name, upper(c_mktsegment) AS segment
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            struct(col("c_name"), col("c_mktsegment")).as("info"))
+          .filter(col("c_custkey") < 100)
+          .select(col("c_custkey"), col("info.c_name").as("name"),
+            upper(col("info.c_mktsegment")).as("segment"))
+          .orderBy("c_custkey")
+    },
+
+    // 4-key equality predicate (the verification lookup key,
+    // /root/reference/src/queries.ts:13-18).
+    Q("flt_eq4", o.withCtes(
+      """SELECT id, date, CAST(amount AS DOUBLE) AS amount, customerId, seqNo, tranType
+        |FROM charge
+        |WHERE date = DATE '1996-03-29' AND amount = CAST(21798.1504 AS DECIMAL(18,4))
+        |  AND customerId = '42' AND seqNo = '0005'
+        |ORDER BY id""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d)
+        .filter(col("date") === to_date(lit("1996-03-29"))
+          && col("amount") === lit(21798.1504).cast(DecimalType(18, 4))
+          && col("customerId") === "42" && col("seqNo") === "0005")
+        .select(col("id"), col("date"),
+          col("amount").cast("double").as("amount"),
+          col("customerId"), col("seqNo"), col("tranType"))
+        .orderBy("id")
+    },
+
+    // Conjunction + negation (`customerId NOT 10528`,
+    // /root/reference/src/queries.ts:107).
+    Q("flt_conj_neq", o.withCtes(
+      s"""SELECT customerId, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total
+         |FROM charge
+         |WHERE date BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
+         |  AND customerId <> '$StoreId'
+         |GROUP BY customerId ORDER BY customerId""".stripMargin, o.charge)) {
+      (s, d) =>
+        Tables.charge(s, d)
+          .filter(col("date").between("1996-01-01", "1996-01-31")
+            && col("customerId") =!= StoreId)
+          .groupBy("customerId")
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount")).cast("double").as("total"))
+          .orderBy("customerId")
+    },
+
+    // 3-way conjunction (store expenses filter,
+    // /root/reference/src/queries.ts:95).
+    Q("flt_conj_eq3", o.withCtes(
+      s"""SELECT id, date, CAST(amount AS DOUBLE) AS amount, seqNo
+         |FROM charge
+         |WHERE date >= DATE '1995-01-01' AND customerId = '$StoreId' AND tranType = 13
+         |ORDER BY id""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d)
+        .filter(col("date") >= "1995-01-01"
+          && col("customerId") === StoreId && col("tranType") === 13)
+        .select(col("id"), col("date"),
+          col("amount").cast("double").as("amount"), col("seqNo"))
+        .orderBy("id")
+    },
+
+    // Null-key row skip (`if (!charge.customerId) continue`,
+    // /root/reference/src/queries.ts:11).
+    Q("flt_null_skip", o.withCtes(
+      """SELECT termsType, COUNT(*) AS n FROM terms
+        |WHERE termsType IS NOT NULL GROUP BY termsType ORDER BY termsType""".stripMargin,
+      o.terms)) { (s, d) =>
+      Tables.terms(s, d).filter(col("termsType").isNotNull)
+        .groupBy("termsType").agg(count(lit(1)).as("n"))
+        .orderBy("termsType")
+    },
+
+    // Required-fields row skip (/root/reference/src/DataObject.ts:43-46).
+    Q("flt_required", o.withCtes(
+      """SELECT tranType, COUNT(*) AS n FROM charge
+        |WHERE date IS NOT NULL AND amount IS NOT NULL
+        |GROUP BY tranType ORDER BY tranType""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d)
+        .filter(col("date").isNotNull && col("amount").isNotNull)
+        .groupBy("tranType").agg(count(lit(1)).as("n"))
+        .orderBy("tranType")
+    },
+
+    // Sentinel/garbage-row filter (header rows, zero amounts, footers —
+    // /root/reference/src/parse.ts:97-113): event_type 'error' plays the
+    // sentinel; `abs(round(v,2)) != 0` is the reference's zero test.
+    Q("flt_sentinel",
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE event_type <> 'error' AND abs(round(value, 2)) <> 0
+        |  AND props IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") =!= "error"
+          && abs(round(col("value"), 2)) =!= 0 && col("props").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(10, 4))).cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
+    // ── §2.3 joins ──────────────────────────────────────────────────────
+
+    // Verification inner join: each parsed row matched against the DB on
+    // the 4-part key, keeping DB columns + parsed notes
+    // (/root/reference/src/queries.ts:10-43). Replaces the reference's
+    // N+1 findFirst loop with ONE hash join.
+    Q("join_verify_inner", o.withCtes(
+      """SELECT c.id, x.notes, CAST(x.amount AS DOUBLE) AS amount, c.tranType
+        |FROM xlsx x JOIN charge c
+        |  ON x.date = c.date AND x.customerId = c.customerId
+        | AND x.seqNo = c.seqNo AND x.amount = c.amount
+        |ORDER BY c.id, x.notes""".stripMargin, o.charge, o.xlsxCharges)) {
+      (s, d) =>
+        Tables.xlsxCharges(s, d)
+          .join(Tables.charge(s, d),
+            Seq("date", "customerId", "seqNo", "amount"), "inner")
+          .select(col("id"), col("notes"),
+            col("amount").cast("double").as("amount"), col("tranType"))
+          .orderBy("id", "notes")
+    },
+
+    // Verification anti join: parsed rows with NO db match (the abort
+    // set, /root/reference/src/helpers.ts:200-214). Non-empty by fixture
+    // design (perturbed amounts in Tables.xlsxCharges).
+    Q("join_verify_anti", o.withCtes(
+      """SELECT x.date, x.customerId, x.seqNo, CAST(x.amount AS DOUBLE) AS amount, x.notes
+        |FROM xlsx x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM charge c
+        |  WHERE x.date = c.date AND x.customerId = c.customerId
+        |    AND x.seqNo = c.seqNo AND x.amount = c.amount)
+        |ORDER BY x.notes""".stripMargin, o.charge, o.xlsxCharges)) { (s, d) =>
+      Tables.xlsxCharges(s, d)
+        .join(Tables.charge(s, d),
+          Seq("date", "customerId", "seqNo", "amount"), "left_anti")
+        .select(col("date"), col("customerId"), col("seqNo"),
+          col("amount").cast("double").as("amount"), col("notes"))
+        .orderBy("notes")
+    },
+
+    // FK enrichment join to the customer/terms dimension — broadcast
+    // (Prisma nested select ≡ LEFT JOIN,
+    // /root/reference/src/queries.ts:24-30).
+    Q("join_fk_customer", o.withCtes(
+      """SELECT termsType, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+        |FROM orders LEFT JOIN terms ON CAST(o_custkey AS VARCHAR) = customerId
+        |GROUP BY termsType ORDER BY termsType NULLS FIRST""".stripMargin,
+      o.terms)) { (s, d) =>
+      val t = Tables.terms(s, d)
+      Tables.orders(s, d)
+        .join(broadcast(t),
+          col("o_custkey").cast("string") === t("customerId"), "left")
+        .groupBy("termsType")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(M)).cast("double").as("total"))
+        .orderBy(asc_nulls_first("termsType"))
+    },
+
+    // FK enrichment join to the department dimension — broadcast
+    // (/root/reference/src/queries.ts:82-89).
+    Q("join_fk_dept", o.withCtes(
+      """SELECT d.deptCode, dd.glCodeSales, CAST(SUM(d.sellEx) AS DOUBLE) AS total
+        |FROM dept d JOIN deptdim dd ON d.deptCode = dd.deptCode
+        |GROUP BY d.deptCode, dd.glCodeSales ORDER BY d.deptCode""".stripMargin,
+      o.deptSales, o.department)) { (s, d) =>
+      Tables.deptSales(s, d)
+        .join(broadcast(Tables.department(s, d)), Seq("deptCode"))
+        .groupBy("deptCode", "glCodeSales")
+        .agg(sum(col("sellEx")).cast("double").as("total"))
+        .orderBy("deptCode")
+    },
+
+    // Per-date alignment join (the reference zips parallel date /
+    // tillVariance arrays, /root/reference/src/parse.ts:17-28): two
+    // independent daily aggregates equi-joined on date.
+    Q("join_date_zip", o.withCtes(
+      """SELECT t.date, t.orderCount, CAST(t.totalSales AS DOUBLE) AS totalSales,
+        |       CAST(c.chargeTotal AS DOUBLE) AS chargeTotal
+        |FROM till t JOIN (
+        |  SELECT date, SUM(amount) AS chargeTotal FROM charge GROUP BY date
+        |) c ON t.date = c.date
+        |ORDER BY t.date""".stripMargin, o.charge, o.tillTotals)) { (s, d) =>
+      val byDate = Tables.charge(s, d).groupBy("date")
+        .agg(sum(col("amount")).as("chargeTotal"))
+      Tables.tillTotals(s, d).join(byDate, Seq("date"))
+        .select(col("date"), col("orderCount"),
+          col("totalSales").cast("double").as("totalSales"),
+          col("chargeTotal").cast("double").as("chargeTotal"))
+        .orderBy("date")
+    },
+
+    // ── §2.4 aggregations ───────────────────────────────────────────────
+
+    // Store-expense sum (/root/reference/src/queries.ts:125) — grouped by
+    // date so it generalizes past the reference's single-day scope.
+    Q("agg_sum_exp", o.withCtes(
+      s"""SELECT date, CAST(SUM(amount) AS DOUBLE) AS totalExp
+         |FROM charge WHERE customerId = '$StoreId' AND tranType = 13
+         |GROUP BY date ORDER BY date""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d)
+        .filter(col("customerId") === StoreId && col("tranType") === 13)
+        .groupBy("date").agg(sum(col("amount")).cast("double").as("totalExp"))
+        .orderBy("date")
+    },
+
+    // Customer-charges sum (/root/reference/src/queries.ts:148).
+    Q("agg_sum_charges", o.withCtes(
+      s"""SELECT date, CAST(SUM(amount) AS DOUBLE) AS totalCustCharges
+         |FROM charge WHERE customerId <> '$StoreId' AND amount > 0
+         |GROUP BY date ORDER BY date""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d)
+        .filter(col("customerId") =!= StoreId && col("amount") > 0)
+        .groupBy("date")
+        .agg(sum(col("amount")).cast("double").as("totalCustCharges"))
+        .orderBy("date")
+    },
+
+    // Other-payments sum (/root/reference/src/queries.ts:149).
+    Q("agg_sum_payments", o.withCtes(
+      """SELECT date, CAST(SUM(amount) AS DOUBLE) AS totalOtherPayments
+        |FROM charge WHERE tranType = 14
+        |GROUP BY date ORDER BY date""".stripMargin, o.charge)) { (s, d) =>
+      Tables.charge(s, d).filter(col("tranType") === 14)
+        .groupBy("date")
+        .agg(sum(col("amount")).cast("double").as("totalOtherPayments"))
+        .orderBy("date")
+    },
+
+    // Balance audit: parsed-side sum vs db-side sum per day, exact
+    // decimal equality (/root/reference/src/parse.ts:139-143 — done in
+    // Decimal, not the reference's float ===). Unbalanced days exist by
+    // fixture design (the perturbed rows).
+    Q("agg_balance_check", o.withCtes(
+      """SELECT xs.date, CAST(xs.sx AS DOUBLE) AS xlsxTotal,
+        |       CAST(db.sdb AS DOUBLE) AS dbTotal, xs.sx = db.sdb AS isBalanced
+        |FROM (SELECT date, SUM(amount) AS sx FROM xlsx GROUP BY date) xs
+        |JOIN (SELECT date, SUM(amount) AS sdb FROM charge WHERE id % 7 = 0 GROUP BY date) db
+        |  ON xs.date = db.date
+        |ORDER BY xs.date""".stripMargin, o.charge, o.xlsxCharges)) { (s, d) =>
+      val xs = Tables.xlsxCharges(s, d).groupBy("date")
+        .agg(sum(col("amount")).as("sx"))
+      val db = Tables.charge(s, d).filter(col("id") % 7 === 0)
+        .groupBy("date").agg(sum(col("amount")).as("sdb"))
+      xs.join(db, Seq("date"))
+        .select(col("date"), col("sx").cast("double").as("xlsxTotal"),
+          col("sdb").cast("double").as("dbTotal"),
+          (col("sx") === col("sdb")).as("isBalanced"))
+        .orderBy("date")
+    },
+
+    // Ordered string aggregation (posId,
+    // /root/reference/src/queries.ts:126-141): the reference depends on
+    // DB return order; the engine imposes explicit (timestamp, id) order
+    // so the result is deterministic.
+    Q("agg_string_concat", o.withCtes(
+      s"""SELECT date,
+         |       string_agg(concat(terminalId, '/', seqNo, ' - ',
+         |                         strftime(tranTimeStamp, '%d/%m/%Y, %H:%M:%S'), chr(10)),
+         |                  '' ORDER BY tranTimeStamp, id) AS posId
+         |FROM charge WHERE customerId = '$StoreId' AND tranType = 13
+         |GROUP BY date ORDER BY date""".stripMargin, o.charge)) { (s, d) =>
+      val e = struct(
+        col("tranTimeStamp").as("ts"), col("id").as("id"),
+        concat(Fns.refConcat(col("terminalId"), col("seqNo")), lit(" - "),
+          Fns.dateLocale(col("tranTimeStamp")), lit("\n")).as("s"))
+      Tables.charge(s, d)
+        .filter(col("customerId") === StoreId && col("tranType") === 13)
+        .groupBy("date")
+        .agg(array_join(
+          transform(array_sort(collect_list(e)), x => x.getField("s")), "")
+          .as("posId"))
+        .orderBy("date")
+    },
+
+    // Collect-to-batch (Invoices wrapper,
+    // /root/reference/src/DataObject.ts:8-9,72,99): nested
+    // array<struct> output — rows-only check (no stable SQL hash for
+    // nested docs; the flat twin is reshape_lineitems).
+    Q.noOracle("agg_collect_docs") { (s, d) =>
+      Tables.charge(s, d).filter(col("id") < 20000)
+        .groupBy("customerId")
+        .agg(
+          sort_array(collect_list(struct(col("id"), col("date"),
+            col("amount").cast("double").as("amount")))).as("txns"),
+          count(lit(1)).as("n"))
+        .orderBy("customerId")
+    },
+
+    // Sum over projected departments with null-defaulting
+    // (/root/reference/src/DataObject.ts:135).
+    Q("agg_line_sum", o.withCtes(
+      s"""SELECT date,
+         |       CAST(SUM(COALESCE(sellEx, CAST(0 AS DECIMAL(18,4)))) AS DOUBLE) AS lineSum
+         |FROM dept WHERE deptCode IN (${Tables.PivotDepts.map(b => s"'$b'").mkString(",")})
+         |GROUP BY date ORDER BY date""".stripMargin, o.deptSales)) { (s, d) =>
+      Tables.deptSales(s, d)
+        .filter(col("deptCode").isin(Tables.PivotDepts: _*))
+        .groupBy("date")
+        .agg(sum(coalesce(col("sellEx"), lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("lineSum"))
+        .orderBy("date")
+    },
+
+    // ── §2.7 set operations ─────────────────────────────────────────────
+
+    // Union for joint checks (/root/reference/src/parse.ts:140).
+    Q("set_union_verify", o.withCtes(
+      """SELECT COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total
+        |FROM (SELECT amount FROM charge WHERE amount > 0
+        |      UNION ALL SELECT amount FROM charge WHERE amount < 0) t""".stripMargin,
+      o.charge)) { (s, d) =>
+      val c = Tables.charge(s, d)
+      c.filter(col("amount") > 0).select("amount")
+        .unionByName(c.filter(col("amount") < 0).select("amount"))
+        .agg(count(lit(1)).as("n"), sum(col("amount")).cast("double").as("total"))
+    },
+
+    // Distinct union (joint response-log loop,
+    // /root/reference/src/helpers.ts:95).
+    Q("set_union_log", o.withCtes(
+      """SELECT COUNT(*) AS n
+        |FROM (SELECT id FROM charge WHERE tranType = 13
+        |      UNION SELECT id FROM charge WHERE amount < 0) t""".stripMargin,
+      o.charge)) { (s, d) =>
+      val c = Tables.charge(s, d)
+      c.filter(col("tranType") === 13).select("id")
+        .union(c.filter(col("amount") < 0).select("id"))
+        .distinct()
+        .agg(count(lit(1)).as("n"))
+    }
+  )
+}

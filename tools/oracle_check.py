@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate: run Verify's parquet
+dumps against DuckDB executing oracle_sql.json on the same testdata
+parquet, compare row multisets exactly (values AND python types).
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    # exact compare, but unify float/Decimal-int representations per engine
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def rows_key(rows):
+    return sorted(
+        (tuple(str(type(x).__name__) + ":" + repr(norm(x)) for x in r))
+        for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark parquet output"); n_bad += 1; continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet({files!r})")
+            spark_cols = [c[0] for c in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            duck_cols = [c[0] for c in duck_rel.description]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1; continue
+        # driver sorts columns by name before hashing — do the same
+        s_ix = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+        d_ix = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+            n_bad += 1; continue
+        srows = [[r[i] for i in s_ix] for r in spark_rows]
+        drows = [[r[i] for i in d_ix] for r in duck_rows]
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            n_bad += 1; continue
+        sk, dk = rows_key(srows), rows_key(drows)
+        if sk != dk:
+            diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs:")
+            for a, b in diffs:
+                print(f"   spark={a}\n   duck ={b}")
+            n_bad += 1; continue
+        print(f"ok   {name} ({len(srows)} rows)")
+        n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
