@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting, and the exact /
+  * MinHash / SimHash / n-gram-Jaccard deduplication family.
+  *
+  * Scale design (100 TB): everything here is a per-row map or an
+  * aggregate over exploded tokens — no driver-side loops. The dedup
+  * joins are bucket joins (hash of text, LSH band, SimHash band), never
+  * all-pairs; the only all-pairs query (`dedup_ngram_jaccard`) is
+  * explicitly windowed to a candidate subset, the shape you'd feed from
+  * an LSH candidate generator at scale.
+  *
+  * Engine-parity rules: tokenization is a plain split on ' ' (no regex
+  * dialects), hashes are md5 hex strings (identical in DuckDB), and
+  * tie-sensitive double math keeps one fixed association order.
+  */
+object TextOps {
+
+  // ── shared token expressions (Spark) + their SQL mirror ──────────────
+
+  /** Non-empty whitespace tokens. */
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Word-bigram shingles over 1-indexed tokens (docs all have ≥ 2
+    * tokens; the `size >= 2` guard keeps Spark's descending `sequence`
+    * edge case and DuckDB's empty `range` aligned). */
+  private def bigrams(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+  private def bigramsSql(t: String): String =
+    s"list_transform(range(1, len($t)), i -> concat($t[i], ' ', $t[i+1]))"
+
+  private def countIn(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+  private def countInSql(t: String, words: Seq[String]): String =
+    s"len(list_filter($t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** Tiny per-language stopword marker sets (n-gram-heuristic language
+    * ID; the synthetic corpus is a shared-vocabulary word salad, so the
+    * *operator* is what matters, not its accuracy on this fixture). */
+  private val Stop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"))
+
+  /** documents ∪ exact clones (doc_id+10000 for doc_id%5=0) — the exact
+    * dedup needs real duplicates to collapse. */
+  private def withClones(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val withClonesSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  /** documents ∪ near-clones (tail-perturbed text) — MinHash candidate
+    * generation needs near-duplicates to find. */
+  private def withNearClones(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zz9 qq8")).as("text")))
+  }
+  private val withNearClonesSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, concat(text, ' zz9 qq8') AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ── token counting ──────────────────────────────────────────────────
+
+    Q("txt_tokens",
+      s"""SELECT doc_id,
+         |       len($toksSql) AS n_tokens,
+         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_subtokens,
+         |       length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("n_subtokens"),
+        length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ── language ID (stopword-marker heuristic) ────────────────────────
+
+    Q("txt_langid", {
+      val scores = Stop.map { case (l, ws) =>
+        s"       ${countInSql("t", ws)} AS s_$l" }.mkString(",\n")
+      val pred = Stop.map(_._1).foldRight("'zh'") { case (l, rest) =>
+        val others = Stop.map(_._1).filterNot(_ == l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN s_$l > 0 AND $others THEN '$l' ELSE $rest END" }
+      s"""SELECT doc_id, s_en, s_de, s_es, s_fr, $pred AS predicted
+         |FROM (
+         |  SELECT doc_id,
+         |$scores
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x) y
+         |ORDER BY doc_id""".stripMargin }) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val scored = base.select(col("doc_id") +:
+        Stop.map { case (l, ws) => countIn(col("t"), ws).as(s"s_$l") }: _*)
+      val pred = Stop.map(_._1).foldRight(lit("zh"): Column) { case (l, rest) =>
+        val best = Stop.map(_._1).filterNot(_ == l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(col(s"s_$l") > 0 && best, l).otherwise(rest) }
+      scored.withColumn("predicted", pred).orderBy("doc_id")
+    },
+
+    // ── quality scoring ────────────────────────────────────────────────
+
+    Q("txt_quality",
+      s"""SELECT doc_id, n_chars, n_tokens, n_punct,
+         |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+         |       0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         |         + 0.3 * least(1.0, n_tokens / 100.0)
+         |         + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         |         len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+         |         ${countInSql("t", Stop.flatMap(_._2))} AS n_stop,
+         |         list_sum(list_transform(t, x -> length(x))) AS tok_chars
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        toks(col("text")).as("t"))
+      val m = base.select(
+        col("doc_id"), length(col("text")).as("n_chars"),
+        size(col("t")).as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;]")).as("n_punct"),
+        countIn(col("t"), Stop.flatMap(_._2)).as("n_stop"),
+        aggregate(col("t"), lit(0), (a, x) => a + length(x)).as("tok_chars"))
+      m.select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("tok_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (lit(0.5) * (col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
+          + lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars")))
+          .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ── document fingerprinting ────────────────────────────────────────
+
+    // Order-insensitive content fingerprint: md5 of the sorted distinct
+    // token set (byte-identical hex in both engines).
+    Q("txt_fingerprint",
+      s"""SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks(col("text"))))))
+          .as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── exact dedup (hash-groupBy) ─────────────────────────────────────
+
+    // Deterministic exact dedup: group on md5(text), keep min doc_id.
+    // (dropDuplicates picks an arbitrary survivor; min-groupBy is the
+    // deterministic, shuffle-equivalent form.)
+    Q("dedup_exact",
+      s"""WITH $withClonesSql
+         |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin) {
+      (s, d) =>
+        withClones(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id")
+    },
+
+    // ── n-gram Jaccard (candidate-pair verification) ───────────────────
+
+    // Bigram-shingle Jaccard over an explicit candidate window
+    // (doc_id < 40 all-pairs here; at scale the pairs come from the
+    // MinHash bands below).
+    Q("dedup_ngram_jaccard",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${bigramsSql("t")} AS sh
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 40) x
+         |  WHERE len(t) >= 2
+         |), e AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT a_id, b_id, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), bigrams(col("t")).as("sh"))
+      val e = t.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ea = e.select(col("doc_id").as("a_id"), col("s"))
+      val eb = e.select(col("doc_id").as("b_id"), col("s"))
+      val inter = ea.join(eb, ea("s") === eb("s") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"), col("n_b"),
+          (col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ── MinHash + LSH banding ──────────────────────────────────────────
+
+    // 4 salted min-hashes over bigram shingles (lexicographic min of
+    // md5(salt‖shingle) — engine-identical), banded 2×2; candidate pairs
+    // share a band bucket. shingle→minhash→band→bucket-join, the
+    // standard LSH pipeline: at 100 TB each band join is a shuffle on
+    // the band key, never all-pairs.
+    Q("dedup_minhash", {
+      val sigs = (0 until 4).map(k =>
+        s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
+        .mkString(",\n         ")
+      s"""WITH $withNearClonesSql,
+         |t AS (
+         |  SELECT doc_id, ${bigramsSql("t")} AS sh
+         |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
+         |  WHERE len(t) >= 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         $sigs
+         |  FROM t
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, concat(h2, h3) AS key FROM sig
+         |)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
+      val t = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), bigrams(col("t")).as("sh"))
+      val sig = t.select(col("doc_id") +: (0 until 4).map(k =>
+        array_min(transform(col("sh"),
+          x => md5(concat(lit(s"salt$k#"), x)))).as(s"h$k")): _*)
+      val bands = sig.select(col("doc_id"), lit(0).as("band"),
+        concat(col("h0"), col("h1")).as("key"))
+        .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+          concat(col("h2"), col("h3")).as("key")))
+      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
+      a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    },
+
+    // ── SimHash ────────────────────────────────────────────────────────
+
+    // 16-bit SimHash from the first 4 hex chars of md5(token): each hex
+    // digit contributes 4 bits; bit votes ±1 summed over tokens, sign →
+    // bit. Near-duplicate docs land within small Hamming distance; at
+    // scale, dedup joins on rotated band keys of this signature.
+    Q("dedup_simhash", {
+      val bits = (0 until 16).map { i =>
+        val c = i / 4 + 1; val p = 1 << (i % 4)
+        s"""CASE WHEN list_sum(list_transform(t, x ->
+           |  CASE WHEN (strpos('0123456789abcdef', substr(md5(x), $c, 1)) - 1) // $p % 2 = 1
+           |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
+      }.mkString("\n + ")
+      s"""SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+         |FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |ORDER BY doc_id""".stripMargin }) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val sim = (0 until 16).map { i =>
+        val c = i / 4 + 1; val p = 1 << (i % 4)
+        // hex-digit value via conv(·,16,10) ≡ DuckDB's strpos(hexchars)-1
+        val digit = (x: Column) => conv(substring(md5(x), c, 1), 16, 10).cast("int")
+        when(aggregate(col("t"), lit(0),
+          (a, x) => a + when(floor(digit(x) / p) % 2 === 1, 1).otherwise(-1))
+          > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      t.select(col("doc_id"), sim.cast("int").as("simhash")).orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-d float vectors):
+  * brute-force cosine top-k (the correctness baseline) and a
+  * random-hyperplane LSH-bucketed variant (the 100 TB scale path — a
+  * bucket equi-join instead of all-pairs).
+  *
+  * Engine parity: cosine terms are an explicit 64-term left-associated
+  * sum (`e[1]*e[1] + … + e[64]*e[64]`) in BOTH engines — double addition
+  * is order-sensitive, so the association order is pinned; float→double
+  * casts are exact, IEEE mul/add/sqrt/div are deterministic.
+  */
+object Vectors {
+
+  val Dim = 64
+
+  /** Left-associated Σ a[i]·b[i] over 1-indexed array columns. */
+  private def dot(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  private val normedSql =
+    s"""nrm AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component (LCG over plane
+    * and dimension index) — reproducible on any cluster, no RNG state. */
+  def plane(p: Int, j: Int): Double =
+    (((1103515245L * (p * Dim + j) + 12345L) % 2048L) - 1024L).toDouble
+
+  val Planes = 8
+
+  /** 8-bit signed-projection LSH bucket id for an embedding column. */
+  def lshBucket(e: Column): Column =
+    (0 until Planes).map { p =>
+      val proj = (1 to Dim).map(j =>
+        element_at(e, j).cast("double") * lit(plane(p, j))).reduce(_ + _)
+      when(proj > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+
+  val queries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: every query vector scored against every
+    // candidate — the exactness baseline (at scale: only for re-ranking
+    // LSH/IVF candidates, never the full corpus).
+    Q("sim_topk_bruteforce",
+      s"""WITH $normedSql,
+         |q AS (SELECT vec_id AS q_id, embedding, nrm FROM nrm WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q.q_id, b.vec_id,
+         |         (${dotSql("q.embedding", "b.embedding")}) / (q.nrm * b.nrm) AS cos
+         |  FROM q JOIN nrm b ON b.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM p) t
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val base = normed(s, d)
+      val q = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"))
+      val c = base.select(col("vec_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("eq"), col("eb")) / (col("nq") * col("nb"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "rn", "vec_id", "cos")
+        .orderBy("q_id", "rn")
+    },
+
+    // Embedding-cosine near-duplicate pairs above a threshold —
+    // brute-force all-pairs here (500 vectors); the LSH bucket below is
+    // the same semantics at scale.
+    Q("dedup_embed",
+      s"""WITH $normedSql,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val base = normed(s, d)
+      val a = base.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") > 0.4)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    },
+
+    // LSH-bucketed ANN (scale path): sign-of-projection on 8 fixed
+    // hyperplanes → 8-bit bucket; candidates = same-bucket equi-join;
+    // exact cosine re-rank inside the bucket. Rows-only check here;
+    // recall vs the brute-force baseline is asserted in ScalaTest.
+    Q.noOracle("sim_lsh_bucketed") { (s, d) =>
+      val base = normed(s, d).withColumn("bucket", lshBucket(col("embedding")))
+      val q = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("bucket"))
+      val c = base.select(col("vec_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("eq"), col("eb")) / (col("nq") * col("nb"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "rn", "vec_id", "cos")
+        .orderBy("q_id", "rn")
+    }
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.SparkSuite.{Sf0001, Sf001}
+
+/** Driver-contract smoke: entry rows > 0, every query runs, oracle map
+  * is consistent with the query map. */
+class EntrySpec extends SparkSuite {
+
+  test("entry (DD rollup on sf0.001) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qs = SparkEntry.queries.keySet
+    val extra = SparkEntry.oracleSql.keySet -- qs
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("every query runs non-empty on sf0.001 (except fixture-pinned filters)") {
+    // flt_eq4 pins a literal key that only exists at sf0.01+; everything
+    // else must produce rows at the smallest scale factor.
+    val mayBeEmpty = Set("flt_eq4", "chk_balance_warn", "join_verify_anti",
+      "dedup_embed", "dedup_minhash")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf0001).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("verification queries are non-empty at sf0.01 (fixture has misses)") {
+    assert(SparkEntry.queries("join_verify_anti")(spark, Sf001).count() > 0)
+    assert(SparkEntry.queries("chk_balance_warn")(spark, Sf001).count() > 0)
+  }
+}

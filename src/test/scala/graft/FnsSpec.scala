@@ -1,0 +1,103 @@
+package graft
+
+import java.time.LocalDate
+import graft.SparkSuite.Sf001
+import graft.functions.Fns
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Scalar-function unit + property tests — the calendar edges SURVEY
+  * §7.4 flags (month-length clamping, year rollover, EOM rule), plus the
+  * UDF-twin equivalence that proves the extension surface (§2.11).
+  * ScalaCheck generators are sampled with fixed seeds (scalatestplus is
+  * not in the offline cache) and evaluated as ONE DataFrame per
+  * property.
+  */
+class FnsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** JS-semantics model of getDueDate
+    * (/root/reference/src/helpers.ts:228-259) to property-test against. */
+  private def model(d: LocalDate, tt: String, days: Int): LocalDate = tt match {
+    case "DAYSAFTERBILLDATE" => d.plusDays(days.toLong)
+    case "OFFOLLOWINGMONTH" =>
+      d.plusMonths(1).withDayOfMonth(1).plusDays(days.toLong - 1)
+    case _ => val m = d.plusMonths(1); m.withDayOfMonth(m.lengthOfMonth)
+  }
+
+  private val genCase: Gen[(LocalDate, String, Int)] = for {
+    off <- Gen.choose(0L, 365L * 30)
+    tt <- Gen.oneOf("DAYSAFTERBILLDATE", "OFFOLLOWINGMONTH", "NONE")
+    days <- Gen.choose(1, 45)
+  } yield (LocalDate.of(1995, 1, 1).plusDays(off), tt, days)
+
+  test("dueDate builtin expression matches the JS-semantics model (300 cases)") {
+    val cases = samples(genCase, 300)
+    val df = cases.map { case (d, tt, days) =>
+      (java.sql.Date.valueOf(d), if (tt == "NONE") null else tt, days)
+    }.toDF("date", "termsType", "termsDays")
+    val got = df.select(
+      Fns.dueDate(col("date"), col("termsType"), col("termsDays")))
+      .as[java.sql.Date].collect().map(_.toLocalDate)
+    cases.zip(got).foreach { case ((d, tt, days), g) =>
+      assert(g == model(d, tt, days), s"($d, $tt, $days)")
+    }
+  }
+
+  test("dueDate UDF twin ≡ builtin expression on real data") {
+    val df = Tables.charge(spark, Sf001).filter(col("id") % 53 === 0)
+      .join(broadcast(Tables.terms(spark, Sf001)), Seq("customerId"))
+    val mismatch = df.select(
+      Fns.dueDate(col("date"), col("termsType"), col("termsDays")).as("a"),
+      Fns.dueDateUdf(col("date"), col("termsType"), col("termsDays")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("dueDate calendar edges") {
+    def one(d: String, tt: String, days: Int): String =
+      Seq((java.sql.Date.valueOf(d), if (tt == "NONE") null else tt, days))
+        .toDF("date", "termsType", "termsDays")
+        .select(Fns.dueDate(col("date"), col("termsType"), col("termsDays")))
+        .head.getDate(0).toString
+    // year rollover, both rules
+    assert(one("2023-12-15", "DAYSAFTERBILLDATE", 30) == "2024-01-14")
+    assert(one("2023-12-15", "OFFOLLOWINGMONTH", 10) == "2024-01-10")
+    // termsDays beyond the following month's length rolls over (JS Date)
+    assert(one("2023-01-15", "OFFOLLOWINGMONTH", 31) == "2023-03-03")
+    // null terms: last day of FOLLOWING month (the JS day=0/month+2 trick)
+    assert(one("2023-01-31", "NONE", 0) == "2023-02-28")
+    assert(one("2024-01-31", "NONE", 0) == "2024-02-29") // leap year
+    assert(one("2023-12-05", "NONE", 0) == "2024-01-31")
+  }
+
+  test("excelSerial round-trips against datediff (200 cases)") {
+    val serials = samples(Gen.choose(1, 60000), 200)
+    val rows = serials.toDF("s")
+      .select(col("s"),
+        datediff(Fns.excelSerial(col("s")), to_date(lit("1899-12-30"))).as("rt"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (s, rt) => assert(rt == s) }
+  }
+
+  test("seqnoPad zero-pads to width 4") {
+    val vs = samples(Gen.choose(0, 9999), 100)
+    val rows = vs.toDF("v").select(col("v"), Fns.seqnoPad(col("v")))
+      .as[(Int, String)].collect()
+    rows.foreach { case (v, s) =>
+      assert(s.length == 4 && s.toInt == v, s"$v -> $s")
+    }
+  }
+
+  test("avgBasket exact cent rounding (half-up)") {
+    val got = Seq((BigDecimal("100.25"), 2L), (BigDecimal("200.01"), 2L))
+      .toDF("s", "n")
+      .select(Fns.avgBasket(col("s"), col("n"))).as[String].collect().toSeq
+    // 100.25/2 = 50.125 → 50.13 (half-up); 200.01/2 = 100.005 → 100.01
+    assert(got == Seq("50.13", "100.01"))
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkSuite.Sf001
+import graft.streaming.DropDir
+
+/** Drop-dir Structured Streaming pipeline ≡ its batch twin (SURVEY
+  * §2.10): stage events.parquet into a temp drop dir, run
+  * Trigger.AvailableNow, compare against the batch str_window_agg. */
+class StreamingSpec extends SparkSuite {
+
+  test("AvailableNow stream over a drop dir equals the batch window agg") {
+    val tmp = Files.createTempDirectory("dropdir").toString
+    Files.copy(Paths.get(s"$Sf001/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val streamed = DropDir.runAvailableNow(spark, tmp, "dropdir_test")
+      .orderBy("window_start", "event_type")
+    val batch = SparkEntry.queries("str_window_agg")(spark, Sf001)
+
+    val a = streamed.collect().map(_.toSeq).toSeq
+    val b = batch.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.SparkSuite.Sf001
+import graft.operators.Vectors
+import org.apache.spark.sql.functions._
+
+/** Similarity-search properties: LSH bucketing finds planted duplicates,
+  * bucket candidate sets are genuinely smaller than the corpus, and
+  * brute-force top-k is sane. */
+class VectorsSpec extends SparkSuite {
+
+  test("identical vectors land in the same LSH bucket (planted dups)") {
+    val e = Tables.embeddings(spark, Sf001)
+    val b = e.withColumn("bucket", Vectors.lshBucket(col("embedding")))
+    val clones = e.withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("bucket", Vectors.lshBucket(col("embedding")))
+    // exact payload copy ⇒ identical projections ⇒ identical bucket
+    val joined = b.select(col("vec_id"), col("bucket").as("b1"))
+      .join(clones.select((col("vec_id") - 10000).as("vec_id"),
+        col("bucket").as("b2")), Seq("vec_id"))
+    assert(joined.filter(col("b1") =!= col("b2")).count() == 0)
+  }
+
+  test("LSH buckets partition the corpus into many non-trivial cells") {
+    val b = Tables.embeddings(spark, Sf001)
+      .withColumn("bucket", Vectors.lshBucket(col("embedding")))
+    val sizes = b.groupBy("bucket").count()
+    val nBuckets = sizes.count()
+    val maxCell = sizes.agg(max("count")).head.getLong(0)
+    assert(nBuckets > 32, s"only $nBuckets buckets")
+    assert(maxCell < 500 / 4, s"largest bucket $maxCell — not partitioning")
+  }
+
+  test("brute-force top-k: self excluded, cos in [-1,1], k respected") {
+    val topk = SparkEntry.queries("sim_topk_bruteforce")(spark, Sf001)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))  // vec_id != q_id
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 10))
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates' scores") {
+    // every LSH hit must carry the same cosine the brute-force path
+    // computes — i.e. LSH only prunes, never alters scores
+    val lsh = SparkEntry.queries("sim_lsh_bucketed")(spark, Sf001)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = SparkEntry.queries("sim_topk_bruteforce")(spark, Sf001)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = lsh.keySet intersect bf.keySet
+    assert(common.forall(k => lsh(k) == bf(k)))
+  }
+}
