@@ -66,9 +66,21 @@ object Tables {
   /** `charge` table analog (FIXTURES.md §A1; schema source:
     * /root/reference/src/queries.ts:12-35,93-121). One row per lineitem,
     * enriched with its order's customer. */
-  def charge(s: SparkSession, d: String): DataFrame = {
-    val l = lineitem(s, d)
-    val o = orders(s, d).select("o_orderkey", "o_custkey")
+  def charge(s: SparkSession, d: String): DataFrame =
+    chargeFrom(lineitem(s, d), orders(s, d))
+
+  /** `charge` restricted to `l_orderkey < maxOrder` — exactly
+    * `charge.filter(id < maxOrder*100)` (linenumber < 100), but the
+    * bound is a plain column predicate on BOTH scan sides, so it reaches
+    * the parquet reader (`PushedFilters`) instead of filtering after the
+    * join. Capability queries with id-bounded subsets use this. */
+  def chargeSub(s: SparkSession, d: String, maxOrder: Long): DataFrame =
+    chargeFrom(
+      lineitem(s, d).filter(col("l_orderkey") < maxOrder),
+      orders(s, d).filter(col("o_orderkey") < maxOrder))
+
+  private def chargeFrom(l: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select("o_orderkey", "o_custkey")
     // fact⋈fact on the fact key: at 100 TB both sides are co-partitioned
     // by orderkey (bucketed write), so this is a local join; in local
     // mode AQE handles it. No broadcast: orders is same-scale as lineitem.

@@ -49,7 +49,7 @@ object Relational {
       """SELECT id, date, CAST(amount AS DOUBLE) AS amount, customerId
         |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 20000)
+        Tables.chargeSub(s, d, 200)
           .select(col("id"), col("date"),
             col("amount").cast("double").as("amount"), col("customerId"))
           .orderBy("id")
@@ -343,7 +343,7 @@ object Relational {
     // array<struct> output — rows-only check (no stable SQL hash for
     // nested docs; the flat twin is reshape_lineitems).
     Q.noOracle("agg_collect_docs") { (s, d) =>
-      Tables.charge(s, d).filter(col("id") < 20000)
+      Tables.chargeSub(s, d, 200)
         .groupBy("customerId")
         .agg(
           sort_array(collect_list(struct(col("id"), col("date"),

@@ -69,7 +69,7 @@ object Scalars {
       """SELECT id, strftime(tranTimeStamp, '%d/%m/%Y, %H:%M:%S') AS fmt
         |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 20000)
+        Tables.chargeSub(s, d, 200)
           .select(col("id"), Fns.dateLocale(col("tranTimeStamp")).as("fmt"))
           .orderBy("id")
     },
@@ -133,7 +133,7 @@ object Scalars {
       """SELECT id, CAST(abs(amount) AS DOUBLE) AS unitAmount
         |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 20000)
+        Tables.chargeSub(s, d, 200)
           .select(col("id"), abs(col("amount")).cast("double").as("unitAmount"))
           .orderBy("id")
     },
@@ -144,7 +144,7 @@ object Scalars {
       """SELECT id, CAST(round(amount, 2) AS DOUBLE) AS r2
         |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 20000)
+        Tables.chargeSub(s, d, 200)
           .select(col("id"), Fns.round2(col("amount")).cast("double").as("r2"))
           .orderBy("id")
     },
@@ -217,7 +217,7 @@ object Scalars {
       """SELECT id, concat(terminalId, '/', seqNo) AS ref
         |FROM charge WHERE id < 20000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 20000)
+        Tables.chargeSub(s, d, 200)
           .select(col("id"),
             Fns.refConcat(col("terminalId"), col("seqNo")).as("ref"))
           .orderBy("id")
@@ -232,7 +232,7 @@ object Scalars {
         |              chr(10), '* TransactionID: ', CAST(id AS VARCHAR)) AS description
         |FROM charge WHERE id < 10000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 10000)
+        Tables.chargeSub(s, d, 100)
           .select(col("id"),
             Fns.descTemplate(lit(null).cast("string"),
               Fns.refConcat(col("terminalId"), col("seqNo")),
@@ -285,7 +285,7 @@ object Scalars {
         |                           seqNo := seqNo)) AS js
         |FROM charge WHERE id < 10000 ORDER BY id""".stripMargin, o.charge)) {
       (s, d) =>
-        Tables.charge(s, d).filter(col("id") < 10000)
+        Tables.chargeSub(s, d, 100)
           .select(col("id"),
             to_json(struct(col("id"), col("customerId"), col("seqNo")))
               .as("js"))

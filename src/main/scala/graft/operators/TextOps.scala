@@ -261,13 +261,18 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
-      val t = withNearClones(s, d)
+      // explode + hash-aggregate MIN instead of per-row list lambdas:
+      // the md5s run inside whole-stage codegen (the HOF form is
+      // interpreted and ~30× slower at sf0.1), and the same shape is the
+      // scale path — shingles shuffle once on doc_id with map-side
+      // partial mins.
+      val sh = withNearClones(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), bigrams(col("t")).as("sh"))
-      val sig = t.select(col("doc_id") +: (0 until 4).map(k =>
-        array_min(transform(col("sh"),
-          x => md5(concat(lit(s"salt$k#"), x)))).as(s"h$k")): _*)
+        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+      val sigAggs = (0 until 4).map(k =>
+        min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
+      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       val bands = sig.select(col("doc_id"), lit(0).as("band"),
         concat(col("h0"), col("h1")).as("key"))
         .unionByName(sig.select(col("doc_id"), lit(1).as("band"),

@@ -19,11 +19,16 @@ object Vectors {
 
   val Dim = 64
 
-  /** Left-associated Σ a[i]·b[i] over 1-indexed array columns. */
+  /** Left-associated Σ a[i]·b[i]: zip_with preserves index order and
+    * aggregate left-folds, so the addition order is pinned — and the
+    * expression stays compact (an explicit 64-term sum blows the 64 KB
+    * codegen method limit and drops the whole stage to interpreted
+    * mode). `0.0 + t₁` is IEEE-identical to `t₁`, so this equals the
+    * oracle's explicit left-associated sum. */
   private def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i =>
@@ -50,8 +55,10 @@ object Vectors {
   /** 8-bit signed-projection LSH bucket id for an embedding column. */
   def lshBucket(e: Column): Column =
     (0 until Planes).map { p =>
-      val proj = (1 to Dim).map(j =>
-        element_at(e, j).cast("double") * lit(plane(p, j))).reduce(_ + _)
+      val planeArr = array((1 to Dim).map(j => lit(plane(p, j))): _*)
+      val proj = aggregate(
+        zip_with(e, planeArr, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 
@@ -88,19 +95,22 @@ object Vectors {
         .orderBy("q_id", "rn")
     },
 
-    // Embedding-cosine near-duplicate pairs above a threshold —
-    // brute-force all-pairs here (500 vectors); the LSH bucket below is
-    // the same semantics at scale.
+    // Embedding-cosine near-duplicate pairs above a threshold, over an
+    // explicit candidate block (vec_id < 500). Brute-force all-pairs is
+    // the verification stage, never the corpus-wide plan — at scale the
+    // candidate blocks come from the LSH buckets below, and this exact
+    // kernel re-ranks inside each bucket.
     Q("dedup_embed",
       s"""WITH $normedSql,
+         |w AS (SELECT * FROM nrm WHERE vec_id < 500),
          |p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |         (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
-         |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+         |  FROM w a JOIN w b ON a.vec_id < b.vec_id
          |)
          |SELECT a_id, b_id, cos FROM p WHERE cos > 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val base = normed(s, d)
+      val base = normed(s, d).filter(col("vec_id") < 500)
       val a = base.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val b = base.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
