@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REST source pattern (SURVEY §2.1 `src_api_lookup`,
+  * /root/reference/src/apiFunctions.ts:130-147): the connector builds the
+  * server-side `where` filter string — filter pushdown for a REST API is
+  * literally query-param construction — fetches a JSON body, and parses
+  * it into rows with an explicit schema (`from_json` + `explode`, never
+  * schema inference on untrusted payloads).
+  *
+  * Transport is pluggable: tests and the harness inject an in-memory
+  * `Server`; production swaps in an HTTP client. Only the `fetch`
+  * seam touches the network — everything downstream is a plain
+  * DataFrame.
+  *
+  * Scale note: a REST lookup source is a driver-side fetch of a SMALL
+  * filtered result (the reference asserts exactly-one match) that then
+  * broadcasts into joins — never a per-row remote call from executors
+  * (that is the N+1 anti-pattern the verify join already erased).
+  */
+object RestSource {
+
+  /** params → JSON response body. */
+  type Server = Map[String, String] => String
+
+  /** The reference's invoice response shape (explicit, not inferred). */
+  val InvoiceSchema: StructType = StructType(Seq(
+    StructField("Invoices", ArrayType(StructType(Seq(
+      StructField("InvoiceID", StringType),
+      StructField("DateString", StringType),
+      StructField("Reference", StringType),
+      StructField("Status", StringType),
+      StructField("Total", DoubleType)))))))
+
+  /** Server-side filter string
+    * (/root/reference/src/apiFunctions.ts:131). */
+  def whereString(contactName: String, dateIso: String): String =
+    s"""Contact.Name=="$contactName"&&DateString=="$dateIso""""
+
+  /** Fetch invoices for one contact+date: pushed filter via params, JSON
+    * body → typed rows. */
+  def fetchInvoices(spark: SparkSession, server: Server,
+      contactName: String, dateIso: String): DataFrame = {
+    val params = Map(
+      "where" -> whereString(contactName, dateIso),
+      "statuses" -> "DRAFT,SUBMITTED,AUTHORISED")
+    val body = server(params)
+    import spark.implicits._
+    Seq(body).toDF("body")
+      .select(from_json(col("body"), InvoiceSchema).as("r"))
+      .select(explode(col("r.Invoices")).as("inv"))
+      .select(col("inv.InvoiceID").as("invoiceID"),
+        col("inv.DateString").as("dateString"),
+        col("inv.Reference").as("reference"),
+        col("inv.Status").as("status"),
+        col("inv.Total").as("total"))
+  }
+
+  /** Canned in-memory server used by the capability query and tests:
+    * deterministic payload keyed by the requested date. */
+  def cannedServer(params: Map[String, String]): String = {
+    val date = params.getOrElse("where", "")
+      .split("DateString==\"").lift(1).map(_.stripSuffix("\"")).getOrElse("")
+    val ids = 1 to 3
+    val docs = ids.map(i =>
+      s"""{"InvoiceID":"inv-$date-$i","DateString":"$date",
+         |"Reference":"DD/$i","Status":"SUBMITTED","Total":${i * 100}.25}"""
+        .stripMargin.replace("\n", "")).mkString(",")
+    s"""{"Invoices":[$docs]}"""
+  }
+}

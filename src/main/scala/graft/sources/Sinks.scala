@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.LongAccumulator
+
+/** Sink patterns from SURVEY §2.1: the JSON log sink with
+  * collision-suffix naming (`snk_json_log`) and the batched
+  * foreachPartition push sink (`snk_api_batch`). The network/transport
+  * edge is pluggable, everything else is real Spark plumbing.
+  */
+object Sinks {
+
+  /** JSON log file with the reference's name-collision resolution
+    * (/root/reference/src/helpers.ts:55-66): probe `name.json`,
+    * `namea.json`, `nameb.json`, … until free. Log payloads are small
+    * driver-side artifacts (responses/requests), so the rows are
+    * collected — the data-plane sink is Verify's parquet/`df.write`.
+    * Returns the path written. */
+  def writeJsonLog(df: DataFrame, dir: String, baseName: String): String = {
+    Files.createDirectories(Paths.get(dir))
+    val rows = df.toJSON.collect()
+    val body = rows.mkString("[\n  ", ",\n  ", "\n]")
+    var suffix = ""
+    var n = -1
+    var path = Paths.get(dir, s"$baseName.json")
+    while (Files.exists(path)) {
+      n += 1
+      suffix = ('a' + n).toChar.toString
+      path = Paths.get(dir, s"$baseName$suffix.json")
+    }
+    Files.writeString(path, body)
+    path.toString
+  }
+
+  /** Batched push sink (/root/reference/src/apiFunctions.ts:58-80 posts
+    * all docs in one call; at scale: per-partition batches through a
+    * pluggable `post`). The `post` closure runs on executors — it must
+    * be serializable and idempotent (Spark may retry tasks). Returns the
+    * number of batches pushed (via accumulator). */
+  def batchedPush(df: DataFrame, batchSize: Int)(
+      post: Seq[String] => Unit): Long = {
+    val acc: LongAccumulator =
+      df.sparkSession.sparkContext.longAccumulator("batches")
+    df.toJSON.foreachPartition { it: Iterator[String] =>
+      it.grouped(batchSize).foreach { batch =>
+        post(batch)
+        acc.add(1)
+      }
+    }
+    acc.value
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.SparkSuite.{Sf0001, Sf001}
+import graft.functions.{Fns, PosEntry, PosIdAggregator}
+import graft.plans.DueDateExpression
+import graft.sources.{RestSource, Sinks}
+import org.apache.spark.sql.functions._
+
+/** Extension-surface coverage (SURVEY §2.11 + §7.3): native Catalyst
+  * expression ≡ built-in combo ≡ UDF, typed Aggregator ≡ built-in
+  * ordered concat, REST source plumbing, sink patterns. */
+class ExtensionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("due_date native expression ≡ built-in combo (codegen path)") {
+    DueDateExpression.register(spark)
+    val df = Tables.charge(spark, Sf001).filter(col("id") % 53 === 0)
+      .join(broadcast(Tables.terms(spark, Sf001)), Seq("customerId"))
+    val cmp = df.select(
+      Fns.dueDate(col("date"), col("termsType"), col("termsDays")).as("a"),
+      call_function("due_date", col("date"), col("termsType"),
+        col("termsDays")).as("b"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("due_date works from SQL and keeps the null-terms EOM branch") {
+    DueDateExpression.register(spark)
+    val r = spark.sql(
+      """SELECT due_date(DATE'2024-01-31', CAST(NULL AS STRING), 5) AS d,
+        |       due_date(DATE'2023-12-15', 'OFFOLLOWINGMONTH', 31) AS roll,
+        |       due_date(CAST(NULL AS DATE), 'DAYSAFTERBILLDATE', 5) AS n
+        |""".stripMargin).head
+    assert(r.getDate(0).toString == "2024-02-29")
+    assert(r.getDate(1).toString == "2024-01-31")
+    assert(r.isNullAt(2))
+  }
+
+  test("PosIdAggregator UDAF ≡ built-in ordered string concat") {
+    val posIdUdaf = udaf(PosIdAggregator)
+    val src = Tables.charge(spark, Sf0001)
+      .filter(col("customerId") === Tables.StoreId && col("tranType") === 13)
+      .select(col("date"), col("tranTimeStamp").as("ts"), col("id"),
+        concat(Fns.refConcat(col("terminalId"), col("seqNo")), lit(" - "),
+          Fns.dateLocale(col("tranTimeStamp")), lit("\n")).as("s"))
+    val viaUdaf = src
+      .groupBy("date")
+      .agg(posIdUdaf(col("ts"), col("id"), col("s")).as("posId"))
+    val viaBuiltin = SparkEntry.queries("agg_string_concat")(spark, Sf0001)
+    val a = viaUdaf.orderBy("date").collect().map(r => (r.get(0), r.get(1)))
+    val b = viaBuiltin.collect().map(r => (r.get(0), r.get(1)))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("REST source: pushed filter string + parsed rows + cardinality guard") {
+    assert(RestSource.whereString("Day Dockets", "2024-01-15") ==
+      """Contact.Name=="Day Dockets"&&DateString=="2024-01-15"""")
+    val df = RestSource.fetchInvoices(spark, RestSource.cannedServer,
+      "Day Dockets", "2024-01-15")
+    assert(df.count() == 3)
+    // exactly-one guard catches the multi-match case (apiFunctions.ts:148-170)
+    intercept[Guards.CardinalityException] {
+      Guards.requireExactlyOne(df, "invoice")
+    }
+    Guards.requireExactlyOne(
+      df.filter(col("invoiceID") === "inv-2024-01-15-1"), "invoice")
+  }
+
+  test("JSON log sink resolves name collisions with letter suffixes") {
+    val dir = java.nio.file.Files.createTempDirectory("logs").toString
+    val df = Seq(("ok", 1)).toDF("status", "n")
+    val p1 = Sinks.writeJsonLog(df, dir, "resp-2024-01-15")
+    val p2 = Sinks.writeJsonLog(df, dir, "resp-2024-01-15")
+    val p3 = Sinks.writeJsonLog(df, dir, "resp-2024-01-15")
+    assert(p1.endsWith("resp-2024-01-15.json"))
+    assert(p2.endsWith("resp-2024-01-15a.json"))
+    assert(p3.endsWith("resp-2024-01-15b.json"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p1)).contains("\"status\":\"ok\""))
+  }
+
+  test("batched push sink batches per partition") {
+    val df = spark.range(100).toDF("id").repartition(4)
+    val batches = Sinks.batchedPush(df, batchSize = 10)(_ => ())
+    // 100 rows over 4 partitions, batch 10 → at least 10, at most 13
+    assert(batches >= 10 && batches <= 13, s"got $batches")
+  }
+}
