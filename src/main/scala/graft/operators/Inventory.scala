@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Oracle, Q}
+import graft.sources.RestSource
+import org.apache.spark.sql.functions._
+
+/** The remaining SURVEY §2 inventory rows as concrete queries, so every
+  * ID in the operator tables has a runnable, checkable entry:
+  * `src_xlsx_grid` (the cell-grid parser over the §A5 literal fixture),
+  * `src_jdbc_lookup` / `src_jdbc_daily` (the Postgres lookup/fan-out
+  * patterns over the parquet-backed views — no JDBC endpoint exists in
+  * this harness, the access pattern is what's expressed),
+  * `snk_attach` (binary file source feeding the attachment sink path),
+  * `join_api_point` (REST point-lookup join + cardinality audit),
+  * `fn_where_string` (API filter-string construction).
+  */
+object Inventory {
+
+  val queries: Seq[Q] = Seq(
+
+    // XLSX cell-grid parse (/root/reference/src/parse.ts:61-146) over
+    // the FIXTURES.md §A5 literal grid; oracle = the expected parsed
+    // rows as literals (the parse is deterministic).
+    Q("src_xlsx_grid",
+      """SELECT * FROM (
+        |  SELECT 'SALE' AS rowType, DATE '2023-03-15' AS date, CAST(100.00 AS DOUBLE) AS amount,
+        |         '45678' AS customerId, '0012' AS seqNo, 'note a' AS notes, 22 AS row_idx
+        |  UNION ALL SELECT 'CR', DATE '2023-03-15', CAST(-25.50 AS DOUBLE), '9001', '0013', NULL, 23
+        |  UNION ALL SELECT 'SALE', DATE '2023-03-15', CAST(50.00 AS DOUBLE), '42', '0015', NULL, 26
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(30.00 AS DOUBLE), '7001', '0016', 'pay note', 29
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(20.00 AS DOUBLE), '7002', '0017', NULL, 31
+        |) t ORDER BY row_idx""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val grid = Seq(
+        (5, "Amount", null, null, null, null),
+        (21, "Amount", null, null, null, null),
+        (22, "100.00", "45-678", "12", "note a", null),
+        (23, "-25.50", "9001", "13", null, null),
+        (24, "0.00", "9002", "14", null, null),
+        (25, null, null, null, null, null),
+        (26, "50.00", "", "15", null, null),
+        (27, "Amount", null, null, null, null),
+        (28, "77.77", "skipped", "77", null, null),
+        (29, "-30.00", "7001", "16", "pay note", null),
+        (31, "20.00", "7002", "17", null, null),
+        (32, null, "Total Charges", null, null, null)
+      ).toDF("row_idx", "colC", "colD", "colE", "colF", "colG")
+      CellGrid.parse(grid, excelSerialDate = 45000)
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("row_idx")
+    },
+
+    // Postgres point lookup (findUniqueOrThrow on till date,
+    // /root/reference/src/queries.ts:57-59): one filtered row off the
+    // unique-per-date view — the JDBC predicate-pushdown pattern.
+    Q("src_jdbc_lookup", Oracle.withCtes(
+      """SELECT date, customerCount, CAST(totalSales AS DOUBLE) AS totalSales,
+        |       CAST(totalGst AS DOUBLE) AS totalGst, orderCount
+        |FROM till WHERE date = DATE '1995-01-04'""".stripMargin,
+      Oracle.tillTotals)) { (s, d) =>
+      graft.Tables.tillTotals(s, d).filter(col("date") === "1995-01-04")
+        .select(col("date"), col("customerCount"),
+          col("totalSales").cast("double").as("totalSales"),
+          col("totalGst").cast("double").as("totalGst"), col("orderCount"))
+    },
+
+    // The 5-query daily fan-out (/root/reference/src/queries.ts:56-122,
+    // `Promise.all`): one date through the full rollup frame — Catalyst
+    // runs the independent aggregate branches concurrently, and the date
+    // predicate pushes below every groupBy.
+    Q("src_jdbc_daily", Oracle.withCtes(
+      """SELECT date, customerCount, CAST(totalSales AS DOUBLE) AS totalSales,
+        |       CAST(COALESCE(totalExp, Z) AS DOUBLE) AS totalExp,
+        |       CAST(COALESCE(totalCustCharges, Z) AS DOUBLE) AS totalCustCharges,
+        |       CAST(COALESCE(totalOtherPayments, Z) AS DOUBLE) AS totalOtherPayments
+        |FROM r WHERE date = DATE '1995-01-04'""".stripMargin,
+      Rollup.rollupCtes: _*)) { (s, d) =>
+      val Z = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      Rollup.frame(s, d).filter(col("date") === "1995-01-04")
+        .select(col("date"), col("customerCount"),
+          col("totalSales").cast("double").as("totalSales"),
+          coalesce(col("totalExp"), Z).cast("double").as("totalExp"),
+          coalesce(col("totalCustCharges"), Z).cast("double")
+            .as("totalCustCharges"),
+          coalesce(col("totalOtherPayments"), Z).cast("double")
+            .as("totalOtherPayments"))
+    },
+
+    // Binary-file source feeding the attachment sink path
+    // (/root/reference/src/apiFunctions.ts:90-119 uploads one file per
+    // invoice): file bytes as rows. Rows-only check (paths/sizes are
+    // sf-dependent).
+    Q.noOracle("snk_attach") { (s, d) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet").load(d)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("fileName"),
+          col("length"),
+          length(col("content")).as("contentBytes"))
+        .orderBy("fileName")
+    },
+
+    // REST point-lookup join + exactly-one audit
+    // (/root/reference/src/apiFunctions.ts:97-109,130-171): attachments
+    // joined to fetched invoices on date, match-count bucketed.
+    Q("join_api_point",
+      """WITH att AS (
+        |  SELECT '2024-01-15' AS dateString, 'DD 15.xls' AS fileName
+        |  UNION ALL SELECT '2024-01-16', 'DD 16.xls'
+        |), inv AS (
+        |  SELECT 'inv-2024-01-15-1' AS invoiceID, '2024-01-15' AS dateString
+        |  UNION ALL SELECT 'inv-2024-01-15-2', '2024-01-15'
+        |  UNION ALL SELECT 'inv-2024-01-15-3', '2024-01-15'
+        |)
+        |SELECT a.fileName, COUNT(i.invoiceID) AS n_matches,
+        |       CASE WHEN COUNT(i.invoiceID) = 1 THEN 'ok'
+        |            WHEN COUNT(i.invoiceID) = 0 THEN 'missing'
+        |            ELSE 'ambiguous' END AS status
+        |FROM att a LEFT JOIN inv i ON a.dateString = i.dateString
+        |GROUP BY a.fileName ORDER BY a.fileName""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val att = Seq(("2024-01-15", "DD 15.xls"), ("2024-01-16", "DD 16.xls"))
+        .toDF("dateString", "fileName")
+      val inv = RestSource.fetchInvoices(s, RestSource.cannedServer,
+        "Day Dockets", "2024-01-15")
+      att.join(inv.select("invoiceID", "dateString"), Seq("dateString"), "left")
+        .groupBy("fileName")
+        .agg(count(col("invoiceID")).as("n_matches"))
+        .withColumn("status",
+          when(col("n_matches") === 1, "ok")
+            .when(col("n_matches") === 0, "missing")
+            .otherwise("ambiguous"))
+        .orderBy("fileName")
+    },
+
+    // API filter-string construction
+    // (/root/reference/src/apiFunctions.ts:131).
+    Q("fn_where_string", Oracle.withCtes(
+      """SELECT date,
+        |       concat('Contact.Name=="Day Dockets"&&DateString=="',
+        |              strftime(date, '%Y-%m-%d'), '"') AS whereString
+        |FROM till WHERE date < DATE '1995-02-01' ORDER BY date""".stripMargin,
+      Oracle.tillTotals)) { (s, d) =>
+      graft.Tables.tillTotals(s, d).filter(col("date") < "1995-02-01")
+        .select(col("date"),
+          concat(lit("Contact.Name==\"Day Dockets\"&&DateString==\""),
+            date_format(col("date"), "yyyy-MM-dd"), lit("\""))
+            .as("whereString"))
+        .orderBy("date")
+    }
+  )
+}

@@ -65,7 +65,7 @@ object Rollup {
   }
 
   /** SQL mirror of [[frame]] as a CTE chain ending in view `r`. */
-  private val rollupCtes: Seq[String] = {
+  val rollupCtes: Seq[String] = {
     val pvtCols = Tables.PivotDepts.map(b =>
       s"""         SUM(CASE WHEN deptCode = '$b' THEN sellEx END) AS "$b"""")
       .mkString(",\n")

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.CellGrid
+import org.apache.spark.sql.DataFrame
+
+/** FIXTURES.md §A5 micro-fixture replay of the reference parser
+  * (/root/reference/src/parse.ts:76-146): pre-row-21 junk (including a
+  * decoy "Amount"), two real triggers, spacer rows, zero amounts,
+  * negative → CR, dash ids, blank-id default, the skipped row after the
+  * second trigger, the "Total Charges" footer, and both isBalanced
+  * outcomes. */
+class CellGridSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (row_idx, colC, colD, colE, colF, colG)
+  private def grid(debtors: String): DataFrame = Seq(
+    (5, "Amount", null, null, null, null),            // decoy before row 21
+    (19, "junk", "junk", null, null, null),           // pre-window row
+    (21, "Amount", null, null, null, null),           // trigger 1
+    (22, "100.00", "45-678", "12", "note a", null),   // sale, dash id
+    (23, "-25.50", "9001", "13", null, null),         // credit note
+    (24, "0.00", "9002", "14", null, null),           // zero → dropped
+    (25, null, null, null, null, null),               // spacer → dropped
+    (26, "50.00", "", "15", null, null),              // blank id → store
+    (27, "Amount", null, null, null, null),           // trigger 2
+    (28, "77.77", "skipped", "77", null, null),       // t2+1 → skipped
+    (29, "-30.00", "7001", "16", "pay note", null),   // payment (abs)
+    (30, null, null, null, null, null),               // spacer → dropped
+    (31, "20.00", "7002", "17", null, null),          // payment
+    (32, null, "Total Charges", null, null, null),    // footer
+    (40, null, "Total Debtors", null, null, debtors)  // audit row
+  ).toDF("row_idx", "colC", "colD", "colE", "colF", "colG")
+
+  test("band extraction replays the reference parser") {
+    val parsed = CellGrid.parse(grid("124.50"), excelSerialDate = 45000)
+      .orderBy("row_idx").collect()
+
+    val byType = parsed.groupBy(_.getString(0))
+    assert(byType("SALE").map(_.getInt(6)).toSeq == Seq(22, 26))
+    assert(byType("CR").map(_.getInt(6)).toSeq == Seq(23))
+    assert(byType("PAYMENT").map(_.getInt(6)).toSeq == Seq(29, 31))
+
+    val r22 = parsed.find(_.getInt(6) == 22).get
+    assert(r22.getString(3) == "45678")        // FIRST dash stripped only
+    assert(r22.getString(4) == "0012")         // seqNo zero-padded
+    assert(r22.getString(5) == "note a")
+    assert(r22.getDate(1).toString == "2023-03-15") // excel serial 45000
+
+    val r26 = parsed.find(_.getInt(6) == 26).get
+    assert(r26.getString(3) == Tables.StoreId) // blank id + amount → store
+
+    val r29 = parsed.find(_.getInt(6) == 29).get
+    assert(r29.getDecimal(2).doubleValue == 30.0) // payment abs()
+  }
+
+  test("first-dash-only semantics on multi-dash ids") {
+    val g = Seq(
+      (21, "Amount", null, null, null, null),
+      (22, "10.00", "ab-cd-ef", "1", null, null),
+      (23, "Amount", null, null, null, null),
+      (26, null, "Total Charges", null, null, null)
+    ).toDF("row_idx", "colC", "colD", "colE", "colF", "colG")
+    val parsed = CellGrid.parse(g, 45000).collect()
+    assert(parsed.head.getString(3) == "abcd-ef")
+  }
+
+  test("decoy 'Amount' before row 21 does not trigger a band") {
+    // only rows 22 and 26 are sales — the decoy at row 5 is out of scope
+    val parsed = CellGrid.parse(grid("124.50"), 45000).collect()
+    assert(!parsed.exists(_.getInt(6) == 19))
+  }
+
+  test("balance audit: exact-decimal equality, both outcomes") {
+    val p = CellGrid.parse(grid("124.50"), 45000)
+    // 100.00 - 25.50 + 50.00 = 124.50 → balanced
+    assert(CellGrid.isBalanced(p, CellGrid.totalDebtors(grid("124.50"))))
+    assert(!CellGrid.isBalanced(p, CellGrid.totalDebtors(grid("999.99"))))
+  }
+}
