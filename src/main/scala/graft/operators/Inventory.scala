@@ -133,6 +133,46 @@ object Inventory {
         .orderBy("fileName")
     },
 
+    // Sessionization, window-SQL form (gaps-and-islands): the batch twin
+    // of streaming.Sessionize (flatMapGroupsWithState) — tests assert
+    // kernel ≡ window ≡ stateful-stream. 30-minute gap over events.
+    Q("win_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("ns",
+            when(lag(col("us"), 1).over(w).isNull
+              || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("ns")).over(wRun).cast("int"))
+          .groupBy("user_id", "sid")
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 4)))
+              .cast("double").as("total"))
+          .orderBy("user_id", "sid")
+    },
+
     // API filter-string construction
     // (/root/reference/src/apiFunctions.ts:131).
     Q("fn_where_string", Oracle.withCtes(

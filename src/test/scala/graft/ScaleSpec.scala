@@ -1,0 +1,102 @@
+package graft
+
+import graft.SparkSuite.{Sf0001, Sf001}
+import graft.operators.Skew
+import graft.streaming.Sessionize
+import org.apache.spark.sql.functions._
+
+/** 100 TB-pattern proofs on local data: salted joins/aggregations equal
+  * their plain forms, bucketed co-located joins plan with zero shuffle
+  * exchanges, and sessionization agrees across its three forms. */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin ≡ plain join (counts and sums)") {
+    val li = Tables.lineitem(spark, Sf001)
+    val p = Tables.part(spark, Sf001).select("p_partkey", "p_brand")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("l_extendedprice")).cast("decimal(28,2)"),
+        countDistinct(col("p_brand"))).head.toSeq
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+    val salted = Skew.saltedJoin(
+      li.withColumnRenamed("l_partkey", "p_partkey"), p, "p_partkey", 8)
+    assert(sig(plain) == sig(salted))
+  }
+
+  test("saltedSumByKey ≡ plain groupBy sum") {
+    val li = Tables.lineitem(spark, Sf001)
+      .withColumn("amt", col("l_extendedprice").cast("decimal(12,4)"))
+    val plain = li.groupBy("l_suppkey").agg(sum(col("amt")).as("s"))
+      .orderBy("l_suppkey").collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val salted = Skew.saltedSumByKey(li, "l_suppkey", "amt", 8)
+      .orderBy("l_suppkey").collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    assert(plain.sameElements(salted))
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, Sf0001)
+        .select("l_orderkey", "l_extendedprice").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      Tables.orders(spark, Sf0001)
+        .select("o_orderkey", "o_custkey").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), "bucketed join still shuffles:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("sessionize: kernel ≡ window-SQL query ≡ stateful form (batch)") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value")).as[Sessionize.Ev]
+    val viaFlat = Sessionize.flatSessions(spark, evs, 30)
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n))
+      .sortBy(x => (x._1, x._2))
+    val viaWindow = SparkEntry.queries("win_sessionize")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(viaFlat.nonEmpty)
+    assert(viaFlat.sameElements(viaWindow))
+  }
+
+  test("stateful sessionization over a real stream matches batch sessions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+    Tables.events(spark, Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"))
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp).as[Sessionize.Ev]
+    val q = Sessionize.statefulSessions(spark, stream, 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val batchClosed = Sessionize.flatSessions(spark,
+      spark.read.parquet(tmp).as[Sessionize.Ev], 30)
+      .collect().groupBy(_.user_id)
+      // stream emits only CLOSED sessions (open tails stay in state)
+      .flatMap { case (_, ss) => ss.sortBy(_.start_us).dropRight(1).toSeq }
+      .map(s => (s.user_id, s.start_us, s.end_us))
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(streamed == batchClosed)
+  }
+}
