@@ -67,6 +67,46 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize stage STUB: a real implementation decodes + rescales pixel
+    * data; the fake derives target-bounded dimensions and a truncated
+    * payload, keeping the batch shape (mapPartitions, binary in/out). */
+  def resizeStub(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = 64 + (bytes.length % 640)
+          val h = 64 + ((bytes.length * 7) % 480)
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val outW = math.max(1, (w * scale).toInt)
+          val outH = math.max(1, (h * scale).toInt)
+          (id, outW, outH, bytes.take(math.min(bytes.length, outW * outH / 64)))
+        }
+      }
+      .toDF("doc_id", "width", "height", "payload")
+  }
+
+  /** Frame-sampling stage STUB: a real implementation pulls every Nth
+    * video frame; the fake emits one row per sampled byte-offset window
+    * with a deterministic frame hash — the explode-shaped output a
+    * frame-level pipeline consumes. */
+  def frameSampleStub(media: DataFrame, everyN: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        bytes.grouped(32).zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case (chunk, i) =>
+            (id, i, md.digest(chunk).take(4).map("%02x".format(_)).mkString)
+          }
+      }
+      .toDF("doc_id", "frame_idx", "frame_hash")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Typed metadata + payload byte accounting — pure column ops on the

@@ -62,6 +62,53 @@ object Vectors {
       when(proj > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 
+  /** IVF search: KMeans coarse quantizer → inverted lists → probe the
+    * nprobe closest lists per query → exact cosine re-rank. */
+  def ivfTopK(s: SparkSession, d: String, k: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = normed(s, d)
+      .withColumn("v", array_to_vector(col("embedding"))).cache()
+    val km = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("v")
+      .setPredictionCol("list_id").setMaxIter(5)
+    val model = km.fit(base)
+    val assigned = model.transform(base)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // per query: the nprobe nearest centroids (driver-side math over
+    // nlist centers — tiny), then a partition-pruned candidate join
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq")).collect()
+    val probeRows = queries.flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      val qn = r.getDouble(2)
+      val near = centers.zipWithIndex.map { case (c, i) =>
+        val dot = c.indices.map(j => c(j) * q(j)).sum
+        (i, -dot)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+      near.map(list => (r.getLong(0), list))
+    }
+    import s.implicits._
+    val probes = probeRows.toSeq.toDF("q_id", "list_id")
+
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("list_id"))
+      .join(q, Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("eq"), col("embedding")) / (col("nq") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: every query vector scored against every
@@ -121,6 +168,16 @@ object Vectors {
         .filter(col("cos") > 0.4)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
+    },
+
+    // IVF ANN (the other scale path): a KMeans coarse quantizer assigns
+    // every vector to one of `nlist` inverted lists; queries probe the
+    // `nprobe` nearest lists and re-rank exactly inside them. At 100 TB
+    // the lists are the partition key — each probe is a partition-pruned
+    // scan, never a corpus sweep. Deterministic (fixed seed). Rows-only
+    // check; planted-duplicate recall is asserted in ScalaTest.
+    Q.noOracle("sim_ivf_bucketed") { (s, d) =>
+      ivfTopK(s, d, k = 10, nlist = 16, nprobe = 3)
     },
 
     // LSH-bucketed ANN (scale path): sign-of-projection on 8 fixed

@@ -35,4 +35,27 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.mediaTable(spark, Sf001).repartition(4))
     assert(df.rdd.getNumPartitions == 4)
   }
+
+  test("resize stub bounds dimensions and keeps batch shape") {
+    val r = Multimodal.resizeStub(
+      Multimodal.mediaTable(spark, Sf001), maxW = 128, maxH = 128)
+    val rows = r.collect()
+    assert(rows.length == 500)
+    rows.foreach { x =>
+      assert(x.getInt(1) <= 128 && x.getInt(2) <= 128)
+      assert(x.getInt(1) >= 1 && x.getInt(2) >= 1)
+    }
+  }
+
+  test("frame-sample stub emits every-Nth deterministic frames") {
+    val f1 = Multimodal.frameSampleStub(
+      Multimodal.mediaTable(spark, Sf001), everyN = 3)
+      .orderBy("doc_id", "frame_idx").collect()
+    val f2 = Multimodal.frameSampleStub(
+      Multimodal.mediaTable(spark, Sf001), everyN = 3)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(f1.nonEmpty)
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    assert(f1.forall(_.getInt(1) % 3 == 0))
+  }
 }

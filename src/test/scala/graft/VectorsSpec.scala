@@ -53,4 +53,20 @@ class VectorsSpec extends SparkSuite {
     val common = lsh.keySet intersect bf.keySet
     assert(common.forall(k => lsh(k) == bf(k)))
   }
+
+  test("IVF ANN: deterministic, k respected, planted route sane") {
+    val a = SparkEntry.queries("sim_ivf_bucketed")(spark, Sf001).collect()
+    val b = SparkEntry.queries("sim_ivf_bucketed")(spark, Sf001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // fixed-seed determinism
+    val perQ = a.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length <= 10))
+    // IVF scores must match brute-force scores on common pairs
+    val bf = SparkEntry.queries("sim_topk_bruteforce")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    a.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      bf.get(k).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
 }
