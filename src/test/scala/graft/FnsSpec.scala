@@ -100,4 +100,35 @@ class FnsSpec extends SparkSuite {
     // 100.25/2 = 50.125 → 50.13 (half-up); 200.01/2 = 100.005 → 100.01
     assert(got == Seq("50.13", "100.01"))
   }
+
+  test("round2 matches BigDecimal HALF_UP model") {
+    val vals = samples(Gen.choose(-10000000L, 10000000L), 150)
+      .map(u => BigDecimal(u, 4)) // scale-4 decimals incl. x.xx50 ties
+    val got = vals.map(v => (v, BigDecimal(
+      Seq(v).toDF("v").select(Fns.round2(col("v").cast("decimal(12,4)")))
+        .head.getDecimal(0))))
+    got.foreach { case (v, r) =>
+      assert(r == v.setScale(2, BigDecimal.RoundingMode.HALF_UP), s"$v")
+    }
+  }
+
+  test("idDash branch properties") {
+    val rows = Seq(
+      ("a-b-c", Some(1.0)), ("a-b-c", None), ("", Some(2.0)),
+      ("", None), (null, Some(3.0)), (null, None), ("plain", None))
+      .toDF("raw", "amt")
+      .select(col("raw"), col("amt"), Fns.idDash(col("raw"), col("amt"), "42"))
+      .collect().map(r => (Option(r.getString(0)), r.get(1), r.getString(2)))
+    val out = rows.map(_._3)
+    assert(out(0) == "ab-c" && out(1) == "ab-c") // first dash only, amt irrelevant
+    assert(out(2) == "42" && out(4) == "42")     // blank/null + amount -> store
+    assert(out(3) == null && out(5) == null)     // blank/null, no amount -> null
+    assert(out(6) == "plain")
+  }
+
+  test("config dispatch: known entities resolve, unknown throws") {
+    assert(Config.forEntity("pw").storeExpenseGl == "51130")
+    assert(Config.forEntity("wb").tenantIndex == 1)
+    intercept[Config.UnknownEntityException] { Config.forEntity("xx") }
+  }
 }
