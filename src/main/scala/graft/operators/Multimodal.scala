@@ -118,7 +118,7 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        length(col("text").cast("binary")).as("byte_len"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
         ascii(substring(col("text"), 1, 1)).as("first_code"),
         col("lang"), col("source"), lit("text/plain").as("mime"))
         .orderBy("doc_id")

@@ -133,7 +133,7 @@ object Shapes {
     // Per-group top-k (engine generalization — the reference has no
     // ORDER BY/top-k at all, SURVEY §2.6 note).
     Q("win_topk",
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn

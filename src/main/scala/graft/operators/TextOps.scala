@@ -94,9 +94,9 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(toks(col("text"))).as("n_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("n_subtokens"),
-        length(col("text")).as("n_chars"))
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long").as("n_subtokens"),
+        length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
 
@@ -118,7 +118,7 @@ object TextOps {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
       val scored = base.select(col("doc_id") +:
-        Stop.map { case (l, ws) => countIn(col("t"), ws).as(s"s_$l") }: _*)
+        Stop.map { case (l, ws) => countIn(col("t"), ws).cast("long").as(s"s_$l") }: _*)
       val pred = Stop.map(_._1).foldRight(lit("zh"): Column) { case (l, rest) =>
         val best = Stop.map(_._1).filterNot(_ == l)
           .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
@@ -150,7 +150,9 @@ object TextOps {
         regexp_count(col("text"), lit("[.,!?;]")).as("n_punct"),
         countIn(col("t"), Stop.flatMap(_._2)).as("n_stop"),
         aggregate(col("t"), lit(0), (a, x) => a + length(x)).as("tok_chars"))
-      m.select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+      m.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_punct").cast("long").as("n_punct"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
         (col("tok_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
         (lit(0.5) * (col("n_stop").cast("double") / col("n_tokens"))

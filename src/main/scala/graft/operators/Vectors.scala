@@ -122,7 +122,7 @@ object Vectors {
          |         (${dotSql("q.embedding", "b.embedding")}) / (q.nrm * b.nrm) AS cos
          |  FROM q JOIN nrm b ON b.vec_id <> q.q_id
          |)
-         |SELECT q_id, rn, vec_id, cos FROM (
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM p) t
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, d) =>

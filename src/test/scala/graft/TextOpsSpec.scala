@@ -48,8 +48,8 @@ class TextOpsSpec extends SparkSuite {
   test("txt_langid picks argmax with deterministic tie-break") {
     val rows = SparkEntry.queries("txt_langid")(spark, Sf001).collect()
     rows.foreach { r =>
-      val scores = Map("en" -> r.getInt(1), "de" -> r.getInt(2),
-        "es" -> r.getInt(3), "fr" -> r.getInt(4))
+      val scores = Map("en" -> r.getLong(1), "de" -> r.getLong(2),
+        "es" -> r.getLong(3), "fr" -> r.getLong(4))
       val pred = r.getString(5)
       if (scores.values.forall(_ == 0)) assert(pred == "zh")
       else assert(scores(pred) == scores.values.max)
