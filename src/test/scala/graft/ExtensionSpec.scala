@@ -85,4 +85,27 @@ class ExtensionSpec extends SparkSuite {
     // 100 rows over 4 partitions, batch 10 → at least 10, at most 13
     assert(batches >= 10 && batches <= 13, s"got $batches")
   }
+
+  test("DataSourceV2 REST connector pushes equality filters to the server") {
+    import graft.sources.RestTableProvider
+    val df = spark.read.format(classOf[RestTableProvider].getName)
+      .option("contactName", "Day Dockets").load()
+      .filter(col("dateString") === "2024-02-02")
+    val rows = df.collect()
+    // the where-string the "server" received carries the pushed date —
+    // pushdown happened at the connector, not post-scan in Spark
+    assert(RestTableProvider.lastRequestedParams("where")
+      .contains("DateString==\"2024-02-02\""))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) == "2024-02-02"))
+    // non-pushable predicates still evaluate correctly in Spark
+    val filtered = spark.read.format(classOf[RestTableProvider].getName).load()
+      .filter(col("dateString") === "2024-03-03" && col("total") > 150.0)
+      .collect()
+    assert(filtered.forall(_.getDouble(4) > 150.0))
+    // and the physical plan shows the pushed filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") || plan.contains("PushedFilters") ||
+      df.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+  }
 }
