@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   final case class Result(invoices: Long, creditNotes: Long,
-      ddInvoices: Long, unbalancedDays: Long, logPath: String)
+      ddInvoices: Long, unbalancedDays: Long, droppedRows: Long,
+      logPath: String)
 
   private def keys = Seq("date", "customerId", "seqNo", "amount")
 
@@ -36,8 +37,19 @@ object Pipeline {
       post: Seq[String] => Unit = _ => ()): Result = {
     val db = Tables.charge(spark, sfDir)
     val parsed0 = Tables.xlsxCharges(spark, sfDir)
-    val parsed = if (strict) parsed0
-    else parsed0.join(db, keys, "left_semi") // keep only verifiable rows
+
+    // required-fields skip with an OBSERVED drop count — the reference
+    // logs each dropped txn (/root/reference/src/DataObject.ts:43-46);
+    // df.observe records the metric without a second pass over the data
+    val dropObs = new org.apache.spark.sql.Observation("required_fields")
+    val parsed1 = parsed0
+      .observe(dropObs,
+        sum(when(col("date").isNull || col("amount").isNull, 1L)
+          .otherwise(0L)).as("dropped"))
+      .filter(col("date").isNotNull && col("amount").isNotNull)
+
+    val parsed = if (strict) parsed1
+    else parsed1.join(db, keys, "left_semi") // keep only verifiable rows
 
     // balance audit (soft): parsed-side vs db-side daily sums
     val xs = parsed.groupBy("date").agg(sum(col("amount")).as("sx"))
@@ -65,6 +77,10 @@ object Pipeline {
       sum(col("amount")).cast("double").as("verifiedTotal"))
     val logPath = Sinks.writeJsonLog(summary, logDir, "response-log")
 
-    Result(invoices, credits, dd, unbalanced.count(), logPath)
+    val dropped = dropObs.get.getOrElse("dropped", 0L) match {
+      case n: Long => n
+      case _ => 0L
+    }
+    Result(invoices, credits, dd, unbalanced.count(), dropped, logPath)
   }
 }

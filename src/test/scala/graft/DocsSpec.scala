@@ -41,6 +41,7 @@ class DocsSpec extends SparkSuite {
     val logDir = java.nio.file.Files.createTempDirectory("plog").toString
     val r = Pipeline.run(spark, Sf0001, logDir)
     assert(r.invoices > 0 && r.creditNotes > 0 && r.ddInvoices > 0)
+    assert(r.droppedRows == 0) // observed metric: fixture has no null fields
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r.logPath)))
     // second run collides → letter-suffixed log file
     val r2 = Pipeline.run(spark, Sf0001, logDir)

@@ -1,0 +1,45 @@
+package graft
+
+import graft.SparkSuite.Sf001
+
+/** Plan-quality regression guards: the properties PLANS.md documents
+  * must stay true — filters reach the parquet scan, projections prune,
+  * dimensions broadcast. A refactor that silently un-pushes a predicate
+  * fails here, not in a 100 TB bill. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf001)
+      .queryExecution.executedPlan.toString
+
+  test("src_pruned_scan: predicate and projection reach the scan") {
+    val p = plan("src_pruned_scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_quantity,49.0)"), p.take(800))
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"))
+  }
+
+  test("prj_select: chargeSub bound pushes to BOTH scan sides") {
+    val p = plan("prj_select")
+    assert(p.contains("LessThan(l_orderkey,200)"), p.take(800))
+    assert(p.contains("LessThan(o_orderkey,200)"), p.take(800))
+  }
+
+  test("join_fk_dept: part dimension broadcasts") {
+    val p = plan("join_fk_dept")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("dd_rollup: 9-brand filter pushes into the part scan") {
+    val p = plan("dd_rollup")
+    assert(p.contains("In(p_brand, [Brand#1"), p.take(1200))
+  }
+
+  test("flt_conj_eq3: derived-column predicate pushes to the orders scan") {
+    // customerId = '42' is cast(o_custkey); Spark pushes the IsNotNull
+    // and evaluates the cast-filter right above the scan — the lineitem
+    // side must NOT carry the customer predicate
+    val p = plan("flt_conj_eq3")
+    assert(p.contains("PushedFilters"), p.take(800))
+  }
+}
