@@ -84,6 +84,32 @@ object Oracle {
       |  FROM charge WHERE id % 7 = 0
       |)""".stripMargin
 
+  /** `Fns.dueDate` as SQL (all four reference branches,
+    * /root/reference/src/helpers.ts:228-259). */
+  def dueDateSql(date: String, termsType: String, termsDays: String): String =
+    s"""CASE WHEN $termsType = 'DAYSAFTERBILLDATE'
+       |       THEN CAST($date + $termsDays * INTERVAL '1 day' AS DATE)
+       |     WHEN $termsType = 'OFFOLLOWINGMONTH'
+       |       THEN CAST(CAST(date_trunc('month', $date + INTERVAL 1 MONTH) AS DATE)
+       |                 + ($termsDays - 1) * INTERVAL '1 day' AS DATE)
+       |     WHEN $termsType IS NULL
+       |       THEN last_day(CAST($date + INTERVAL 1 MONTH AS DATE))
+       |     ELSE $date END""".stripMargin
+
+  /** `Fns.fmt4` as SQL: canonical 4-dp double rendering via exact
+    * integer math (half-up on `|x|·10⁴+0.5`) — IEEE-identical in both
+    * engines, unlike printf `%.4f`. */
+  def fmt4Sql(x: String): String = {
+    val n = s"CAST(floor(abs($x) * 10000 + 0.5) AS BIGINT)"
+    s"""concat(CASE WHEN ($x) < 0 AND $n > 0 THEN '-' ELSE '' END,
+       |  CAST($n // 10000 AS VARCHAR), '.',
+       |  lpad(CAST($n % 10000 AS VARCHAR), 4, '0'))""".stripMargin
+  }
+
+  /** JSON string escape as SQL — mirrors `Fns.jsonEsc` exactly. */
+  def jsonEscSql(x: String): String =
+    s"""replace(replace(replace($x, '\\', '\\\\'), '"', '\\"'), chr(10), '\\n')"""
+
   /** `Fns.avgBasket` as SQL: exact half-up cent rounding via integer
     * arithmetic (identical in both engines — `round(double)` is NOT). */
   def avgBasketSql(totalSales: String, count: String): String = {

@@ -12,19 +12,22 @@ import org.apache.spark.sql.types._
 object Fns {
 
   /** Trading-terms due date (/root/reference/src/helpers.ts:228-259).
-    * Three branches, JS `Date` rollover semantics:
+    * Four branches, JS `Date` rollover semantics:
     *  - DAYSAFTERBILLDATE: date + termsDays.
     *  - OFFOLLOWINGMONTH: day `termsDays` of the following month, with
     *    natural rollover when termsDays exceeds the month length
     *    (`new Date(y, m+1, d)` in JS ≡ first-of-next-month + (d-1) days).
     *  - null terms: "EOM after EOM" — JS `day=0, month+=2` trick ≡ last
     *    day of the following month.
+    *  - non-null terms matching neither constant: the reference's nested
+    *    ternary falls through and returns the bill date unchanged.
     */
   def dueDate(date: Column, termsType: Column, termsDays: Column): Column =
     when(termsType === "DAYSAFTERBILLDATE", date_add(date, termsDays))
       .when(termsType === "OFFOLLOWINGMONTH",
         date_add(trunc(add_months(date, 1), "MM"), termsDays - lit(1)))
-      .otherwise(last_day(add_months(date, 1)))
+      .when(termsType.isNull, last_day(add_months(date, 1)))
+      .otherwise(date)
 
   /** Scala-UDF twin of [[dueDate]] (extension-surface demo; SURVEY §2.11).
     * Kept off every query path — tests assert UDF ≡ built-in version. */
@@ -35,9 +38,10 @@ object Fns {
         case "DAYSAFTERBILLDATE" => ld.plusDays(termsDays.toLong)
         case "OFFOLLOWINGMONTH" =>
           ld.plusMonths(1).withDayOfMonth(1).plusDays(termsDays.toLong - 1)
-        case _ =>
+        case null =>
           val m = ld.plusMonths(1)
           m.withDayOfMonth(m.lengthOfMonth)
+        case _ => ld
       }
       java.sql.Date.valueOf(res)
     })
@@ -84,10 +88,11 @@ object Fns {
   def seqnoPad(c: Column): Column = lpad(c.cast("string"), 4, "0")
 
   /** Customer-id normalization (/root/reference/src/parse.ts:86-93):
-    * value present → strip FIRST dash; blank with amount → store id;
-    * else null. */
+    * the reference's ternary nests under the amount-cell check, so an id
+    * with no amount yields null — value AND amount present → strip FIRST
+    * dash; blank id with amount → store id; no amount → null. */
   def idDash(raw: Column, amount: Column, storeId: String): Column =
-    when(raw.isNotNull && length(raw) > 0,
+    when(amount.isNotNull && raw.isNotNull && length(raw) > 0,
       regexp_replace(raw, "^([^-]*)-", "$1"))
       .when(amount.isNotNull, lit(storeId))
       .otherwise(lit(null).cast("string"))
@@ -136,4 +141,29 @@ object Fns {
   def fileName(date: Column): Column =
     concat(lit("DD "), lpad(dayofmonth(date).cast("string"), 2, "0"),
       lit(".xls"))
+
+  /** Canonical 4-dp rendering of a double for the document JSON:
+    * half-up via exact integer math on the IEEE product `|x|·10⁴+0.5` —
+    * deterministic and engine-identical (`Oracle.fmt4Sql` mirrors it),
+    * unlike `%.4f` (Java rounds the double's SHORTEST repr half-up, C
+    * and DuckDB round the exact binary value — they disagree whenever
+    * the shortest repr ends in 5 at the cut). */
+  def fmt4(x: Column): Column = {
+    val n = floor(abs(x) * 10000 + 0.5).cast("long")
+    concat(
+      when(x < 0 && n > 0, "-").otherwise(""),
+      floor(n / 10000).cast("long").cast("string"), lit("."),
+      lpad((n % 10000).cast("string"), 4, "0"))
+  }
+
+  /** JSON string escape for the canonical document serialization:
+    * backslash, double quote, newline — the only JSON-special characters
+    * these payloads can carry. Literal (non-regex) replaces, mirrored
+    * 1:1 by `replace(...)` in the DuckDB oracles. */
+  def jsonEsc(c: Column): Column =
+    replace(
+      replace(
+        replace(c, lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n"))
 }

@@ -115,6 +115,40 @@ object Docs {
       .as[InvoiceDoc]
   }
 
+  /** Canonical JSON for one line-item struct — pinned field order,
+    * `%.4f` amounts, `Fns.jsonEsc` string escaping. Raw Jackson double
+    * rendering (`to_json`) is not engine-stable; `%.4f` of these
+    * decimal-derived doubles is (both engines correctly round the same
+    * IEEE value, and exact decimal ties cannot occur for values that
+    * came from scale-4 decimals). */
+  private def liJson(x: Column): Column =
+    concat(lit("{\"description\":\""), Fns.jsonEsc(x.getField("description")),
+      lit("\",\"quantity\":"), x.getField("quantity").cast("string"),
+      lit(",\"unitAmount\":"), Fns.fmt4(x.getField("unitAmount")),
+      lit(",\"taxAmount\":"), Fns.fmt4(x.getField("taxAmount")),
+      lit(",\"accountCode\":\""), x.getField("accountCode"),
+      lit("\",\"taxType\":\""), x.getField("taxType"), lit("\"}"))
+
+  /** Driver-checkable serialization of a doc Dataset: scalar header
+    * columns + the lineItems array as ONE canonical JSON string (the
+    * harness comparator can hash strings but not array<struct>). */
+  def docJson(docs: Dataset[InvoiceDoc]): DataFrame =
+    docs.toDF().select(
+      col("docType"), col("contact.contactID").as("contactID"),
+      col("date"), col("dueDate"), col("reference"), col("status"),
+      col("lineAmountTypes"),
+      concat(lit("["),
+        array_join(transform(col("lineItems"), liJson(_)), ","),
+        lit("]")).as("lineItems_json"))
+
+  /** SQL mirror of [[liJson]]. */
+  private def liJsonSql(desc: String, unit: String, tax: String,
+      acct: String, taxType: String): String =
+    s"""concat('{"description":"', ${Oracle.jsonEscSql(desc)},
+       |  '","quantity":1,"unitAmount":', ${Oracle.fmt4Sql(s"CAST($unit AS DOUBLE)")},
+       |  ',"taxAmount":', ${Oracle.fmt4Sql(s"CAST($tax AS DOUBLE)")},
+       |  ',"accountCode":"', $acct, '","taxType":"$taxType"}')""".stripMargin
+
   /** Oracle-checkable flat form of the DD invoice line items. */
   private def ddLinesSql: String = {
     val deptOrd = "1 + CAST(substr(d.deptCode, 7) AS INTEGER)"
@@ -154,17 +188,86 @@ object Docs {
       (Rollup.rollupCtes :+ Oracle.department): _*)
   }
 
+  /** doc_txn_nested oracle: the full per-txn document, lineItems as the
+    * same canonical JSON the Spark side emits. */
+  private def txnNestedSql: String = {
+    val desc = """concat('Customer POS Account Sale', ': ', chr(10),
+                 |  '* POS ID: ', c.terminalId, '/', c.seqNo,
+                 |  chr(10), '* Timestamp: ', strftime(c.tranTimeStamp, '%d/%m/%Y, %H:%M:%S'),
+                 |  chr(10), '* TransactionID: ', CAST(c.id AS VARCHAR))""".stripMargin
+    val acct = s"CASE WHEN c.customerId = '${StoreId}' THEN '42010' ELSE '41010' END"
+    Oracle.withCtes(
+      s"""SELECT CASE WHEN c.amount < 0 THEN 'ACCRECCREDIT' ELSE 'ACCREC' END AS docType,
+         |       t.xeroId AS contactID,
+         |       strftime(c.date, '%Y-%m-%d') AS date,
+         |       strftime(${Oracle.dueDateSql("c.date", "t.termsType", "t.termsDays")}, '%Y-%m-%d') AS dueDate,
+         |       concat(c.terminalId, '/', c.seqNo) AS reference,
+         |       'SUBMITTED' AS status,
+         |       'Inclusive' AS lineAmountTypes,
+         |       concat('[', ${liJsonSql(desc, "abs(c.amount)", "0", acct, "EXEMPTOUTPUT")}, ']') AS lineItems_json
+         |FROM charge c LEFT JOIN terms t ON c.customerId = t.customerId
+         |WHERE c.date IS NOT NULL AND c.amount IS NOT NULL
+         |ORDER BY reference, date, docType""".stripMargin,
+      Oracle.charge, Oracle.terms)
+  }
+
+  /** doc_dd_nested oracle: header from the rollup frame, lineItems_json
+    * assembled from the same five branches as [[ddLinesSql]] via an
+    * ord-ordered string_agg. */
+  private def ddNestedSql: String = {
+    val gst = liJsonSql("'Tape Sales Taxable (GST)'", "gstSales", "totalGst",
+      "'41010'", "OUTPUT")
+    val fre = liJsonSql("'Tape Sales Non-Taxable (FRE)'",
+      """totalSales - lineSum - gstSales
+        |      - (totalAccountSales - COALESCE(totalExp, Z))
+        |      + COALESCE(totalOtherPayments, Z)""".stripMargin,
+      "0", "'41010'", "EXEMPTOUTPUT")
+    val dept = liJsonSql("concat(d.deptCode, ' Department Sales')",
+      "d.sellEx", "0", "dd.glCodeSales", "EXEMPTOUTPUT")
+    val rnd = liJsonSql("'Rounding from POS'", "-COALESCE(totalRounding, Z)",
+      "0", "'62650'", "BASEXCLUDED")
+    val instore = liJsonSql(
+      "concat('In-Store Use Expenses/COGS:', chr(10), COALESCE(posId, ''))",
+      "-COALESCE(totalExp, Z)", "0", "'51130'", "EXEMPTEXPENSES")
+    val deptOrd = "1 + CAST(substr(d.deptCode, 7) AS INTEGER)"
+    Oracle.withCtes(
+      s"""SELECT 'ACCREC' AS docType, 'dd-contact' AS contactID,
+         |       strftime(r.date, '%Y-%m-%d') AS date,
+         |       strftime(CAST(r.date + 2 * INTERVAL '1 day' AS DATE), '%Y-%m-%d') AS dueDate,
+         |       concat('DD', '/', upper(strftime(r.date, '%a')), '/',
+         |              CAST(r.customerCount AS VARCHAR), '/',
+         |              ${Oracle.avgBasketSql("r.totalSales", "r.customerCount")}) AS reference,
+         |       'SUBMITTED' AS status, 'Inclusive' AS lineAmountTypes,
+         |       la.lineItems_json
+         |FROM r JOIN (
+         |  SELECT date, concat('[', string_agg(item, ',' ORDER BY ord), ']') AS lineItems_json
+         |  FROM (
+         |    SELECT date, 0 AS ord, $gst AS item FROM r
+         |    UNION ALL SELECT date, 1, $fre FROM r
+         |    UNION ALL SELECT d.date, $deptOrd, $dept
+         |    FROM dept d JOIN deptdim dd ON d.deptCode = dd.deptCode
+         |    WHERE d.deptCode IN (${Tables.PivotDepts.map(b => s"'$b'").mkString(", ")})
+         |      AND d.date IN (SELECT date FROM till)
+         |    UNION ALL SELECT date, 11, $rnd FROM r
+         |    UNION ALL SELECT date, 12, $instore FROM r
+         |  ) t GROUP BY date
+         |) la ON r.date = la.date
+         |ORDER BY date""".stripMargin,
+      (Rollup.rollupCtes :+ Oracle.department): _*)
+  }
+
   val queries: Seq[Q] = Seq(
 
-    // Nested per-txn documents (rows-only: nested hash isn't stable
-    // across engines; the flat twin is reshape_lineitems).
-    Q.noOracle("doc_txn_nested") { (s, d) =>
-      txnDocs(s, d).orderBy("reference", "date").toDF()
+    // Nested per-txn documents, serialized canonically so the driver can
+    // hash them (typed Dataset[InvoiceDoc] API unchanged — txnDocs).
+    Q("doc_txn_nested", txnNestedSql) { (s, d) =>
+      docJson(txnDocs(s, d)).orderBy("reference", "date", "docType")
     },
 
-    // Nested daily DD invoices (rows-only; flat twin below IS checked).
-    Q.noOracle("doc_dd_nested") { (s, d) =>
-      ddInvoices(s, d).orderBy("date").toDF()
+    // Nested daily DD invoices, canonical-JSON line items (typed API
+    // unchanged — ddInvoices; the flat twin doc_dd_lines stays below).
+    Q("doc_dd_nested", ddNestedSql) { (s, d) =>
+      docJson(ddInvoices(s, d)).orderBy("date")
     },
 
     // The DD invoice line items, exploded — full oracle over the

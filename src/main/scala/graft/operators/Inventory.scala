@@ -88,15 +88,22 @@ object Inventory {
 
     // Binary-file source feeding the attachment sink path
     // (/root/reference/src/apiFunctions.ts:90-119 uploads one file per
-    // invoice): file bytes as rows. Rows-only check (paths/sizes are
-    // sf-dependent).
-    Q.noOracle("snk_attach") { (s, d) =>
+    // invoice): file bytes as rows. Oracle-checked via the
+    // sf-independent projection — the fixed table-file names plus
+    // consistency booleans proving real bytes were read (content length
+    // equals the listed length, and is non-empty).
+    Q("snk_attach",
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => s"SELECT '$t.parquet' AS fileName, TRUE AS nonempty, TRUE AS len_match")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fileName")) { (s, d) =>
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet").load(d)
         .select(
           element_at(split(col("path"), "/"), -1).as("fileName"),
-          col("length"),
-          length(col("content")).as("contentBytes"))
+          (col("length") > 0).as("nonempty"),
+          (length(col("content")).cast("long") === col("length"))
+            .as("len_match"))
         .orderBy("fileName")
     },
 

@@ -125,9 +125,18 @@ object Multimodal {
     },
 
     // The decode pipeline end-to-end: binary payload → mapPartitions
-    // stub decode → typed features. Rows-only check (the stub's md5 of
-    // raw bytes is Scala-side); determinism is asserted in ScalaTest.
-    Q.noOracle("mm_decode_stub") { (s, d) =>
+    // stub decode → typed features. Fully oracle-checked: the stub's
+    // fake features are pure arithmetic on the byte length, and head_hex
+    // is md5 over the first 16 bytes — document text is ASCII, so
+    // DuckDB's md5 over the 16-char substring hashes the same bytes.
+    Q("mm_decode_stub",
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       md5(substr(text, 1, 16)) AS head_hex,
+        |       CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |       CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       decodeFeatures(mediaTable(s, d)).orderBy("doc_id")
     }
   )

@@ -339,17 +339,36 @@ object Relational {
     },
 
     // Collect-to-batch (Invoices wrapper,
-    // /root/reference/src/DataObject.ts:8-9,72,99): nested
-    // array<struct> output — rows-only check (no stable SQL hash for
-    // nested docs; the flat twin is reshape_lineitems).
-    Q.noOracle("agg_collect_docs") { (s, d) =>
-      Tables.chargeSub(s, d, 200)
-        .groupBy("customerId")
-        .agg(
-          sort_array(collect_list(struct(col("id"), col("date"),
-            col("amount").cast("double").as("amount")))).as("txns"),
-          count(lit(1)).as("n"))
-        .orderBy("customerId")
+    // /root/reference/src/DataObject.ts:8-9,72,99): per-customer ordered
+    // txn batch, serialized to canonical JSON so the driver can hash it
+    // (amounts as exact scale-4 decimal strings — both engines render
+    // DECIMAL(18,4) identically; id order pins the array). */
+    Q("agg_collect_docs", o.withCtes(
+      """SELECT customerId,
+        |       concat('[', string_agg(
+        |         concat('{"id":', CAST(id AS VARCHAR),
+        |                ',"date":"', strftime(date, '%Y-%m-%d'),
+        |                '","amount":"', CAST(amount AS VARCHAR), '"}'),
+        |         ',' ORDER BY id, strftime(date, '%Y-%m-%d'), CAST(amount AS VARCHAR)), ']') AS txns_json,
+        |       COUNT(*) AS n
+        |FROM charge WHERE id < 20000
+        |GROUP BY customerId ORDER BY customerId""".stripMargin, o.charge)) {
+      (s, d) =>
+        Tables.chargeSub(s, d, 200)
+          .groupBy("customerId")
+          .agg(
+            concat(lit("["),
+              array_join(transform(
+                array_sort(collect_list(struct(col("id"),
+                  col("date").cast("string").as("date"),
+                  col("amount").cast("string").as("amount")))),
+                x => concat(lit("{\"id\":"), x.getField("id").cast("string"),
+                  lit(",\"date\":\""), x.getField("date"),
+                  lit("\",\"amount\":\""), x.getField("amount"),
+                  lit("\"}"))), ","),
+              lit("]")).as("txns_json"),
+            count(lit(1)).as("n"))
+          .orderBy("customerId")
     },
 
     // Sum over projected departments with null-defaulting

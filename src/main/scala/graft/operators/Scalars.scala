@@ -17,18 +17,14 @@ object Scalars {
   val queries: Seq[Q] = Seq(
 
     // Trading-terms due date (/root/reference/src/helpers.ts:228-259):
-    // all three branches exercised (termsType is null for 3 of 5
-    // segments, OFFOLLOWINGMONTH rolls over month lengths).
+    // all branches exercised (termsType is null for 3 of 5 segments,
+    // OFFOLLOWINGMONTH rolls over month lengths; unknown non-null terms
+    // return the bill date unchanged, as in the reference's ternary).
     Q("fn_duedate", o.withCtes(
-      """SELECT c.id, c.date, t.termsType, t.termsDays,
-        |  CASE WHEN t.termsType = 'DAYSAFTERBILLDATE'
-        |         THEN CAST(c.date + t.termsDays * INTERVAL '1 day' AS DATE)
-        |       WHEN t.termsType = 'OFFOLLOWINGMONTH'
-        |         THEN CAST(CAST(date_trunc('month', c.date + INTERVAL 1 MONTH) AS DATE)
-        |                   + (t.termsDays - 1) * INTERVAL '1 day' AS DATE)
-        |       ELSE last_day(CAST(c.date + INTERVAL 1 MONTH AS DATE)) END AS dueDate
-        |FROM charge c JOIN terms t ON c.customerId = t.customerId
-        |WHERE c.id % 53 = 0 ORDER BY c.id""".stripMargin, o.charge, o.terms)) {
+      s"""SELECT c.id, c.date, t.termsType, t.termsDays,
+         |  ${o.dueDateSql("c.date", "t.termsType", "t.termsDays")} AS dueDate
+         |FROM charge c JOIN terms t ON c.customerId = t.customerId
+         |WHERE c.id % 53 = 0 ORDER BY c.id""".stripMargin, o.charge, o.terms)) {
       (s, d) =>
         Tables.charge(s, d).filter(col("id") % 53 === 0)
           .join(broadcast(Tables.terms(s, d)), Seq("customerId"))
@@ -172,10 +168,13 @@ object Scalars {
     },
 
     // Customer-id normalization (/root/reference/src/parse.ts:86-93):
-    // dash-strip / store-default / null branches all exercised.
+    // dash-strip / store-default / null branches all exercised; the
+    // dash-strip branch is gated on the amount cell being present (the
+    // reference's ternary nests under the amount check, so an id with no
+    // amount yields null).
     Q("fn_id_dash", s"""
       |SELECT c_custkey, raw,
-      |       CASE WHEN raw IS NOT NULL AND length(raw) > 0
+      |       CASE WHEN amt IS NOT NULL AND raw IS NOT NULL AND length(raw) > 0
       |              THEN regexp_replace(raw, '^([^-]*)-', '\\1')
       |            WHEN amt IS NOT NULL THEN '$StoreId'
       |            ELSE NULL END AS customerId

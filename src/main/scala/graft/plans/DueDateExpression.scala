@@ -23,13 +23,16 @@ object DueDateUtil {
     m.withDayOfMonth(m.lengthOfMonth).toEpochDay.toInt
   }
 
+  /** Non-null termsType only (null routes to [[eomAfter]]): unrecognized
+    * terms return the bill date unchanged — the reference's nested
+    * ternary falls through (/root/reference/src/helpers.ts:236-258). */
   def compute(epochDay: Int, termsType: UTF8String, termsDays: Int): Int = {
     val d = LocalDate.ofEpochDay(epochDay.toLong)
     val r =
       if (termsType == DaysAfter) d.plusDays(termsDays.toLong)
       else if (termsType == OfFollowing)
         d.plusMonths(1).withDayOfMonth(1).plusDays(termsDays.toLong - 1)
-      else { val m = d.plusMonths(1); m.withDayOfMonth(m.lengthOfMonth) }
+      else d
     r.toEpochDay.toInt
   }
 }

@@ -26,12 +26,13 @@ class FnsSpec extends SparkSuite {
     case "DAYSAFTERBILLDATE" => d.plusDays(days.toLong)
     case "OFFOLLOWINGMONTH" =>
       d.plusMonths(1).withDayOfMonth(1).plusDays(days.toLong - 1)
-    case _ => val m = d.plusMonths(1); m.withDayOfMonth(m.lengthOfMonth)
+    case "NONE" => val m = d.plusMonths(1); m.withDayOfMonth(m.lengthOfMonth)
+    case _ => d // unrecognized non-null terms: bill date unchanged
   }
 
   private val genCase: Gen[(LocalDate, String, Int)] = for {
     off <- Gen.choose(0L, 365L * 30)
-    tt <- Gen.oneOf("DAYSAFTERBILLDATE", "OFFOLLOWINGMONTH", "NONE")
+    tt <- Gen.oneOf("DAYSAFTERBILLDATE", "OFFOLLOWINGMONTH", "NONE", "COD")
     days <- Gen.choose(1, 45)
   } yield (LocalDate.of(1995, 1, 1).plusDays(off), tt, days)
 
@@ -120,10 +121,10 @@ class FnsSpec extends SparkSuite {
       .select(col("raw"), col("amt"), Fns.idDash(col("raw"), col("amt"), "42"))
       .collect().map(r => (Option(r.getString(0)), r.get(1), r.getString(2)))
     val out = rows.map(_._3)
-    assert(out(0) == "ab-c" && out(1) == "ab-c") // first dash only, amt irrelevant
+    assert(out(0) == "ab-c")                     // first dash only
+    assert(out(1) == null && out(6) == null)     // id but NO amount -> null
     assert(out(2) == "42" && out(4) == "42")     // blank/null + amount -> store
     assert(out(3) == null && out(5) == null)     // blank/null, no amount -> null
-    assert(out(6) == "plain")
   }
 
   test("config dispatch: known entities resolve, unknown throws") {
