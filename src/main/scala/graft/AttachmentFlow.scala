@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.{RestSource, Sinks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's attachment-upload lifecycle
+  * (/root/reference/src/apiFunctions.ts:90-119) composed end-to-end on
+  * the data plane: binary drop-dir source → date derived from the
+  * `DD {dd}.xls` file name (/root/reference/src/helpers.ts:76) →
+  * invoice point-lookup join (the where-string fetch of
+  * apiFunctions.ts:130-147) → exactly-one audit per file (hard abort on
+  * 0 or >1 matches, apiFunctions.ts:148-170) → batched push of
+  * {invoiceID, fileName, base64 payload} upload requests.
+  *
+  * Deliberate fix over the reference: apiFunctions.ts:97 uploads ONLY
+  * `attachments[0]` (first file in the dir); here every matching file
+  * flows through the same audit + push.
+  *
+  * Scale notes: the REST lookups are driver-side fetches of SMALL
+  * date-filtered slices that broadcast into the join (one request per
+  * distinct date — never a per-row executor call); file bytes stay an
+  * opaque binary column end-to-end and are only base64-encoded inside
+  * the push projection.
+  */
+object AttachmentFlow {
+
+  final case class Result(files: Long, uploads: Long, batches: Long)
+
+  def run(spark: SparkSession, attachDir: String, yearMonth: String,
+      server: RestSource.Server, contactName: String = "Day Dockets",
+      post: Seq[String] => Unit = _ => ()): Result = {
+
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "DD *.xls").load(attachDir)
+      .select(element_at(split(col("path"), "/"), -1).as("fileName"),
+        col("content"))
+      .withColumn("dateString",
+        concat(lit(yearMonth), lit("-"),
+          regexp_extract(col("fileName"), "^DD (\\d\\d)\\.xls$", 1)))
+
+    // one API fetch per distinct date present in the drop dir
+    val dates = files.select("dateString").distinct()
+      .collect().map(_.getString(0)).sorted
+    val invoices = dates
+      .map(dt => RestSource.fetchInvoices(spark, server, contactName, dt))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+
+    val joined = files.join(
+      broadcast(invoices.select("invoiceID", "dateString")),
+      Seq("dateString"), "left")
+
+    // exactly-one audit: every attachment must resolve to ONE invoice
+    val perFile = joined.groupBy("fileName")
+      .agg(count(col("invoiceID")).as("n")).persist()
+    try {
+      val bad = perFile.filter(col("n") =!= 1)
+      val offenders = bad.take(20)
+      if (offenders.nonEmpty) {
+        offenders.foreach(r => System.err.println(s"ATTACH AUDIT: $r"))
+        throw new Guards.CardinalityException(
+          s"${bad.count()} attachment file(s) without exactly one invoice")
+      }
+      val nFiles = perFile.count()
+
+      val uploads = joined.select(col("invoiceID"), col("fileName"),
+        base64(col("content")).as("payload_b64"))
+      val batches = Sinks.batchedPush(uploads, batchSize = 50)(post)
+      // post-audit each file carries exactly one invoice ⇒ 1 upload/file
+      Result(files = nFiles, uploads = nFiles, batches = batches)
+    } finally perFile.unpersist()
+  }
+}

@@ -14,24 +14,27 @@ object Guards {
 
   /** Hard abort when the verification anti-join is non-empty
     * (/root/reference/src/helpers.ts:200-214: print each offender, then
-    * throw). */
+    * throw). One action on the happy path (`take` short-circuits as
+    * soon as offenders surface); the exact count runs only when already
+    * aborting. */
   def abortIfUnverified(unverified: DataFrame, sample: Int = 20): Unit = {
-    val n = unverified.count()
-    if (n > 0) {
-      unverified.show(sample, truncate = false)
-      throw new UnverifiedChargesException(n)
+    val offenders = unverified.take(sample)
+    if (offenders.nonEmpty) {
+      offenders.foreach(r => System.err.println(s"UNVERIFIED: $r"))
+      throw new UnverifiedChargesException(unverified.count())
     }
   }
 
   /** Soft audit (/root/reference/src/helpers.ts:188-198): warn loudly,
-    * continue. Returns true when balanced. */
-  def warnIfUnbalanced(unbalancedDays: DataFrame, sample: Int = 20): Boolean = {
+    * continue. Returns the offending-day count so callers reuse it
+    * instead of re-running the audit join. */
+  def warnIfUnbalanced(unbalancedDays: DataFrame, sample: Int = 20): Long = {
     val n = unbalancedDays.count()
     if (n > 0) {
       System.err.println(s"WARNING: $n day(s) failed the balance audit:")
       unbalancedDays.show(sample, truncate = false)
     }
-    n == 0
+    n
   }
 
   final class CardinalityException(msg: String)

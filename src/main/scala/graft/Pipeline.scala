@@ -57,15 +57,19 @@ object Pipeline {
       .agg(sum(col("amount")).as("sdb"))
     val unbalanced = xs.join(ds, Seq("date"))
       .filter(col("sx") =!= col("sdb")).select("date")
-    Guards.warnIfUnbalanced(unbalanced, sample = 5)
+    val unbalancedDays = Guards.warnIfUnbalanced(unbalanced, sample = 5)
 
     // verification (hard): abort on any unmatched row
     val verified = verify(parsed, db)
 
-    // transform: per-txn docs split by sign + the daily DD invoices
+    // transform: per-txn docs split by sign + the daily DD invoices —
+    // ONE aggregation pass over the doc DAG for both type counts
+    // (separate filter().count() calls would recompute it per type)
     val docs = Docs.txnDocs(spark, sfDir)
-    val invoices = docs.filter(col("docType") === "ACCREC").count()
-    val credits = docs.filter(col("docType") === "ACCRECCREDIT").count()
+    val typeCounts = docs.groupBy("docType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val invoices = typeCounts.getOrElse("ACCREC", 0L)
+    val credits = typeCounts.getOrElse("ACCRECCREDIT", 0L)
     val dd = Docs.ddInvoices(spark, sfDir).count()
 
     // load: batched push through the pluggable transport
@@ -81,6 +85,6 @@ object Pipeline {
       case n: Long => n
       case _ => 0L
     }
-    Result(invoices, credits, dd, unbalanced.count(), dropped, logPath)
+    Result(invoices, credits, dd, unbalancedDays, dropped, logPath)
   }
 }

@@ -59,13 +59,23 @@ object RestSource {
         col("inv.Total").as("total"))
   }
 
+  /** The canned server's full catalog — what an unfiltered fetch
+    * returns. A date-filtered request returns that one date's slice. */
+  val CatalogDates: Seq[String] =
+    Seq("2024-01-15", "2024-01-16", "2024-01-17")
+
   /** Canned in-memory server used by the capability query and tests:
-    * deterministic payload keyed by the requested date. */
+    * deterministic payload keyed by the requested date; a request with
+    * no date filter returns the FULL catalog (pushdown is an
+    * optimization, never a semantic change). */
   def cannedServer(params: Map[String, String]): String = {
-    val date = params.getOrElse("where", "")
-      .split("DateString==\"").lift(1).map(_.stripSuffix("\"")).getOrElse("")
-    val ids = 1 to 3
-    val docs = ids.map(i =>
+    val dates = params.get("where")
+      .flatMap(_.split("DateString==\"").lift(1))
+      .map(_.takeWhile(_ != '"')) match {
+      case Some(d) if d.nonEmpty => Seq(d)
+      case _ => CatalogDates
+    }
+    val docs = (for { date <- dates; i <- 1 to 3 } yield
       s"""{"InvoiceID":"inv-$date-$i","DateString":"$date",
          |"Reference":"DD/$i","Status":"SUBMITTED","Total":${i * 100}.25}"""
         .stripMargin.replace("\n", "")).mkString(",")

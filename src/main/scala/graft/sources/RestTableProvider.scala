@@ -66,11 +66,13 @@ private class RestScanBuilder(contactName: String)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept equality on the API-filterable columns; everything else
-    // stays with Spark
+    // accept equality ONLY on dateString — the one predicate the
+    // transport honors (its `where` string). Status filters stay with
+    // Spark for post-evaluation: the canned transport ignores the
+    // `statuses` param, and claiming a filter the server does not apply
+    // would silently return wrong rows.
     val (accepted, rejected) = filters.partition {
       case EqualTo("dateString", _: String) => true
-      case EqualTo("status", _: String) => true
       case _ => false
     }
     pushed = accepted
@@ -98,11 +100,16 @@ private case class RestInputPartition(contactName: String,
 private class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestInputPartition]
-    // the where-string IS the pushdown: only the filtered slice is fetched
-    val date = rp.pushedEq.getOrElse("dateString", "2024-01-15")
-    val params = Map(
-      "where" -> RestSource.whereString(rp.contactName, date),
-      "statuses" -> rp.pushedEq.getOrElse("status", "DRAFT,SUBMITTED,AUTHORISED"))
+    // the where-string IS the pushdown: with a pushed date only that
+    // slice is fetched; with NO pushed filter the scan fetches the full
+    // dataset (an unfiltered load() must return the whole table, not a
+    // defaulted slice)
+    val statuses = Map("statuses" -> "DRAFT,SUBMITTED,AUTHORISED")
+    val params = rp.pushedEq.get("dateString") match {
+      case Some(date) =>
+        statuses + ("where" -> RestSource.whereString(rp.contactName, date))
+      case None => statuses
+    }
     RestTableProvider.lastRequestedParams = params
     val body = RestSource.cannedServer(params)
     // parse the JSON body without a SparkSession (executor-side reader)

@@ -51,25 +51,53 @@ object Sessionize {
   }
 
   /** The streaming-native variant: carry the open tail of each user's
-    * session in state between micro-batches. */
+    * session in state between micro-batches, and close it via
+    * EVENT-TIME TIMEOUT once the watermark passes `tail end + gap` —
+    * without the timeout an idle user's last session would be withheld
+    * forever and per-key state would grow without bound in a
+    * long-running stream. `watermarkDelay` is the allowed lateness of
+    * the input (it also delays tail emission by the same amount). */
   def statefulSessions(spark: SparkSession, events: Dataset[Ev],
-      gapMinutes: Int): Dataset[SessionOut] = {
+      gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapMicros = gapMinutes.toLong * 60 * 1000000
-    events.groupByKey(_.user_id)
+    val gapMs = gapMinutes.toLong * 60 * 1000
+    events
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Ev], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
-          val buffered = state.getOption.getOrElse(Nil) ++ it.toList
-          if (buffered.isEmpty) Iterator.empty
-          else {
-            val sessions = split(buffered, gapMicros)
-            // keep the open tail session in state, emit the closed ones
-            val closed = sessions.dropRight(1)
-            val tailStart = sessions.last.start_us
-            state.update(buffered.filter(_.tsMicros >= tailStart))
-            closed.iterator
+          if (state.hasTimedOut) {
+            // the watermark passed tail-end + gap: no on-time event can
+            // extend this session any more — emit it closed, free state
+            val tail = state.getOption.getOrElse(Nil)
+            state.remove()
+            split(tail, gapMicros).iterator
+          } else {
+            val buffered = state.getOption.getOrElse(Nil) ++ it.toList
+            if (buffered.isEmpty) Iterator.empty
+            else {
+              val sessions = split(buffered, gapMicros)
+              // keep the open tail session in state, emit the closed ones
+              val closed = sessions.dropRight(1)
+              val tailStart = sessions.last.start_us
+              state.update(buffered.filter(_.tsMicros >= tailStart))
+              // a timeout at/behind the current watermark is illegal;
+              // clamping only matters for already-expired tails, which
+              // then fire on the next batch (batch mode: no watermark,
+              // timeouts never fire — the kernel reduction still holds)
+              val due = sessions.last.end_us / 1000 + gapMs
+              val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                .getOrElse(Long.MinValue)
+              state.setTimeoutTimestamp(math.max(due, wm + 1))
+              closed.iterator
+            }
           }
       }
   }

@@ -108,4 +108,25 @@ class ExtensionSpec extends SparkSuite {
     assert(plan.contains("RuntimeFilters") || plan.contains("PushedFilters") ||
       df.queryExecution.optimizedPlan.toString.contains("RelationV2"))
   }
+
+  test("DSv2 REST connector: unfiltered scan is the full table, status stays Spark-side") {
+    import graft.sources.RestTableProvider
+    // no filter -> the whole catalog, not a defaulted one-date slice
+    val all = spark.read.format(classOf[RestTableProvider].getName).load()
+      .collect()
+    assert(all.length == RestSource.CatalogDates.size * 3)
+    assert(all.map(_.getString(1)).distinct.sorted.toSeq ==
+      RestSource.CatalogDates)
+    assert(!RestTableProvider.lastRequestedParams.contains("where"))
+    // status equality is NOT claimed by the connector (the transport
+    // ignores `statuses`), so Spark re-filters and the result is right:
+    // the canned server only ever emits SUBMITTED
+    val draft = spark.read.format(classOf[RestTableProvider].getName).load()
+      .filter(col("status") === "DRAFT")
+    assert(draft.count() == 0)
+    val submitted = spark.read.format(classOf[RestTableProvider].getName).load()
+      .filter(col("status") === "SUBMITTED" &&
+        col("dateString") === "2024-01-16")
+    assert(submitted.count() == 3)
+  }
 }

@@ -21,10 +21,10 @@ class GuardsSpec extends SparkSuite {
     Guards.abortIfUnverified(anti.filter(lit(false)))
   }
 
-  test("warnIfUnbalanced returns false when unbalanced days exist") {
+  test("warnIfUnbalanced returns the offending-day count") {
     val days = SparkEntry.queries("chk_balance_warn")(spark, Sf001)
-    assert(!Guards.warnIfUnbalanced(days, sample = 1))
-    assert(Guards.warnIfUnbalanced(days.filter(lit(false))))
+    assert(Guards.warnIfUnbalanced(days, sample = 1) > 0)
+    assert(Guards.warnIfUnbalanced(days.filter(lit(false))) == 0)
   }
 
   test("requireExactlyOne: 1 passes, 0 and 2 throw") {

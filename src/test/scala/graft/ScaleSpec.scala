@@ -90,13 +90,29 @@ class ScaleSpec extends SparkSuite {
     val streamed = spark.table("sess_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(x => (x._1, x._2)).toSeq
-    val batchClosed = Sessionize.flatSessions(spark,
-      spark.read.parquet(tmp).as[Sessionize.Ev], 30)
+    // expected: every gap-closed session, PLUS each user's open tail
+    // whose event-time timeout (end + gap) fell behind the final
+    // watermark (max event time - 10 min delay) — those are emitted by
+    // the EventTimeTimeout path, so idle users are not withheld forever
+    val evs = spark.read.parquet(tmp).as[Sessionize.Ev]
+    val wmMs = evs.collect().map(_.tsMicros).max / 1000 - 10 * 60 * 1000
+    val gapMs = 30L * 60 * 1000
+    val expected = Sessionize.flatSessions(spark, evs, 30)
       .collect().groupBy(_.user_id)
-      // stream emits only CLOSED sessions (open tails stay in state)
-      .flatMap { case (_, ss) => ss.sortBy(_.start_us).dropRight(1).toSeq }
+      .flatMap { case (_, ss) =>
+        val sorted = ss.sortBy(_.start_us)
+        val tail = sorted.last
+        sorted.dropRight(1).toSeq ++
+          (if (tail.end_us / 1000 + gapMs < wmMs) Seq(tail) else Nil)
+      }
       .map(s => (s.user_id, s.start_us, s.end_us))
       .toSeq.sortBy(x => (x._1, x._2))
-    assert(streamed == batchClosed)
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+    // the timeout path must actually fire for this fixture: more
+    // sessions than the gap-closed set alone
+    val closedOnly = Sessionize.flatSessions(spark, evs, 30).collect()
+      .groupBy(_.user_id).values.map(_.length - 1).sum
+    assert(streamed.size > closedOnly, "no tails were timed out")
   }
 }
