@@ -102,6 +102,30 @@ class FnsSpec extends SparkSuite {
     assert(got == Seq("50.13", "100.01"))
   }
 
+  test("avgBasket ties at the cent boundary: HALF_UP sweep vs BigDecimal") {
+    // exact x.xx5 per-customer values (the tie the integer-cent formula
+    // must break upward) for many counts, plus random scale-4 totals —
+    // all compared against java.math.BigDecimal divide(…, HALF_UP)
+    val ties = for {
+      n <- 1L to 40L
+      c <- Seq(0L, 1L, 7L, 99L, 12345L)
+    } yield (BigDecimal(n * (c * 100L + 50L), 4), n)
+    val rand = samples(for {
+      x <- Gen.choose(0L, 5000000000L)
+      n <- Gen.choose(1L, 500L)
+    } yield (BigDecimal(x, 4), n), 300)
+    val cases = (ties ++ rand).toSeq
+    val got = cases.toDF("s", "n")
+      .select(Fns.avgBasket(col("s").cast("decimal(18,4)"), col("n")))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((s, n), g) =>
+      val exp = s.bigDecimal
+        .divide(java.math.BigDecimal.valueOf(n), 2,
+          java.math.RoundingMode.HALF_UP).toPlainString
+      assert(g == exp, s"avgBasket($s, $n): got $g want $exp")
+    }
+  }
+
   test("round2 matches BigDecimal HALF_UP model") {
     val vals = samples(Gen.choose(-10000000L, 10000000L), 150)
       .map(u => BigDecimal(u, 4)) // scale-4 decimals incl. x.xx50 ties
