@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Oracle, Q}
-import graft.sources.RestSource
+import graft.sources.{RestSource, XlsxTableProvider, XlsxWrite}
 import org.apache.spark.sql.functions._
 
 /** The remaining SURVEY §2 inventory rows as concrete queries, so every
@@ -16,7 +16,63 @@ import org.apache.spark.sql.functions._
   */
 object Inventory {
 
+  /** The FIXTURES.md §A5 grid as a REAL `.xlsx` workbook (sheet
+    * "A4 Summary", date serial in B3 as the reference reads it,
+    * /root/reference/src/parse.ts:63-64), written to a deterministic
+    * temp drop-dir. Returns the dir. */
+  def ensureXlsxFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xlsx-drop")
+    Files.createDirectories(dir)
+    def s(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = false)
+    def n(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = true)
+    val cells = Seq(
+      n("B3", "45000"),
+      s("C5", "Amount"),
+      s("C21", "Amount"),
+      n("C22", "100.00"), s("D22", "45-678"), n("E22", "12"), s("F22", "note a"),
+      n("C23", "-25.50"), s("D23", "9001"), n("E23", "13"),
+      n("C24", "0.00"), s("D24", "9002"), n("E24", "14"),
+      n("C26", "50.00"), s("D26", ""), n("E26", "15"),
+      s("C27", "Amount"),
+      n("C28", "77.77"), s("D28", "skipped"), n("E28", "77"),
+      n("C29", "-30.00"), s("D29", "7001"), n("E29", "16"), s("F29", "pay note"),
+      n("C31", "20.00"), s("D31", "7002"), n("E31", "17"),
+      s("D32", "Total Charges"))
+    Files.write(dir.resolve("DD 15.xlsx"),
+      XlsxWrite.workbook("A4 Summary", cells))
+    dir.toString
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // REAL workbook-bytes ingestion end-to-end: the §A5 fixture written
+    // as an actual .xlsx (ZIP + OOXML), listed and parsed by the
+    // XlsxTableProvider DSv2 source (one partition per file), the date
+    // serial fetched from B3 exactly like the reference
+    // (/root/reference/src/parse.ts:63), then the SAME CellGrid band
+    // parse as src_xlsx_grid. Oracle: the expected parsed rows.
+    Q("src_xlsx_file",
+      """SELECT * FROM (
+        |  SELECT 'SALE' AS rowType, DATE '2023-03-15' AS date, CAST(100.00 AS DOUBLE) AS amount,
+        |         '45678' AS customerId, '0012' AS seqNo, 'note a' AS notes, 22 AS row_idx
+        |  UNION ALL SELECT 'CR', DATE '2023-03-15', CAST(-25.50 AS DOUBLE), '9001', '0013', NULL, 23
+        |  UNION ALL SELECT 'SALE', DATE '2023-03-15', CAST(50.00 AS DOUBLE), '42', '0015', NULL, 26
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(30.00 AS DOUBLE), '7001', '0016', 'pay note', 29
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(20.00 AS DOUBLE), '7002', '0017', NULL, 31
+        |) t ORDER BY row_idx""".stripMargin) { (s, _) =>
+      val dir = ensureXlsxFixture()
+      val grid = s.read.format(classOf[XlsxTableProvider].getName)
+        .option("sheet", "A4 Summary")
+        .option("pattern", "^DD \\d\\d\\.xlsx$")
+        .load(dir)
+      // the reference reads the day's date from cell B3 (a point lookup)
+      val serial = grid.filter(col("row_idx") === 3)
+        .select(col("colB").cast("int")).head.getInt(0)
+      CellGrid.parse(grid, excelSerialDate = serial)
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("row_idx")
+    },
 
     // XLSX cell-grid parse (/root/reference/src/parse.ts:61-146) over
     // the FIXTURES.md §A5 literal grid; oracle = the expected parsed

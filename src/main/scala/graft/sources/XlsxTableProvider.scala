@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 source for REAL workbook bytes: `.xlsx` files become
+  * grid rows `(file_name, row_idx, colA..colH)` — the production edge
+  * the reference crosses with the SheetJS library
+  * (/root/reference/src/parse.ts:39-69: recursive `DD \d\d.xls[x]?`
+  * listing, then per-cell reads off the "A4 Summary" sheet). Downstream
+  * the grid feeds `CellGrid.parse` unchanged.
+  *
+  * Scale shape: ONE InputPartition PER FILE — a drop-dir of thousands
+  * of workbooks parses fully in parallel, each task touching only its
+  * own file's bytes (workbooks are small; the file is the natural unit
+  * of work). Listing happens once, driver-side. Values stay raw strings
+  * (schema-on-read; numeric reads are downstream `try_cast`s).
+  *
+  * Options: `path` (dir or file), `sheet` (default "A4 Summary"),
+  * `pattern` (file-NAME regex, default `.*\.xlsx$`; the reference's DD
+  * check would be `^DD \d\d\.xlsx$`).
+  */
+class XlsxTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XlsxTableProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new XlsxTable(
+      properties.get("path"),
+      Option(properties.get("sheet")).getOrElse("A4 Summary"),
+      Option(properties.get("pattern")).getOrElse(".*\\.xlsx$"))
+}
+
+object XlsxTableProvider {
+  val GridCols: Seq[String] = ('A' to 'H').map(c => s"col$c")
+  val Schema: StructType = StructType(
+    StructField("file_name", StringType) +:
+      StructField("row_idx", IntegerType) +:
+      GridCols.map(c => StructField(c, StringType)))
+}
+
+private class XlsxTable(path: String, sheet: String, pattern: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"xlsx($path)"
+  override def schema(): StructType = XlsxTableProvider.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new XlsxScan(path, sheet, pattern)
+}
+
+private class XlsxScan(path: String, sheet: String, pattern: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = XlsxTableProvider.Schema
+  override def toBatch: Batch = this
+
+  /** Driver-side listing; one partition per matching file. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(path != null, "xlsx source needs a path — .load(dir)")
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(p)
+    files
+      .filter(_.getName.matches(pattern))
+      .sortBy(_.toString)
+      .map(f => XlsxInputPartition(f.toString, sheet): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory
+}
+
+private case class XlsxInputPartition(file: String, sheet: String)
+  extends InputPartition
+
+private class XlsxReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val xp = p.asInstanceOf[XlsxInputPartition]
+    val hp = new Path(xp.file)
+    val in = hp.getFileSystem(new Configuration()).open(hp)
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val fileName = hp.getName
+    val byRow = Xlsx.parse(bytes, xp.sheet)
+      .groupBy(_.row).toSeq.sortBy(_._1)
+    val rows = byRow.iterator.map { case (rowIdx, cells) =>
+      val byCol = cells.map(c => c.col -> c.value).toMap
+      InternalRow.fromSeq(
+        UTF8String.fromString(fileName) +: (rowIdx: Any) +:
+          ('A' to 'H').map(c =>
+            byCol.get(c.toString).map(UTF8String.fromString).orNull))
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

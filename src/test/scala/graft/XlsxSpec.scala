@@ -1,0 +1,89 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import graft.sources.{Xlsx, XlsxTableProvider, XlsxWrite}
+import org.apache.spark.sql.functions._
+
+/** Real workbook-bytes ingestion: writer→reader round trip, per-file
+  * partitioning, inline-string payloads, and the real-bytes path
+  * agreeing with the pre-parsed grid path. */
+class XlsxSpec extends SparkSuite {
+
+  private def write(dir: String, name: String,
+      cells: Seq[XlsxWrite.CellOut]): Unit =
+    Files.write(Paths.get(dir, name), XlsxWrite.workbook("A4 Summary", cells))
+
+  test("writer -> DSv2 reader round-trip incl. XML-escaped strings") {
+    val dir = Files.createTempDirectory("xlsx").toString
+    write(dir, "DD 01.xlsx", Seq(
+      XlsxWrite.CellOut("B3", "45000", isNumber = true),
+      XlsxWrite.CellOut("C21", "a & b <c> \"d\"", isNumber = false),
+      XlsxWrite.CellOut("D22", "", isNumber = false),
+      XlsxWrite.CellOut("H7", "-12.50", isNumber = true)))
+    val df = spark.read.format(classOf[XlsxTableProvider].getName).load(dir)
+    val byRow = df.collect().map(r => r.getInt(1) -> r).toMap
+    assert(byRow(3).getString(3) == "45000")             // colB
+    assert(byRow(21).getString(4) == "a & b <c> \"d\"")  // colC, unescaped
+    assert(byRow(22).getString(5) == "")                 // colD empty string
+    assert(byRow(7).getString(9) == "-12.50")            // colH
+    assert(byRow(21).getString(0) == "DD 01.xlsx")       // file_name
+  }
+
+  test("one partition per workbook; name pattern filters the listing") {
+    val dir = Files.createTempDirectory("xlsx2").toString
+    val cells = Seq(XlsxWrite.CellOut("A1", "x", isNumber = false))
+    write(dir, "DD 01.xlsx", cells)
+    write(dir, "DD 02.xlsx", cells)
+    write(dir, "notes.xlsx", cells)
+    Files.write(Paths.get(dir, "junk.txt"), "not a workbook".getBytes)
+    val dd = spark.read.format(classOf[XlsxTableProvider].getName)
+      .option("pattern", "^DD \\d\\d\\.xlsx$").load(dir)
+    assert(dd.rdd.getNumPartitions == 2) // one task per matched file
+    assert(dd.select("file_name").distinct().count() == 2)
+    val all = spark.read.format(classOf[XlsxTableProvider].getName).load(dir)
+    assert(all.select("file_name").distinct().count() == 3) // default: *.xlsx
+  }
+
+  test("parser handles inline strings and a workbook with no sharedStrings") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>hello inline</t></is></c>
+        |<c r="B1"><v>42</v></c><c r="C1" t="str"><v>fx</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0"?><workbook><sheets>
+        |<sheet name="S" sheetId="1" r:id="rId1"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>
+        |</sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def put(n: String, b: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(b.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    put("xl/workbook.xml", workbook)
+    put("xl/_rels/workbook.xml.rels", rels)
+    put("xl/worksheets/sheet1.xml", sheet)
+    zip.close()
+    val cells = Xlsx.parse(bos.toByteArray, "S")
+      .map(c => (c.row, c.col) -> c.value).toMap
+    assert(cells((1, "A")) == "hello inline")
+    assert(cells((1, "B")) == "42")
+    assert(cells((1, "C")) == "fx")
+  }
+
+  test("real-bytes path equals the pre-parsed grid path") {
+    val viaFile = SparkEntry.queries("src_xlsx_file")(spark, "")
+      .collect().map(_.toSeq)
+    val viaGrid = SparkEntry.queries("src_xlsx_grid")(spark, "")
+      .collect().map(_.toSeq)
+    assert(viaFile.nonEmpty)
+    assert(viaFile.toSeq == viaGrid.toSeq)
+  }
+}
