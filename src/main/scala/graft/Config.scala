@@ -20,4 +20,15 @@ object Config {
 
   def forEntity(name: String): Entity =
     entities.getOrElse(name, throw new UnknownEntityException(name))
+
+  final class NoTenantsException
+    extends IllegalStateException("Tenant array received from API is empty")
+
+  /** Active-tenant selection (/root/reference/src/apiFunctions.ts:36-48):
+    * the entity's tenantIndex picks from the connections list; an empty
+    * list is a hard error. */
+  def activeTenant(entity: String, tenantIds: Seq[String]): String = {
+    if (tenantIds.isEmpty) throw new NoTenantsException
+    tenantIds(forEntity(entity).tenantIndex)
+  }
 }

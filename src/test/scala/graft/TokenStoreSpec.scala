@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.TokenStore
+import graft.sources.TokenStore.TokenSet
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side auth control plane: validation, refresh-on-expiry with
+  * persist, round-trip JSON, tenant selection. No SparkSession — token
+  * state never touches the data plane. */
+class TokenStoreSpec extends AnyFunSuite {
+
+  private val good = TokenSet("idt-1", "acc-1", 2000L, "Bearer", "ref-1",
+    "accounting.transactions offline_access")
+
+  test("validate: all required fields or throw, naming the gaps") {
+    assert(TokenStore.validate(good) eq good)
+    val e = intercept[TokenStore.InvalidTokenSetException] {
+      TokenStore.validate(good.copy(refreshToken = "", expiresAt = 0))
+    }
+    assert(e.getMessage.contains("refresh_token"))
+    assert(e.getMessage.contains("expires_at"))
+  }
+
+  test("json round-trip is lossless") {
+    assert(TokenStore.fromJson(TokenStore.toJson(good)) == good)
+  }
+
+  test("loadFresh: valid unexpired set returns as-is, no refresh call") {
+    val p = Files.createTempFile("tok", ".json").toString
+    TokenStore.persist(good, p)
+    var called = 0
+    val t = TokenStore.loadFresh(p, nowEpochSec = 1000L,
+      refresh = { _ => called += 1; good })
+    assert(t == good && called == 0)
+  }
+
+  test("loadFresh: expired set refreshes through the seam and persists") {
+    val p = Files.createTempFile("tok", ".json").toString
+    TokenStore.persist(good, p)
+    val renewed = good.copy(accessToken = "acc-2", expiresAt = 9999L,
+      refreshToken = "ref-2")
+    val t = TokenStore.loadFresh(p, nowEpochSec = 5000L, refresh = { old =>
+      assert(old == good) // the refresh request carries the old set
+      renewed
+    })
+    assert(t == renewed)
+    // the new set reached disk (the reference persists BEFORE returning)
+    assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == renewed)
+  }
+
+  test("loadFresh: a refresher returning an invalid set never persists") {
+    val p = Files.createTempFile("tok", ".json").toString
+    TokenStore.persist(good, p)
+    intercept[TokenStore.InvalidTokenSetException] {
+      TokenStore.loadFresh(p, nowEpochSec = 5000L,
+        refresh = _ => good.copy(accessToken = "", expiresAt = 9999L))
+    }
+    // old set still on disk, uncorrupted
+    assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == good)
+  }
+
+  test("consent url carries client, redirect, and joined scopes") {
+    val u = TokenStore.consentUrl("cid", "https://cb/x",
+      Seq("accounting.transactions", "offline_access"))
+    assert(u.contains("client_id=cid"))
+    assert(u.contains("redirect_uri=https%3A%2F%2Fcb%2Fx"))
+    assert(u.contains("scope=accounting.transactions+offline_access"))
+  }
+
+  test("activeTenant: entity index picks; empty list is a hard error") {
+    assert(Config.activeTenant("pw", Seq("t0", "t1")) == "t0")
+    assert(Config.activeTenant("wb", Seq("t0", "t1")) == "t1")
+    intercept[Config.NoTenantsException] {
+      Config.activeTenant("pw", Nil)
+    }
+  }
+}
