@@ -219,7 +219,15 @@ object TextOps {
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), bigrams(col("t")).as("sh"))
-      val e = t.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      // distinct (doc_id, shingle) pairs, shingles as xxhash64 ints:
+      // the set sizes and intersection counts are identical to the
+      // string form (collision odds ~n²/2⁶⁴), but distinct/join keys
+      // are 8-byte longs instead of ~40-byte strings. Materialized ONCE
+      // (persist) — the self-join + two size joins would otherwise
+      // re-run the scan→tokenize→explode→distinct pipeline four times.
+      val e = t.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+        .distinct().persist()
       val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ea = e.select(col("doc_id").as("a_id"), col("s"))
       val eb = e.select(col("doc_id").as("b_id"), col("s"))
