@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Exactly-once `foreachBatch` sink pattern. Structured Streaming
+  * guarantees the SAME (batchId, data) is replayed after a crash
+  * between sink write and checkpoint commit — so a sink is
+  * exactly-once iff the write is IDEMPOTENT ON batchId. Two standard
+  * shapes, both keyed by batchId:
+  *
+  *  - [[partitionedParquet]]: write each micro-batch to
+  *    `…/batch_id=<id>` with dynamic partition overwrite — a replayed
+  *    batch overwrites its own partition instead of appending
+  *    duplicates (the parquet/lake form).
+  *  - [[transactional]]: skip batches at-or-below the last committed
+  *    id recorded in a tiny atomically-renamed marker file — the
+  *    "check your own commit table" form a JDBC/HTTP sink uses
+  *    (the reference's batched POST sink becomes exactly-once this
+  *    way: the marker plays the API-side dedup key).
+  *
+  * At scale nothing here is driver-bound: the data write is a normal
+  * distributed write; only the O(1) commit marker touches the driver.
+  */
+object IdempotentSink {
+
+  /** foreachBatch → `batch_id`-partitioned parquet with per-partition
+    * overwrite. Replay-safe: re-running batch N rewrites partition N. */
+  def partitionedParquet[T](stream: Dataset[T], outDir: String)
+      : DataStreamWriter[T] =
+    stream.writeStream.foreachBatch { (batch: Dataset[T], batchId: Long) =>
+      val spark = batch.sparkSession
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.toDF()
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(outDir)
+    }
+
+  /** Last committed batch id from the marker file (-1 when none). */
+  def lastCommitted(markerDir: String): Long = {
+    val p = Paths.get(markerDir, "last_committed")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  /** foreachBatch → caller-supplied `write`, executed only for batch
+    * ids above the committed watermark, then the watermark advances via
+    * atomic rename (write temp + move). A replayed batch is a no-op. */
+  def transactional(stream: DataFrame, markerDir: String)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    Files.createDirectories(Paths.get(markerDir))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId > lastCommitted(markerDir)) {
+        write(batch, batchId)
+        val tmp = Paths.get(markerDir, s".last_committed.$batchId.tmp")
+        Files.writeString(tmp, batchId.toString)
+        Files.move(tmp, Paths.get(markerDir, "last_committed"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
+
+  /** Drain everything currently available through a writer (checkpoint
+    * + AvailableNow), synchronously. */
+  def drain[T](w: DataStreamWriter[T], checkpoint: String): StreamingQuery = {
+    val q = w.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}
