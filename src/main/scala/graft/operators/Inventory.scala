@@ -28,6 +28,7 @@ object Inventory {
     def n(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = true)
     val cells = Seq(
       n("B3", "45000"),
+      n("D15", "-2.50"), // till variance (parse.ts:65: ws?.D15?.v ?? 0)
       s("C5", "Amount"),
       s("C21", "Amount"),
       n("C22", "100.00"), s("D22", "45-678"), n("E22", "12"), s("F22", "note a"),

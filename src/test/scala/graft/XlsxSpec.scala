@@ -78,6 +78,24 @@ class XlsxSpec extends SparkSuite {
     assert(cells((1, "C")) == "fx")
   }
 
+  test("till variance reads from D15 with the reference's ?? 0 default") {
+    val dir = operators.Inventory.ensureXlsxFixture()
+    val grid = spark.read.format(classOf[XlsxTableProvider].getName)
+      .option("pattern", "^DD \\d\\d\\.xlsx$").load(dir)
+    def variance(g: org.apache.spark.sql.DataFrame) =
+      g.filter(col("row_idx") === 15)
+        .agg(coalesce(sum(col("colD").try_cast("decimal(12,2)")),
+          lit(0).cast("decimal(12,2)")))
+        .head.getDecimal(0)
+    assert(variance(grid).toPlainString == "-2.50")
+    // a workbook without D15 defaults to 0 (parse.ts:65: ws?.D15?.v ?? 0)
+    val bare = Files.createTempDirectory("xlsx3").toString
+    write(bare, "DD 09.xlsx", Seq(XlsxWrite.CellOut("B3", "45000", isNumber = true)))
+    val bareGrid = spark.read.format(classOf[XlsxTableProvider].getName)
+      .load(bare)
+    assert(variance(bareGrid).toPlainString == "0.00")
+  }
+
   test("real-bytes path equals the pre-parsed grid path") {
     val viaFile = SparkEntry.queries("src_xlsx_file")(spark, "")
       .collect().map(_.toSeq)
