@@ -294,6 +294,92 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── end-to-end near-dup pipeline: LSH candidates → exact re-rank ───
+
+    // The composed production shape: MinHash-band candidate generation
+    // (never all-pairs) feeding the exact bigram-Jaccard kernel on
+    // candidate PAIRS ONLY (shingles semi-joined to candidate ids),
+    // thresholded to survivors. At 100 TB every stage is a bucket join
+    // or a doc_id-keyed aggregate; the all-pairs kernel never sees more
+    // than the banded candidates.
+    Q("dedup_pipeline", {
+      val sigs = (0 until 4).map(k =>
+        s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
+        .mkString(",\n         ")
+      s"""WITH $withNearClonesSql,
+         |t AS (
+         |  SELECT doc_id, ${bigramsSql("t")} AS sh
+         |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
+         |  WHERE len(t) >= 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         $sigs
+         |  FROM t
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, concat(h2, h3) AS key FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), e AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
+         |  WHERE doc_id IN (SELECT a_id FROM cand UNION SELECT b_id FROM cand)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, COUNT(eb.s) AS n_inter
+         |  FROM cand c
+         |  JOIN e ea ON ea.doc_id = c.a_id
+         |  LEFT JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+         |FROM inter i JOIN sz sa ON i.a_id = sa.doc_id
+         |             JOIN sz sb ON i.b_id = sb.doc_id
+         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
+      val sh = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+      val sigAggs = (0 until 4).map(k =>
+        min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
+      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bands = sig.select(col("doc_id"), lit(0).as("band"),
+        concat(col("h0"), col("h1")).as("key"))
+        .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+          concat(col("h2"), col("h3")).as("key")))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct().persist()
+      val ids = cand.select(col("a_id").as("doc_id"))
+        .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+      // exact kernel inputs restricted to candidate docs (semi join),
+      // shingles as xxhash64 longs, materialized once
+      val e = sh.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), xxhash64(col("sx")).as("s"))
+        .distinct().persist()
+      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(e.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+        .join(e.select(col("doc_id"), col("s").as("sb")),
+          col("b_id") === col("doc_id") && col("s") === col("sb"), "left")
+        .groupBy("a_id", "b_id").agg(count(col("sb")).as("n_inter"))
+      val jac = inter
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      jac.filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
     // ── SimHash ────────────────────────────────────────────────────────
 
     // 16-bit SimHash from the first 4 hex chars of md5(token): each hex
