@@ -294,6 +294,27 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── deterministic stratified sampling ──────────────────────────────
+
+    // Reproducible training-data subsampling: keep a row iff a salted
+    // md5 prefix of its key falls under the stratum's hex threshold —
+    // per-language rates here ('en' ≈ 50%, others ≈ 12.5%). Pure
+    // per-row codegen'd filter: no RNG state, no shuffle, identical
+    // sample on ANY cluster/partitioning, rerun-stable — the property
+    // `df.sample()` cannot give across engines or re-runs.
+    Q("txt_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(concat('graft#', CAST(doc_id AS VARCHAR))), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(
+          substring(md5(concat(lit("graft#"), col("doc_id").cast("string"))),
+            1, 2) < when(col("lang") === "en", "80").otherwise("20"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ── end-to-end near-dup pipeline: LSH candidates → exact re-rank ───
 
     // The composed production shape: MinHash-band candidate generation

@@ -127,6 +127,23 @@ object Vectors {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-group embedding centroid, fully distributed: posexplode to
+    * (group, dim, value), one hash-aggregate per (group, dim), then
+    * reassemble the 64-length array in dim order. No per-group collect,
+    * no driver math — the shape that survives groups of any size at
+    * 100 TB (a collect_list-per-group centroid would OOM on a hot
+    * group). No SQL oracle: float summation order is engine-specific
+    * (rule 3), so correctness is pinned by VectorsSpec instead. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      embeddingCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("grp"),
+      posexplode(col(embeddingCol)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: every query vector scored against every

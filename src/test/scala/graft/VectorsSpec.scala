@@ -54,6 +54,24 @@ class VectorsSpec extends SparkSuite {
     assert(common.forall(k => lsh(k) == bf(k)))
   }
 
+  test("groupCentroids: distributed per-group mean, dims in order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 4.0f, 5.0f)),
+      ("b", Array(10.0f, 0.0f, -2.0f)))
+      .toDF("grp", "embedding")
+    val got = Vectors.groupCentroids(df, "grp").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 3.0, 4.0))
+    assert(got("b") == Seq(10.0, 0.0, -2.0))
+    // real table: one 64-dim centroid per bucket, no driver-side loop
+    val e = Tables.embeddings(spark, Sf001)
+      .withColumn("grp", col("vec_id") % 4)
+    val c = Vectors.groupCentroids(e, "grp").collect()
+    assert(c.length == 4 && c.forall(_.getSeq[Double](1).length == Vectors.Dim))
+  }
+
   test("IVF ANN: deterministic, k respected, planted route sane") {
     val a = SparkEntry.queries("sim_ivf_bucketed")(spark, Sf001).collect()
     val b = SparkEntry.queries("sim_ivf_bucketed")(spark, Sf001).collect()
