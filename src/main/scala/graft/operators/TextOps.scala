@@ -362,10 +362,13 @@ object TextOps {
          |             JOIN sz sb ON i.b_id = sb.doc_id
          |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
+      // exploded shingles feed BOTH the signature stage and the exact
+      // re-rank — materialize the interpreted tokenize/explode once
       val sh = withNearClones(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+        .persist()
       val sigAggs = (0 until 4).map(k =>
         min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
       val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
