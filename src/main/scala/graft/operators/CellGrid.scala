@@ -119,7 +119,7 @@ object CellGrid {
   def isBalanced(parsed: DataFrame, totalDebtors: java.math.BigDecimal): Boolean = {
     val s = parsed.filter(col("rowType").isin("SALE", "CR"))
       .agg(coalesce(sum(col("amount")), lit(0).cast(M)).as("s"))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     s.compareTo(totalDebtors) == 0
   }
 }

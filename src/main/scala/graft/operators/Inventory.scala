@@ -69,7 +69,7 @@ object Inventory {
         .load(dir)
       // the reference reads the day's date from cell B3 (a point lookup)
       val serial = grid.filter(col("row_idx") === 3)
-        .select(col("colB").cast("int")).head.getInt(0)
+        .select(col("colB").cast("int")).head().getInt(0)
       CellGrid.parse(grid, excelSerialDate = serial)
         .withColumn("amount", col("amount").cast("double"))
         .orderBy("row_idx")
