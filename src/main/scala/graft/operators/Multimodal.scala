@@ -69,7 +69,9 @@ object Multimodal {
 
   /** Resize stage STUB: a real implementation decodes + rescales pixel
     * data; the fake derives target-bounded dimensions and a truncated
-    * payload, keeping the batch shape (mapPartitions, binary in/out). */
+    * payload, keeping the batch shape (mapPartitions, binary in/out).
+    * The scale math is pinned IEEE (double divide/multiply + floor), so
+    * the DuckDB oracle reproduces it exactly. */
   def resizeStub(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -138,6 +140,41 @@ object Multimodal {
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       decodeFeatures(mediaTable(s, d)).orderBy("doc_id")
+    },
+
+    // Frame-sampling stage end-to-end: every 3rd 32-byte window of the
+    // payload, with its truncated-md5 frame hash — the explode-shaped
+    // output a frame pipeline consumes. ASCII payloads make the chunk
+    // md5s reproducible in DuckDB (char-substr ≡ byte-substr).
+    Q("mm_frame_sample",
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       substr(md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)), 1, 8) AS frame_hash
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS INTEGER))) AS i
+        |  FROM documents
+        |) t
+        |WHERE i % 3 = 0 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      frameSampleStub(mediaTable(s, d), everyN = 3)
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Resize stage end-to-end: bounded output dims (pinned IEEE scale
+    // math) and the truncated payload BYTES compared verbatim against
+    // the oracle's encode(substr(...)) blob.
+    Q("mm_resize", {
+      val len = "octet_length(encode(text))"
+      val w = s"(64 + $len % 640)"
+      val h = s"(64 + ($len * 7) % 480)"
+      val scale = s"least(1.0, least(CAST(128 AS DOUBLE) / $w, CAST(128 AS DOUBLE) / $h))"
+      val outW = s"greatest(1, CAST(floor($w * $scale) AS INTEGER))"
+      val outH = s"greatest(1, CAST(floor($h * $scale) AS INTEGER))"
+      s"""SELECT doc_id, CAST($outW AS INTEGER) AS width,
+         |       CAST($outH AS INTEGER) AS height,
+         |       encode(substr(text, 1, least($len, ($outW * $outH) // 64))) AS payload
+         |FROM documents ORDER BY doc_id""".stripMargin }) { (s, d) =>
+      resizeStub(mediaTable(s, d), maxW = 128, maxH = 128)
+        .orderBy("doc_id")
     }
   )
 }
