@@ -43,6 +43,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PushedFilters"), p.take(800))
   }
 
+  test("txt_sample_stratified: scan prunes to the two needed columns") {
+    // the md5-threshold filter needs doc_id and lang only — reading the
+    // text payload for a sampling decision would multiply scan bytes at
+    // 100 TB by the payload width
+    val p = plan("txt_sample_stratified")
+    assert(p.contains("ReadSchema"), p.take(400))
+    assert(!p.contains("text"), "sampling scan reads the text payload:\n" +
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("dedup_pipeline: candidate generation joins, never nested loops") {
+    val p = plan("dedup_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(l => l.contains("Cartesian") ||
+        l.contains("NestedLoop")).mkString("\n"))
+  }
+
   test("snk_api_batch: no partition-less global window in the plan") {
     // the global batch rank comes from Ranking.globalRowNumber
     // (range-partition + per-partition offsets) — a bare
