@@ -23,6 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
+  /** All registered names INCLUDING duplicates (test guard: the map
+    * above would silently drop a colliding entry). */
+  def allNames: Seq[String] = all.map(_.name)
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check). */

@@ -16,6 +16,13 @@ class EntrySpec extends SparkSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
+  test("query names are unique (a collision silently drops a query)") {
+    val names = SparkEntry.allNames
+    val dups = names.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("every query runs non-empty on sf0.001 (except fixture-pinned filters)") {
     // flt_eq4 pins a literal key that only exists at sf0.01+; everything
     // else must produce rows at the smallest scale factor.

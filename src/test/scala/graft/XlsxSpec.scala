@@ -96,6 +96,17 @@ class XlsxSpec extends SparkSuite {
     assert(variance(bareGrid).toPlainString == "0.00")
   }
 
+  test("missing sheet name fails loudly, not with an empty frame") {
+    val dir = Files.createTempDirectory("xlsx4").toString
+    write(dir, "DD 03.xlsx", Seq(XlsxWrite.CellOut("A1", "x", isNumber = false)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(classOf[XlsxTableProvider].getName)
+        .option("sheet", "No Such Sheet").load(dir).collect()
+    }
+    assert(e.getMessage.contains("No Such Sheet") ||
+      Option(e.getCause).exists(_.getMessage.contains("No Such Sheet")))
+  }
+
   test("real-bytes path equals the pre-parsed grid path") {
     val viaFile = SparkEntry.queries("src_xlsx_file")(spark, "")
       .collect().map(_.toSeq)
