@@ -410,27 +410,83 @@ object TextOps {
     // digit contributes 4 bits; bit votes ±1 summed over tokens, sign →
     // bit. Near-duplicate docs land within small Hamming distance; at
     // scale, dedup joins on rotated band keys of this signature.
-    Q("dedup_simhash", {
-      val bits = (0 until 16).map { i =>
-        val c = i / 4 + 1; val p = 1 << (i % 4)
-        s"""CASE WHEN list_sum(list_transform(t, x ->
-           |  CASE WHEN (strpos('0123456789abcdef', substr(md5(x), $c, 1)) - 1) // $p % 2 = 1
-           |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
-      }.mkString("\n + ")
-      s"""SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+    Q("dedup_simhash",
+      s"""SELECT doc_id, CAST($simhashSql AS INTEGER) AS simhash
          |FROM (SELECT doc_id, $toksSql AS t FROM documents) x
-         |ORDER BY doc_id""".stripMargin }) { (s, d) =>
-      val t = Tables.documents(s, d)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
-      val sim = (0 until 16).map { i =>
-        val c = i / 4 + 1; val p = 1 << (i % 4)
-        // hex-digit value via conv(·,16,10) ≡ DuckDB's strpos(hexchars)-1
-        val digit = (x: Column) => conv(substring(md5(x), c, 1), 16, 10).cast("int")
-        when(aggregate(col("t"), lit(0),
-          (a, x) => a + when(floor(digit(x) / p) % 2 === 1, 1).otherwise(-1))
-          > 0, 1 << i).otherwise(0)
-      }.reduce(_ + _)
-      t.select(col("doc_id"), sim.cast("int").as("simhash")).orderBy("doc_id")
+        .select(col("doc_id"), simhashCol(col("t")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash banded near-dup pairs — the composition the signature
+    // exists for: 4 rotated 4-bit band keys generate candidates (bucket
+    // equi-join, never all-pairs), exact Hamming distance ≤ 1 via
+    // XOR+popcount filters them (a 16-bit signature over a
+    // shared-vocabulary corpus needs a tight radius — ≤3 admits 18k
+    // pairs here, ≤1 keeps the planted near-clones plus true lookalikes).
+    // Same shape as dedup_pipeline for the MinHash family.
+    Q("dedup_simhash_pairs",
+      s"""WITH $withNearClonesSql,
+         |sg AS (
+         |  SELECT doc_id, CAST($simhashSql AS INTEGER) AS sim
+         |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
+         |), bands AS (
+         |  SELECT doc_id, sim, 0 AS b, sim & 15 AS key FROM sg
+         |  UNION ALL SELECT doc_id, sim, 1, (sim >> 4) & 15 FROM sg
+         |  UNION ALL SELECT doc_id, sim, 2, (sim >> 8) & 15 FROM sg
+         |  UNION ALL SELECT doc_id, sim, 3, (sim >> 12) & 15 FROM sg
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.sim AS sa, b.sim AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id,
+         |       CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 1
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val sg = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), simhashCol(col("t")).as("sim"))
+      val bands = (0 until 4).map { b =>
+        sg.select(col("doc_id"), col("sim"), lit(b).as("b"),
+          shiftright(col("sim"), 4 * b).bitwiseAND(lit(15)).as("key"))
+      }.reduce(_ unionByName _)
+      val cand = bands
+        .select(col("doc_id").as("a_id"), col("sim").as("sa"), col("b"), col("key"))
+        .join(bands.select(col("doc_id").as("b_id"), col("sim").as("sb"),
+          col("b"), col("key")), Seq("b", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sa", "sb").distinct()
+      cand
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sa").bitwiseXOR(col("sb")).cast("long"))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy("a_id", "b_id")
     }
   )
+
+  /** 16-bit SimHash of a token-array column (hex-digit value via
+    * conv(·,16,10) ≡ DuckDB's strpos(hexchars)−1). */
+  private def simhashCol(t: Column): Column =
+    (0 until 16).map { i =>
+      val c = i / 4 + 1; val p = 1 << (i % 4)
+      val digit = (x: Column) => conv(substring(md5(x), c, 1), 16, 10).cast("int")
+      when(aggregate(t, lit(0),
+        (a, x) => a + when(floor(digit(x) / p) % 2 === 1, 1).otherwise(-1))
+        > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _).cast("int")
+
+  /** SQL mirror of [[simhashCol]] over an aliased token list `t`. */
+  private def simhashSql: String =
+    (0 until 16).map { i =>
+      val c = i / 4 + 1; val p = 1 << (i % 4)
+      s"""CASE WHEN list_sum(list_transform(t, x ->
+         |  CASE WHEN (strpos('0123456789abcdef', substr(md5(x), $c, 1)) - 1) // $p % 2 = 1
+         |       THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
+    }.mkString("\n + ")
 }
