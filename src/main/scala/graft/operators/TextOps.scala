@@ -421,22 +421,29 @@ object TextOps {
     },
 
     // SimHash banded near-dup pairs — the composition the signature
-    // exists for: 4 rotated 4-bit band keys generate candidates (bucket
-    // equi-join, never all-pairs), exact Hamming distance ≤ 1 via
-    // XOR+popcount filters them (a 16-bit signature over a
-    // shared-vocabulary corpus needs a tight radius — ≤3 admits 18k
-    // pairs here, ≤1 keeps the planted near-clones plus true lookalikes).
-    // Same shape as dedup_pipeline for the MinHash family.
+    // exists for. SCALE-SIZED signature: a 4-bit band of the 16-bit
+    // demo hash degenerates toward all-pairs once the corpus outgrows
+    // 16 buckets; the pairs pipeline therefore uses a 60-bit SimHash
+    // (15 md5 hex digits per token) banded 4×15 bits — 32 768 buckets
+    // per band at ANY corpus size. Computed via the codegen-friendly
+    // explode → 60 integer-sum aggregates shape (the measured 30×
+    // lesson from the MinHash signatures), then bucket equi-join and
+    // exact XOR+popcount Hamming ≤ 6 re-rank.
     Q("dedup_simhash_pairs",
       s"""WITH $withNearClonesSql,
-         |sg AS (
-         |  SELECT doc_id, CAST($simhashSql AS INTEGER) AS sim
-         |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
+         |ex AS (
+         |  SELECT doc_id, md5(x) AS m
+         |  FROM (SELECT doc_id, unnest($toksSql) AS x FROM docs) t
+         |), sg AS (
+         |  SELECT doc_id,
+         |${(0 until 60).map(i => s"         SUM((((strpos('0123456789abcdef', substr(m, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) * 2 - 1) AS v$i").mkString(",\n")}
+         |  FROM ex GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${(0 until 60).map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS sim
+         |  FROM sg
          |), bands AS (
-         |  SELECT doc_id, sim, 0 AS b, sim & 15 AS key FROM sg
-         |  UNION ALL SELECT doc_id, sim, 1, (sim >> 4) & 15 FROM sg
-         |  UNION ALL SELECT doc_id, sim, 2, (sim >> 8) & 15 FROM sg
-         |  UNION ALL SELECT doc_id, sim, 3, (sim >> 12) & 15 FROM sg
+         |${(0 until 4).map(b => s"  SELECT doc_id, sim, $b AS b, (sim >> ${15 * b}) & 32767 AS key FROM sig").mkString("\n  UNION ALL\n")}
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |         a.sim AS sa, b.sim AS sb
@@ -444,16 +451,29 @@ object TextOps {
          |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
          |)
          |SELECT a_id, b_id,
-         |       CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INTEGER) AS hamming
+         |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand
-         |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 1
+         |WHERE bit_count(xor(sa, sb)) <= 6
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val sg = withNearClones(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"), simhashCol(col("t")).as("sim"))
+      val ex = withNearClones(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("x"))
+        .select(col("doc_id"), md5(col("x")).as("m"))
+      // one hex-digit projection per 4 bits, then 60 codegen'd ±1 sums
+      val withDigits = ex.select(col("doc_id") +:
+        (0 until 15).map(j =>
+          conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"d$j")): _*)
+      val voteAggs = (0 until 60).map { i =>
+        sum(shiftright(col(s"d${i / 4}"), i % 4).bitwiseAND(lit(1)) * 2 - 1)
+          .as(s"v$i")
+      }
+      val sg = withDigits.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      val sim = (0 until 60)
+        .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      val sig = sg.select(col("doc_id"), sim.as("sim"))
       val bands = (0 until 4).map { b =>
-        sg.select(col("doc_id"), col("sim"), lit(b).as("b"),
-          shiftright(col("sim"), 4 * b).bitwiseAND(lit(15)).as("key"))
+        sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
+          shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key"))
       }.reduce(_ unionByName _)
       val cand = bands
         .select(col("doc_id").as("a_id"), col("sim").as("sa"), col("b"), col("key"))
@@ -463,9 +483,8 @@ object TextOps {
         .select("a_id", "b_id", "sa", "sb").distinct()
       cand
         .select(col("a_id"), col("b_id"),
-          bit_count(col("sa").bitwiseXOR(col("sb")).cast("long"))
-            .cast("int").as("hamming"))
-        .filter(col("hamming") <= 1)
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
         .orderBy("a_id", "b_id")
     }
   )
