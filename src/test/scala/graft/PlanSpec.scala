@@ -53,12 +53,14 @@ class PlanSpec extends SparkSuite {
       p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
-  test("dedup_pipeline: candidate generation joins, never nested loops") {
-    val p = plan("dedup_pipeline")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      p.linesIterator.filter(l => l.contains("Cartesian") ||
-        l.contains("NestedLoop")).mkString("\n"))
+  test("dedup pipelines: candidate generation joins, never nested loops") {
+    for (q <- Seq("dedup_pipeline", "dedup_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n" + p.linesIterator.filter(l => l.contains("Cartesian") ||
+          l.contains("NestedLoop")).mkString("\n"))
+    }
   }
 
   test("snk_api_batch: no partition-less global window in the plan") {
