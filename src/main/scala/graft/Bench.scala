@@ -80,7 +80,14 @@ object Bench {
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     catch { case _: Throwable => () }
-    println(line)
+    // Stop Spark BEFORE printing so no shutdown log lines land between
+    // the JSON and process exit; then emit the full JSON followed by a
+    // short greppable total — the driver's tail capture truncated the
+    // long line's head in rounds 1-2, so the short line is the durable
+    // stdout channel (BENCH_LOCAL.json stays the durable file channel).
     spark.stop()
+    println(line)
+    println(s"BENCH_TOTAL_SEC=$total")
+    System.out.flush()
   }
 }

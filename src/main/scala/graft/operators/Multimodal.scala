@@ -160,8 +160,10 @@ object Multimodal {
     },
 
     // Resize stage end-to-end: bounded output dims (pinned IEEE scale
-    // math) and the truncated payload BYTES compared verbatim against
-    // the oracle's encode(substr(...)) blob.
+    // math) and the truncated payload compared as a HEX STRING — the
+    // driver's pandas comparator can't hash raw binary cells, so the
+    // query output renders the bytes via hex() (resizeStub's binary API
+    // is unchanged; MultimodalSpec still checks the raw bytes).
     Q("mm_resize", {
       val len = "octet_length(encode(text))"
       val w = s"(64 + $len % 640)"
@@ -171,9 +173,11 @@ object Multimodal {
       val outH = s"greatest(1, CAST(floor($h * $scale) AS INTEGER))"
       s"""SELECT doc_id, CAST($outW AS INTEGER) AS width,
          |       CAST($outH AS INTEGER) AS height,
-         |       encode(substr(text, 1, least($len, ($outW * $outH) // 64))) AS payload
+         |       hex(encode(substr(text, 1, least($len, ($outW * $outH) // 64)))) AS payload_hex
          |FROM documents ORDER BY doc_id""".stripMargin }) { (s, d) =>
       resizeStub(mediaTable(s, d), maxW = 128, maxH = 128)
+        .select(col("doc_id"), col("width"), col("height"),
+          hex(col("payload")).as("payload_hex"))
         .orderBy("doc_id")
     }
   )

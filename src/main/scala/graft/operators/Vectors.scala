@@ -127,6 +127,106 @@ object Vectors {
       .orderBy("q_id", "rn")
   }
 
+  val FixedNList = 16
+  val FixedNProbe = 3
+
+  /** Fixed deterministic coarse-quantizer centroid component — same LCG
+    * family as [[plane]], offset past the hyperplane block so the two
+    * sets of literals never collide. A literal centroid table makes the
+    * IVF pipeline SHAPE (assign → probe → inverted-list scan → exact
+    * re-rank) fully SQL-expressible, so the DuckDB oracle can check the
+    * whole pipeline end-to-end; `sim_ivf_bucketed` keeps the KMeans fit
+    * (a better quantizer, but not SQL-expressible — rows-only). */
+  def fixedCentroid(c: Int, j: Int): Double = plane(Planes + c, j)
+
+  /** Per-centroid (negdot, list_id) structs as ONE codegen'd projection:
+    * `array_min` of it is the list assignment (max dot, ties → smallest
+    * list id), `slice(array_sort(…), 1, nprobe)` is probe selection.
+    * Both are pure per-row expressions — assignment shuffles NOTHING at
+    * any corpus size, which is the point of IVF at 100 TB: the list id
+    * becomes the partition key at write time and each probe is a
+    * partition-pruned scan. */
+  private def centroidScores(e: Column, nlist: Int): Column =
+    array((0 until nlist).map { c =>
+      val cen = array((1 to Dim).map(j => lit(fixedCentroid(c, j))): _*)
+      val cd = aggregate(
+        zip_with(e, cen, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      struct((-cd).as("negdot"), lit(c).as("list_id"))
+    }: _*)
+
+  /** IVF search with the fixed quantizer — identical probe → inverted
+    * list → exact-re-rank downstream as [[ivfTopK]], but deterministic
+    * end-to-end and therefore oracle-checkable. */
+  def ivfFixedTopK(s: SparkSession, d: String, k: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    val assigned = normed(s, d).withColumn("list_id",
+      array_min(centroidScores(col("embedding"), nlist)).getField("list_id"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val probes = q
+      .select(col("q_id"), explode(
+        slice(array_sort(centroidScores(col("eq"), nlist)), 1, nprobe))
+        .as("sc"))
+      .select(col("q_id"), col("sc.list_id").as("list_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("list_id"))
+      .join(q, Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("eq"), col("embedding")) / (col("nq") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  /** SQL mirror of the fixed-quantizer IVF pipeline: literal centroid
+    * VALUES table, window-ranked assignment/probe (same max-dot /
+    * smallest-list-id tie-break as the struct-min expression), identical
+    * candidate join and re-rank. */
+  private def ivfFixedSql(k: Int, nlist: Int, nprobe: Int): String = {
+    def cdot(e: String): String =
+      (1 to Dim).map(i => s"CAST($e[$i] AS DOUBLE) * c.center[$i]")
+        .mkString(" + ")
+    s"""WITH $normedSql,
+       |cen AS (SELECT * FROM (VALUES
+       |    ${(0 until nlist).map { c =>
+             val arr = (1 to Dim).map(j => fixedCentroid(c, j)).mkString("[", ", ", "]")
+             s"($c, $arr)"
+           }.mkString(",\n    ")}) AS t(list_id, center)),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, list_id FROM (
+       |    SELECT n.vec_id, n.embedding, n.nrm, c.list_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY (${cdot("n.embedding")}) DESC, c.list_id) AS ark
+       |    FROM nrm n CROSS JOIN cen c) t
+       |  WHERE ark = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding, nrm FROM assigned WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, list_id FROM (
+       |    SELECT q.q_id, c.list_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY (${cdot("q.embedding")}) DESC, c.list_id) AS crk
+       |    FROM q CROSS JOIN cen c) t
+       |  WHERE crk <= $nprobe
+       |),
+       |p AS (
+       |  SELECT q.q_id, a.vec_id,
+       |         (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) AS cos
+       |  FROM probes pr
+       |  JOIN assigned a ON a.list_id = pr.list_id
+       |  JOIN q ON q.q_id = pr.q_id
+       |  WHERE a.vec_id <> q.q_id
+       |)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM p) t
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Per-group embedding centroid, fully distributed: posexplode to
     * (group, dim, value), one hash-aggregate per (group, dim), then
     * reassemble the 64-length array in dim order. No per-group collect,
@@ -213,6 +313,18 @@ object Vectors {
     // check; planted-duplicate recall is asserted in ScalaTest.
     Q.noOracle("sim_ivf_bucketed") { (s, d) =>
       ivfTopK(s, d, k = 10, nlist = 16, nprobe = 3)
+    },
+
+    // IVF with a FIXED deterministic quantizer: identical pipeline shape
+    // (assign → probe nprobe lists → exact re-rank inside them) with the
+    // KMeans fit swapped for literal centroids, so the whole pipeline is
+    // oracle-checked end-to-end (VERDICT r2 item 2). Assignment and probe
+    // selection are pure per-row expressions — nothing shuffles until the
+    // candidate join, which at scale is a partition-pruned scan keyed on
+    // list_id.
+    Q("sim_ivf_fixed",
+      ivfFixedSql(k = 10, nlist = FixedNList, nprobe = FixedNProbe)) { (s, d) =>
+      ivfFixedTopK(s, d, k = 10, nlist = FixedNList, nprobe = FixedNProbe)
     },
 
     // LSH-bucketed ANN (scale path): sign-of-projection on 8 fixed
