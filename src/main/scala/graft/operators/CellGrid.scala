@@ -22,15 +22,23 @@ import org.apache.spark.sql.types.DecimalType
   *    exact-decimal sum(sales ∪ credits) == totalDebtors.
   *
   * Grid schema: `(row_idx int, colC, colD, colE, colF, colG string)` —
-  * one worksheet flattened to rows (FIXTURES.md §A5). Values are
-  * schema-on-read strings (sentinels share the data columns), so numeric
-  * reads are `try_cast`. Per-sheet windows are single-partition by
-  * design: one worksheet is a micro-batch; at scale the window
-  * partitions by file id (`input_file_name`), one sheet per partition.
+  * one worksheet flattened to rows (FIXTURES.md §A5), plus a `file_name`
+  * column when the grid comes from the DSv2 xlsx source (one partition
+  * per workbook). Values are schema-on-read strings (sentinels share the
+  * data columns), so numeric reads are `try_cast`.
+  *
+  * EVERY window here partitions by workbook: grids without a `file_name`
+  * column (inline single-sheet fixtures) get a constant file id, so the
+  * plan is per-file-parallel whenever the input actually has many files —
+  * a drop-dir of thousands of workbooks fans out one window partition
+  * per workbook instead of funnelling all sheets through one task.
   */
 object CellGrid {
 
   private val M = DecimalType(12, 2)
+
+  /** Workbook id column: the partition key of every CellGrid window. */
+  val FileCol = "file_name"
 
   private def amountNum(c: Column): Column = c.try_cast(M)
   private def isEmpty(c: Column): Column = c.isNull || length(c) === 0
@@ -39,27 +47,35 @@ object CellGrid {
   private def stripFirstDash(c: Column): Column =
     regexp_replace(c, "^(.*?)-", "$1")
 
+  /** Inline fixtures carry no file column — give them a constant one so
+    * the same per-workbook windows apply to every grid shape. */
+  private def withFileId(grid: DataFrame): DataFrame =
+    if (grid.columns.contains(FileCol)) grid
+    else grid.withColumn(FileCol, lit("(inline)"))
+
   /** Tag every grid row with its band and parsed charge fields. */
   def banded(grid: DataFrame): DataFrame = {
-    val w = Window.orderBy("row_idx")
+    val w = Window.partitionBy(FileCol).orderBy("row_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val trigger = when(col("colC") === "Amount", 1).otherwise(0)
-    grid.filter(col("row_idx") >= 21)
+    withFileId(grid).filter(col("row_idx") >= 21)
       .withColumn("isTrigger", trigger === 1)
       .withColumn("band", sum(trigger).over(w))
   }
 
   /** Parsed summary: one DataFrame with rowType ∈ SALE | CR | PAYMENT,
-    * reference-shaped columns. */
-  def parse(grid: DataFrame, excelSerialDate: Int): DataFrame = {
+    * reference-shaped columns. Pass `keepFile = true` to retain the
+    * workbook id column (multi-file drop-dirs). */
+  def parse(grid: DataFrame, excelSerialDate: Int,
+      keepFile: Boolean = false): DataFrame = {
     val b = banded(grid)
 
+    val perFile = Window.partitionBy(FileCol).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val trigger2Row = min(when(col("isTrigger") && col("band") === 2,
-      col("row_idx"))).over(Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing))
+      col("row_idx"))).over(perFile)
     val totalChargesRow = min(when(col("colD") === "Total Charges",
-      col("row_idx"))).over(Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing))
+      col("row_idx"))).over(perFile)
 
     val withBounds = b.withColumn("t2", trigger2Row)
       .withColumn("tc", totalChargesRow)
@@ -92,15 +108,16 @@ object CellGrid {
           .when(isPaymentRow, "PAYMENT"))
       .filter(col("rowType").isNotNull)
       .select(
-        col("rowType"),
-        date.as("date"),
-        when(col("rowType") === "PAYMENT", abs(amt)).otherwise(amt)
-          .as("amount"),
-        when(col("rowType") === "PAYMENT", col("colD"))
-          .otherwise(chargeCustomer).as("customerId"),
-        substring(concat(lit("0000"), col("colE")), -4, 4).as("seqNo"),
-        col("colF").as("notes"),
-        col("row_idx"))
+        (if (keepFile) Seq(col(FileCol)) else Nil) ++ Seq(
+          col("rowType"),
+          date.as("date"),
+          when(col("rowType") === "PAYMENT", abs(amt)).otherwise(amt)
+            .as("amount"),
+          when(col("rowType") === "PAYMENT", col("colD"))
+            .otherwise(chargeCustomer).as("customerId"),
+          substring(concat(lit("0000"), col("colE")), -4, 4).as("seqNo"),
+          col("colF").as("notes"),
+          col("row_idx")): _*)
   }
 
   /** Audit total: colG of the row whose colD carries the

@@ -14,9 +14,18 @@ import scala.collection.mutable
   *
   * Supported (the subset a Day-Docket workbook uses): sheet resolution
   * by NAME via workbook.xml + its rels, shared strings (including rich
-  * runs), inline strings, formula-string and numeric/boolean cells.
-  * Legacy BIFF `.xls` is out of scope (that format needs a binary
-  * parser; the reference's own regex accepts `.xls[x]?`).
+  * runs), inline strings, formula-string and numeric/boolean cells, and
+  * STYLED cells — the `s=` style index resolves through styles.xml
+  * cellXfs → numFmtId, and date-formatted numeric cells (how Excel
+  * itself stores dates: a serial plus a date style) are flagged
+  * `isDate`. Values stay raw (the reference reads `ws.B3.v`, the raw
+  * serial — /root/reference/src/parse.ts:64); [[serialDate]] converts
+  * when a consumer wants the calendar date.
+  *
+  * Legacy BIFF `.xls` (an OLE2/CFB binary container, not a ZIP) is
+  * detected by magic and REJECTED LOUDLY — the reference's file regex
+  * accepts `.xls[x]?` via SheetJS, but a binary BIFF parser is out of
+  * scope here and a silent empty read would be worse than an error.
   *
   * Cell values stay raw STRINGS — the grid is schema-on-read (sentinel
   * text shares columns with numbers), numeric reads happen downstream
@@ -24,7 +33,8 @@ import scala.collection.mutable
   */
 object Xlsx {
 
-  final case class Cell(row: Int, col: String, value: String)
+  final case class Cell(row: Int, col: String, value: String,
+      isDate: Boolean = false)
 
   private val factory = {
     val f = XMLInputFactory.newInstance()
@@ -101,14 +111,65 @@ object Xlsx {
     }.toMap
   }
 
+  /** Builtin OOXML number-format ids that render as dates/times (ECMA-376
+    * §18.8.30: 14-22 date/time, 27-36 and 50-58 East Asian dates,
+    * 45-47 elapsed times). */
+  private val BuiltinDateIds: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Date-format heuristic for CUSTOM format codes (same approach as the
+    * common readers): strip color/condition `[...]` blocks, quoted
+    * literals, and escaped chars; what's left is a date format iff it
+    * still contains a y/m/d/h/s token. */
+  private def isDateFmt(id: Int, code: Option[String]): Boolean =
+    BuiltinDateIds(id) || code.exists { c =>
+      c.replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\"[^\"]*\"", "")
+        .replaceAll("\\\\.", "")
+        .exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
+    }
+
+  /** xl/styles.xml → the cellXf indices (the `s=` attribute domain)
+    * whose number format is a date format. */
+  private def dateStyles(xml: Array[Byte]): Set[Int] = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val custom = mutable.Map[Int, String]()
+    val xfFmtIds = mutable.ArrayBuffer[Int]()
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            for (id <- Option(r.getAttributeValue(null, "numFmtId"));
+                 code <- Option(r.getAttributeValue(null, "formatCode")))
+              custom(id.toInt) = code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            xfFmtIds += Option(r.getAttributeValue(null, "numFmtId"))
+              .map(_.toInt).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    xfFmtIds.zipWithIndex.collect {
+      case (fmt, i) if isDateFmt(fmt, custom.get(fmt)) => i
+    }.toSet
+  }
+
   /** One worksheet part → cells. Handles t="s" (shared), t="inlineStr",
-    * t="str" (formula result), t="b", and plain numeric cells. */
-  private def sheetCells(xml: Array[Byte],
-      shared: IndexedSeq[String]): Seq[Cell] = {
+    * t="str" (formula result), t="b", t="d" (ISO date literal), and
+    * plain numeric cells — with the `s=` style index resolved against
+    * the date styles so styled date serials carry `isDate = true`. */
+  private def sheetCells(xml: Array[Byte], shared: IndexedSeq[String],
+      dateStyleIdx: Set[Int]): Seq[Cell] = {
     val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
     val out = mutable.ArrayBuffer[Cell]()
     var ref = ""
     var typ = ""
+    var style = -1
     var inV = false
     var inIsT = false
     val cur = new StringBuilder
@@ -119,7 +180,11 @@ object Xlsx {
         case "s" => shared(cur.toString.trim.toInt)
         case _ => cur.toString
       }
-      out += Cell(row, col, v)
+      // dates: either an explicit ISO date cell, or (how Excel actually
+      // writes them) a NUMERIC serial whose style is a date format
+      val isDate = typ == "d" ||
+        ((typ == "" || typ == "n") && dateStyleIdx(style))
+      out += Cell(row, col, v, isDate)
       cur.clear()
     }
     while (r.hasNext) {
@@ -128,6 +193,8 @@ object Xlsx {
           case "c" =>
             ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
             typ = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            style = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).getOrElse(-1)
             cur.clear()
           case "v" => inV = true
           case "t" if typ == "inlineStr" => inIsT = true
@@ -147,14 +214,33 @@ object Xlsx {
     out.toSeq
   }
 
-  /** Parse one workbook's bytes: the named sheet's cells. */
+  /** OLE2/CFB compound-file magic — the container of legacy BIFF `.xls`
+    * workbooks (and .doc/.ppt). Not a ZIP; never valid OOXML. */
+  private def isCompoundFile(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 &&
+      bytes.take(8).map(_ & 0xff).sameElements(
+        Seq(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1))
+
+  /** Excel 1900-system serial → calendar date (serial 0 = 1899-12-30,
+    * matching CellGrid's `date_add(to_date('1899-12-30'), serial)`). */
+  def serialDate(serial: Double): java.time.LocalDate =
+    java.time.LocalDate.of(1899, 12, 30).plusDays(serial.toLong)
+
+  /** Parse one workbook's bytes: the named sheet's cells. Rejects legacy
+    * BIFF `.xls` bytes loudly (never a silent empty read). */
   def parse(bytes: Array[Byte], sheetName: String): Seq[Cell] = {
+    if (isCompoundFile(bytes))
+      throw new IllegalArgumentException(
+        "legacy BIFF '.xls' workbook (OLE2 compound file) — this source " +
+          "reads OOXML '.xlsx' only; re-save the workbook as .xlsx")
     val parts = entries(bytes)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(sharedStrings).getOrElse(IndexedSeq.empty)
+    val styles = parts.get("xl/styles.xml")
+      .map(dateStyles).getOrElse(Set.empty)
     val path = sheetPaths(parts).getOrElse(sheetName,
       throw new IllegalArgumentException(
         s"sheet '$sheetName' not found in workbook"))
-    sheetCells(parts(path), shared)
+    sheetCells(parts(path), shared, styles)
   }
 }

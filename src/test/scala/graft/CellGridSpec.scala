@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.CellGrid
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** FIXTURES.md §A5 micro-fixture replay of the reference parser
   * (/root/reference/src/parse.ts:76-146): pre-row-21 junk (including a
@@ -75,5 +76,50 @@ class CellGridSpec extends SparkSuite {
     // 100.00 - 25.50 + 50.00 = 124.50 → balanced
     assert(CellGrid.isBalanced(p, CellGrid.totalDebtors(grid("124.50"))))
     assert(!CellGrid.isBalanced(p, CellGrid.totalDebtors(grid("999.99"))))
+  }
+
+  test("multi-workbook drop-dir: bands computed independently per file, " +
+      "every window partitioned by workbook") {
+    import graft.sources.{XlsxTableProvider, XlsxWrite}
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-xlsx-multi")
+    def sc(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = false)
+    def nc(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = true)
+    def book(amount: String) = XlsxWrite.workbook("A4 Summary", Seq(
+      nc("B3", "45000"),
+      sc("C21", "Amount"),
+      nc("C22", amount), sc("D22", "9001"), nc("E22", "12"),
+      sc("C27", "Amount"),
+      nc("C29", "-30.00"), sc("D29", "7001"), nc("E29", "16"),
+      sc("D32", "Total Charges")))
+    Files.write(dir.resolve("DD 01.xlsx"), book("100.00"))
+    Files.write(dir.resolve("DD 02.xlsx"), book("200.00"))
+
+    val gridDf = spark.read.format(classOf[XlsxTableProvider].getName)
+      .option("sheet", "A4 Summary")
+      .option("pattern", "^DD \\d\\d\\.xlsx$")
+      .load(dir.toString)
+    val parsed = CellGrid.parse(gridDf, 45000, keepFile = true)
+
+    // bands/bounds are per-workbook: each file contributes exactly its
+    // own SALE (with its own amount) and its own payment — a shared
+    // global band counter would mis-band everything after file 1
+    val got = parsed
+      .select(col("file_name"), col("rowType"),
+        col("amount").cast("double").as("amount"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      ("DD 01.xlsx", "SALE", 100.0), ("DD 01.xlsx", "PAYMENT", 30.0),
+      ("DD 02.xlsx", "SALE", 200.0), ("DD 02.xlsx", "PAYMENT", 30.0)))
+
+    // the scale property itself: no partition-less window anywhere
+    val wins = parsed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "partition-less window in the CellGrid parse plan")
   }
 }

@@ -107,6 +107,74 @@ class XlsxSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("No Such Sheet")))
   }
 
+  test("styled date serials: Excel-written dates flag isDate, raw value kept") {
+    // Excel stores a date as a NUMERIC serial + a date-format style;
+    // the writer's isDate emits exactly that shape (s="1" → numFmtId 14)
+    val bytes = XlsxWrite.workbook("A4 Summary", Seq(
+      XlsxWrite.CellOut("B3", "45000", isNumber = true, isDate = true),
+      XlsxWrite.CellOut("C22", "100.00", isNumber = true),
+      XlsxWrite.CellOut("D22", "note", isNumber = false)))
+    val cells = Xlsx.parse(bytes, "A4 Summary")
+      .map(c => (c.row, c.col) -> c).toMap
+    val b3 = cells((3, "B"))
+    assert(b3.isDate, "date style not detected via styles.xml")
+    assert(b3.value == "45000") // raw serial, like the reference's ws.B3.v
+    assert(Xlsx.serialDate(b3.value.toDouble).toString == "2023-03-15")
+    assert(!cells((22, "C")).isDate) // plain numeric: not a date
+    assert(!cells((22, "D")).isDate) // string: not a date
+  }
+
+  test("custom date format codes are detected; bracketed/quoted text is not") {
+    // hand-built styles.xml: xf 1 → custom "dd/mm/yyyy" (date), xf 2 →
+    // custom currency with quoted text and color block (NOT a date)
+    val styles =
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="dd/mm/yyyy"/>
+        |<numFmt numFmtId="165" formatCode="[Red]&quot;paid yds&quot; 0.00"/>
+        |</numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="165"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" s="1"><v>45000</v></c><c r="B1" s="2"><v>9.95</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0"?><workbook><sheets>
+        |<sheet name="S" sheetId="1" r:id="rId1"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>
+        |</sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def put(n: String, b: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(b.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    put("xl/workbook.xml", workbook)
+    put("xl/_rels/workbook.xml.rels", rels)
+    put("xl/styles.xml", styles)
+    put("xl/worksheets/sheet1.xml", sheet)
+    zip.close()
+    val cells = Xlsx.parse(bos.toByteArray, "S")
+      .map(c => (c.row, c.col) -> c).toMap
+    assert(cells((1, "A")).isDate)   // dd/mm/yyyy → date
+    assert(!cells((1, "B")).isDate)  // 'd'/'y'/'s' only in quotes/brackets
+  }
+
+  test("legacy BIFF .xls bytes are rejected loudly, naming the format") {
+    // OLE2/CFB magic — what a real 97-2003 .xls starts with
+    val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ Array.fill(64)(0.toByte)
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.parse(biff, "A4 Summary")
+    }
+    assert(e.getMessage.contains(".xls") && e.getMessage.contains("BIFF"))
+  }
+
   test("real-bytes path equals the pre-parsed grid path") {
     val viaFile = SparkEntry.queries("src_xlsx_file")(spark, "")
       .collect().map(_.toSeq)
