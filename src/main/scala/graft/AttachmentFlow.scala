@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * `attachments[0]` (first file in the dir); here every matching file
   * flows through the same audit + push.
   *
-  * Scale notes: the REST lookups are driver-side fetches of SMALL
-  * date-filtered slices that broadcast into the join (one request per
-  * distinct date — never a per-row executor call); file bytes stay an
+  * Scale notes: the REST lookup is ONE driver-side range fetch per run
+  * (min..max of the dates present — the where grammar's `&&`
+  * conjunctions express the range, so a year-long drop dir costs one
+  * request, not ~365 sequential ones) whose SMALL result broadcasts
+  * into the join — never a per-row executor call; file bytes stay an
   * opaque binary column end-to-end and are only base64-encoded inside
   * the push projection.
   */
@@ -39,13 +41,16 @@ object AttachmentFlow {
         concat(lit(yearMonth), lit("-"),
           regexp_extract(col("fileName"), "^DD (\\d\\d)\\.xls$", 1)))
 
-    // one API fetch per distinct date present in the drop dir
-    val dates = files.select("dateString").distinct()
-      .collect().map(_.getString(0)).sorted
-    val invoices = dates
-      .map(dt => RestSource.fetchInvoices(spark, server, contactName, dt))
-      .reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+    // ONE batched API fetch for the whole drop dir: the driver reads
+    // only the (min, max) date bounds — a single row — and issues a
+    // range where-string; dates inside the range with no file simply
+    // never join
+    val bounds = files
+      .agg(min(col("dateString")).as("lo"), max(col("dateString")).as("hi"))
+      .head()
+    if (bounds.isNullAt(0)) return Result(0, 0, 0) // empty drop dir
+    val invoices = RestSource.fetchInvoicesRange(
+      spark, server, contactName, bounds.getString(0), bounds.getString(1))
 
     val joined = files.join(
       broadcast(invoices.select("invoiceID", "dateString")),

@@ -40,14 +40,13 @@ object RestSource {
   def whereString(contactName: String, dateIso: String): String =
     s"""Contact.Name=="$contactName"&&DateString=="$dateIso""""
 
-  /** Fetch invoices for one contact+date: pushed filter via params, JSON
-    * body → typed rows. */
-  def fetchInvoices(spark: SparkSession, server: Server,
-      contactName: String, dateIso: String): DataFrame = {
-    val params = Map(
-      "where" -> whereString(contactName, dateIso),
-      "statuses" -> "DRAFT,SUBMITTED,AUTHORISED")
-    val body = server(params)
+  /** Conjunctive date-RANGE filter — the same `&&` grammar the
+    * reference's where-string uses, with bound comparisons instead of a
+    * point equality: ONE request covers a whole drop-dir of dates. */
+  def whereRange(contactName: String, fromIso: String, toIso: String): String =
+    s"""Contact.Name=="$contactName"&&DateString>="$fromIso"&&DateString<="$toIso""""
+
+  private def parseInvoices(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
     Seq(body).toDF("body")
       .select(from_json(col("body"), InvoiceSchema).as("r"))
@@ -59,21 +58,45 @@ object RestSource {
         col("inv.Total").as("total"))
   }
 
+  /** Fetch invoices for one contact+date: pushed filter via params, JSON
+    * body → typed rows. */
+  def fetchInvoices(spark: SparkSession, server: Server,
+      contactName: String, dateIso: String): DataFrame =
+    parseInvoices(spark, server(Map(
+      "where" -> whereString(contactName, dateIso),
+      "statuses" -> "DRAFT,SUBMITTED,AUTHORISED")))
+
+  /** Fetch invoices for a whole date range in ONE request (the batched
+    * form of [[fetchInvoices]] — a caller with N distinct dates issues
+    * one fetch, not N sequential ones). */
+  def fetchInvoicesRange(spark: SparkSession, server: Server,
+      contactName: String, fromIso: String, toIso: String): DataFrame =
+    parseInvoices(spark, server(Map(
+      "where" -> whereRange(contactName, fromIso, toIso),
+      "statuses" -> "DRAFT,SUBMITTED,AUTHORISED")))
+
   /** The canned server's full catalog — what an unfiltered fetch
     * returns. A date-filtered request returns that one date's slice. */
   val CatalogDates: Seq[String] =
     Seq("2024-01-15", "2024-01-16", "2024-01-17")
 
   /** Canned in-memory server used by the capability query and tests:
-    * deterministic payload keyed by the requested date; a request with
-    * no date filter returns the FULL catalog (pushdown is an
-    * optimization, never a semantic change). */
+    * deterministic payload keyed by the requested date (point `==` or
+    * range `>=`/`<=` filters, both from the reference's `&&` grammar); a
+    * request with no date filter returns the FULL catalog (pushdown is
+    * an optimization, never a semantic change). */
   def cannedServer(params: Map[String, String]): String = {
-    val dates = params.get("where")
-      .flatMap(_.split("DateString==\"").lift(1))
-      .map(_.takeWhile(_ != '"')) match {
-      case Some(d) if d.nonEmpty => Seq(d)
-      case _ => CatalogDates
+    def bound(op: String): Option[String] = params.get("where")
+      .flatMap(_.split(s"DateString$op\"").lift(1))
+      .map(_.takeWhile(_ != '"')).filter(_.nonEmpty)
+    val dates = bound("==") match {
+      case Some(d) => Seq(d)
+      case None =>
+        val lo = bound(">=")
+        val hi = bound("<=")
+        if (lo.isEmpty && hi.isEmpty) CatalogDates
+        else CatalogDates.filter(d =>
+          lo.forall(d >= _) && hi.forall(d <= _))
     }
     val docs = (for { date <- dates; i <- 1 to 3 } yield
       s"""{"InvoiceID":"inv-$date-$i","DateString":"$date",

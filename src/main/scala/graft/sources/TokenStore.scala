@@ -97,4 +97,57 @@ object TokenStore {
       s"?response_type=code&client_id=${enc(clientId)}" +
       s"&redirect_uri=${enc(redirectUri)}&scope=${enc(scopes.mkString(" "))}"
   }
+
+  // ── token-endpoint transport (canned fixture, RestSource-style) ──────
+
+  /** Token-endpoint POST: form params → JSON response body. Tests and
+    * the harness inject [[cannedAuthServer]]; production plugs an HTTP
+    * client — the same pluggable-transport stance as
+    * [[RestSource.Server]]. */
+  type AuthServer = Map[String, String] => String
+
+  /** A real token endpoint answers with a RELATIVE `expires_in`; the
+    * stored set carries the absolute `expires_at` (helpers.ts writes
+    * what auth.ts/apiFunctions.ts computed). */
+  private def parseTokenResponse(json: String, nowEpochSec: Long): TokenSet =
+    TokenSet(
+      idToken = field(json, "id_token").getOrElse(""),
+      accessToken = field(json, "access_token").getOrElse(""),
+      expiresAt = nowEpochSec +
+        field(json, "expires_in").map(_.toLong).getOrElse(0L),
+      tokenType = field(json, "token_type").getOrElse(""),
+      refreshToken = field(json, "refresh_token").getOrElse(""),
+      scope = field(json, "scope").getOrElse(""))
+
+  /** Redeem the consent-callback code for the initial token set — the
+    * auth.ts:29-38 `apiCallback` exchange as one POST. */
+  def redeemCode(server: AuthServer, code: String, redirectUri: String,
+      nowEpochSec: Long): TokenSet =
+    validate(parseTokenResponse(server(Map(
+      "grant_type" -> "authorization_code",
+      "code" -> code,
+      "redirect_uri" -> redirectUri)), nowEpochSec))
+
+  /** The refresh POST (apiFunctions.ts:15-27 `refreshTokenSet`) as a
+    * [[Refresher]] — plugs straight into [[loadFresh]]. */
+  def refresher(server: AuthServer, nowEpochSec: Long): Refresher =
+    old => parseTokenResponse(server(Map(
+      "grant_type" -> "refresh_token",
+      "refresh_token" -> old.refreshToken)), nowEpochSec)
+
+  /** Canned in-memory token endpoint — deterministic, stateless:
+    * redeeming any code yields generation 1; refreshing `ref-N` yields
+    * generation N+1 with a ROTATED refresh token (like the real
+    * endpoint: the old refresh token is spent). */
+  def cannedAuthServer(params: Map[String, String]): String = {
+    val gen = params("grant_type") match {
+      case "authorization_code" => 1
+      case "refresh_token" => params("refresh_token").split("-").last.toInt + 1
+      case g => throw new IllegalArgumentException(s"unsupported grant_type: $g")
+    }
+    s"""{"id_token":"idt-$gen","access_token":"acc-$gen","expires_in":1800,
+       |"token_type":"Bearer","refresh_token":"ref-$gen",
+       |"scope":"accounting.transactions offline_access"}"""
+      .stripMargin.replace("\n", "")
+  }
 }

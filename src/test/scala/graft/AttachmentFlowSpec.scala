@@ -17,19 +17,33 @@ class AttachmentFlowSpec extends SparkSuite {
     dir
   }
 
-  /** One invoice per date — the clean path. */
+  /** One invoice per date in the requested RANGE — the clean path (the
+    * flow issues a single min..max range fetch per run). */
   private def oneServer(params: Map[String, String]): String = {
-    val date = params("where").split("DateString==\"")(1).takeWhile(_ != '"')
-    s"""{"Invoices":[{"InvoiceID":"inv-$date-1","DateString":"$date",
-       |"Reference":"DD/1","Status":"SUBMITTED","Total":100.25}]}"""
-      .stripMargin.replace("\n", "")
+    val w = params("where")
+    def bound(op: String) = w.split(s"DateString$op\"")(1).takeWhile(_ != '"')
+    val (from, to) = (bound(">="), bound("<="))
+    val days = Iterator.iterate(java.time.LocalDate.parse(from))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse(to)))
+      .map(_.toString).toSeq
+    val docs = days.map(d =>
+      s"""{"InvoiceID":"inv-$d-1","DateString":"$d",
+         |"Reference":"DD/1","Status":"SUBMITTED","Total":100.25}"""
+        .stripMargin.replace("\n", "")).mkString(",")
+    s"""{"Invoices":[$docs]}"""
   }
 
-  test("every attachment (not just the first) uploads to its invoice") {
+  test("every attachment (not just the first) uploads to its invoice, " +
+      "via exactly ONE batched fetch") {
     val acc = spark.sparkContext.collectionAccumulator[String]("posted")
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting: RestSource.Server =
+      params => { fetches.incrementAndGet(); oneServer(params) }
     val r = AttachmentFlow.run(spark, mkDropDir(), "2024-01",
-      oneServer, post = batch => batch.foreach(acc.add))
+      counting, post = batch => batch.foreach(acc.add))
     assert(r.files == 2 && r.uploads == 2 && r.batches >= 1)
+    assert(fetches.get() == 1,
+      s"expected ONE range fetch per run, saw ${fetches.get()}")
     val posted = acc.value
     assert(posted.size == 2)
     val bodies = scala.jdk.CollectionConverters.ListHasAsScala(posted)

@@ -68,6 +68,40 @@ class TokenStoreSpec extends AnyFunSuite {
     assert(u.contains("scope=accounting.transactions+offline_access"))
   }
 
+  test("full lifecycle e2e: consent redemption -> persist -> expiry -> " +
+      "refresh -> persisted rotation") {
+    val p = Files.createTempFile("tok-e2e", ".json").toString
+
+    // initial consent: URL built, code redeemed through the canned
+    // transport (auth.ts:13-38), generation-1 set persisted
+    assert(TokenStore.consentUrl("cid", "https://cb", Seq("s"))
+      .contains("response_type=code"))
+    val t1 = TokenStore.redeemCode(TokenStore.cannedAuthServer,
+      code = "consent-code", redirectUri = "https://cb", nowEpochSec = 1000L)
+    assert(t1.accessToken == "acc-1" && t1.refreshToken == "ref-1")
+    assert(t1.expiresAt == 1000L + 1800L) // expires_in -> absolute
+    TokenStore.persist(t1, p)
+
+    // before expiry: load returns the same set, no token-endpoint call
+    val live = TokenStore.loadFresh(p, nowEpochSec = 2000L,
+      refresh = TokenStore.refresher(TokenStore.cannedAuthServer, 2000L))
+    assert(live == t1)
+
+    // past expiry: refresh POST through the same transport; generation 2
+    // (ROTATED refresh token) returned and persisted before returning
+    val t2 = TokenStore.loadFresh(p, nowEpochSec = 9000L,
+      refresh = TokenStore.refresher(TokenStore.cannedAuthServer, 9000L))
+    assert(t2.accessToken == "acc-2" && t2.refreshToken == "ref-2")
+    assert(t2.expiresAt == 9000L + 1800L)
+    assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == t2)
+
+    // the NEXT expiry refreshes with the rotated token -> generation 3
+    val t3 = TokenStore.loadFresh(p, nowEpochSec = 20000L,
+      refresh = TokenStore.refresher(TokenStore.cannedAuthServer, 20000L))
+    assert(t3.refreshToken == "ref-3")
+    assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == t3)
+  }
+
   test("activeTenant: entity index picks; empty list is a hard error") {
     assert(Config.activeTenant("pw", Seq("t0", "t1")) == "t0")
     assert(Config.activeTenant("wb", Seq("t0", "t1")) == "t1")
