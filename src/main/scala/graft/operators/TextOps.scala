@@ -335,6 +335,119 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── corpus vocabulary heavy hitters ────────────────────────────────
+
+    // Top-100 terms by corpus frequency (vocab building / contamination
+    // scanning). Scale shape: explode → one map-side-combined hash
+    // aggregate on term, then orderBy+limit — Spark plans a distributed
+    // TakeOrderedAndProject (per-partition partial top-k), NEVER a
+    // partition-less row_number window over the whole vocabulary.
+    Q("txt_vocab_topk",
+      s"""SELECT term, n FROM (
+         |  SELECT term, COUNT(*) AS n
+         |  FROM (SELECT unnest($toksSql) AS term FROM documents) t
+         |  GROUP BY term
+         |) ORDER BY n DESC, term LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(100)
+    },
+
+    // ── TF-IDF top terms per document ──────────────────────────────────
+
+    // Top-3 characteristic terms per doc. The idf is the RATIONAL form
+    // n_docs/df instead of ln(n_docs/df): every arithmetic step
+    // (int counts, one double multiply, one double divide) is exactly
+    // rounded IEEE, so Spark and DuckDB produce bit-identical scores —
+    // a transcendental ln is libm-dependent and would violate parity
+    // rule 3 (the ranking it induces is identical anyway: x ↦ ln is
+    // monotone). Scale shape: two hash aggregates (term freq per doc,
+    // doc freq per term), a broadcast one-row corpus count, a broadcast
+    // join of the term dictionary, and a doc_id-partitioned top-k
+    // window — no global window, no driver math.
+    Q("txt_tfidf",
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+         |           / CAST(df.df AS DOUBLE) AS score
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+         |)
+         |SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY score DESC, term) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = e.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") * col("n_docs").cast("double")
+            / col("df").cast("double")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "term", "score")
+        .orderBy("doc_id", "rn")
+    },
+
+    // ── curriculum quality bins (per-stratum quartiles) ────────────────
+
+    // ntile(4) of the quality score within each language — the
+    // curriculum-sampling bin assignment (train on bin 4 first, mix in
+    // lower bins later). Rank-based, so fully deterministic with the
+    // (quality, doc_id) total order — no percentile interpolation to
+    // disagree across engines. Scale note: the window partitions by
+    // stratum; for strata too hot for one task, the production form
+    // computes approximate quantile THRESHOLDS per stratum (tiny) and
+    // bins per-row against the broadcast thresholds.
+    Q("txt_quality_bins",
+      s"""SELECT doc_id, lang, quality,
+         |       CAST(ntile(4) OVER (PARTITION BY lang
+         |            ORDER BY quality, doc_id) AS INTEGER) AS bin
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         |           + 0.3 * least(1.0, n_tokens / 100.0)
+         |           + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, length(text) AS n_chars, len(t) AS n_tokens,
+         |           len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+         |           ${countInSql("t", Stop.flatMap(_._2))} AS n_stop
+         |    FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents) x) y
+         |) z ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("text"), toks(col("text")).as("t"))
+      val m = base.select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"), size(col("t")).as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;]")).as("n_punct"),
+        countIn(col("t"), Stop.flatMap(_._2)).as("n_stop"))
+      val quality =
+        lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+          lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+      val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+      m.select(col("doc_id"), col("lang"), quality.as("quality"))
+        .withColumn("bin", ntile(4).over(w))
+        .select("doc_id", "lang", "quality", "bin")
+        .orderBy("doc_id")
+    },
+
     // ── end-to-end near-dup pipeline: LSH candidates → exact re-rank ───
 
     // The composed production shape: MinHash-band candidate generation

@@ -78,6 +78,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("txt_vocab_topk: distributed top-k, not a global sort or window") {
+    // orderBy+limit must plan TakeOrderedAndProject (per-partition
+    // partial top-k) — a corpus-wide vocabulary never funnels through a
+    // single-task sort or a partition-less row_number window
+    val p = plan("txt_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), "vocab top-k uses a window:\n" + p.take(800))
+  }
+
+  test("txt_tfidf / txt_quality_bins: every ranking window is partitioned") {
+    // per-doc and per-stratum top-k/ntile windows must carry their
+    // partition keys; the corpus count joins as a broadcast single row
+    for (q <- Seq("txt_tfidf", "txt_quality_bins")) {
+      val wins = SparkEntry.queries(q)(spark, Sf001)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(wins.nonEmpty, s"$q: expected a ranking Window")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q: partition-less ranking window")
+    }
+  }
+
   test("snk_api_batch: no partition-less global window in the plan") {
     // the global batch rank comes from Ranking.globalRowNumber
     // (range-partition + per-partition offsets) — a bare
