@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Temporal joins Spark lacks as built-ins, composed from shuffle-safe
+  * primitives (SURVEY §2 "custom operators" preference order (a):
+  * compose existing ops — no custom physical plan needed).
+  *
+  * - `asOf`: for every left row, the latest right row at-or-before its
+  *   timestamp, per key. Implemented as the UNION TRICK: tag both sides,
+  *   union, one window partitioned by key ordered by (ts, side), carry
+  *   the last right payload forward, keep left rows. ONE shuffle on the
+  *   key, zero inequality joins — the naive `l.join(r, l.ts >= r.ts)`
+  *   Spark plans as a nested loop and explodes quadratically at scale.
+  * - `pointInInterval`: interval⋈point overlap join via COARSE-BUCKET
+  *   equi-join: intervals explode to the fixed-width buckets they cover
+  *   (≤ 2 when width ≥ interval length), points map to exactly one
+  *   bucket, equi-join on (key, bucket) then exact re-filter. Each
+  *   matching pair meets in precisely the point's bucket, so no
+  *   dedup pass is needed. Again: a shuffle join, never a cartesian.
+  *
+  * The DuckDB oracles use the native forms (ASOF JOIN / an IEJoin-able
+  * inequality join), so correctness is checked against an independent
+  * implementation, not a mirror of ours.
+  */
+object Temporal {
+
+  /** As-of join (backward, inclusive): for each `left` row the most
+    * recent `right` row with `right.ts <= left.ts` on the same `keys`.
+    *
+    * `right` must be unique per (keys, ts) — pre-aggregate ties first
+    * (ambiguous as-of matches are a data bug, not a tie to break
+    * silently). Right payload columns surface as `asof_<name>`, the
+    * matched right timestamp as `asof_<ts>`; unmatched left rows keep
+    * them null (left-outer semantics).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+           rightPayload: Seq[String]): DataFrame = {
+    val rSchema = right.schema
+    val leftOnly = left.columns.toSeq.diff(keys :+ ts)
+    val l = rightPayload.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(rSchema(c).dataType))
+    }
+    val r = leftOnly.foldLeft(right.withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (s"asof_$ts" ->
+      last(when(col("__side") === 0, col(ts)), ignoreNulls = true).over(w)) +:
+      rightPayload.map(c => s"asof_$c" ->
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    carried.foldLeft(l.unionByName(r)) { case (df, (n, c)) => df.withColumn(n, c) }
+      .filter(col("__side") === 1)
+      .select((left.columns.toSeq ++ carried.map(_._1)).map(col): _*)
+  }
+
+  /** Interval ⋈ point overlap (`start <= pt < end`, same `keys`) via the
+    * coarse-bucket equi-join. `bucketWidth` must be ≥ every interval
+    * length so an interval explodes to at most 2 buckets; integer
+    * `div` keeps the bucket math exact on epoch-micros longs.
+    */
+  def pointInInterval(intervals: DataFrame, points: DataFrame,
+                      keys: Seq[String], start: String, end: String,
+                      pt: String, bucketWidth: Long): DataFrame = {
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"$start div ${bucketWidth}L"),
+        expr(s"($end - 1) div ${bucketWidth}L"))))
+    val p = points.withColumn("__bucket", expr(s"$pt div ${bucketWidth}L"))
+    iv.join(p, keys :+ "__bucket")
+      .filter(col(pt) >= col(start) && col(pt) < col(end))
+      .drop("__bucket")
+  }
+
+  private val DayUs = 86400000000L
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("value"), col("event_type"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ── as-of join: last click state at each error ─────────────────────
+
+    // "What was the user's last click value when the error fired?" —
+    // the event-attribution / feature-at-prediction-time shape. Clicks
+    // pre-aggregate to one row per (user, us) (arg-max on event_id) so
+    // the as-of match is unambiguous; the oracle is DuckDB's NATIVE
+    // ASOF LEFT JOIN, an independent implementation of the semantics.
+    Q("join_asof",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), errors AS (
+        |  SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+        |)
+        |SELECT e.user_id, e.event_id, e.us,
+        |       c.us AS asof_us, c.value AS asof_value
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.us >= c.us
+        |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "us")
+        .agg(max(struct(col("event_id"), col("value"))).getField("value")
+          .as("value"))
+      asOf(errors, clicks, Seq("user_id"), "us", Seq("value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ── range join: errors inside the day after each click ─────────────
+
+    // Interval-overlap join ([click, click+1d) × error points per user).
+    // Spark side: the bucketed equi-join above (plan guard pins no
+    // nested loop); oracle side: a plain inequality join DuckDB executes
+    // as an IEJoin — independent semantics, same rows.
+    Q("join_range",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_type
+        |  FROM events
+        |)
+        |SELECT i.user_id, i.event_id AS click_id, p.event_id AS error_id,
+        |       p.us AS error_us, p.us - i.us AS lag_us
+        |FROM (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click') i
+        |JOIN (SELECT user_id, event_id, us FROM ev WHERE event_type = 'error') p
+        |  ON i.user_id = p.user_id
+        | AND p.us >= i.us AND p.us < i.us + 86400000000
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val intervals = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("start_us"), (col("us") + DayUs).as("end_us"))
+      val points = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("us").as("error_us"))
+      pointInInterval(intervals, points, Seq("user_id"),
+        "start_us", "end_us", "error_us", DayUs)
+        .select(col("user_id"), col("click_id"), col("error_id"),
+          col("error_us"), (col("error_us") - col("start_us")).as("lag_us"))
+        .orderBy("user_id", "click_id", "error_id")
+    }
+  )
+}

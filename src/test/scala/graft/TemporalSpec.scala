@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Semantics pins for the composed temporal joins: backward-inclusive
+  * as-of matching and half-open interval overlap, on fixtures small
+  * enough to enumerate by hand. */
+class TemporalSpec extends SparkSuite {
+
+  private def asOfOn(rows: Seq[(Long, Long, String)],
+                     rights: Seq[(Long, Long, Double)]) = {
+    val sp = spark
+    import sp.implicits._
+    val left = rows.toDF("k", "ts", "tag")
+    val right = rights.toDF("k", "ts", "v")
+    Temporal.asOf(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "ts", "tag")
+      .collect()
+      .map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .toSeq
+  }
+
+  test("asOf: backward inclusive, per key, null before the first right row") {
+    val out = asOfOn(
+      rows = Seq((1L, 5L, "before"), (1L, 10L, "at"), (1L, 17L, "between"),
+        (1L, 30L, "after"), (2L, 99L, "other-key")),
+      rights = Seq((1L, 10L, 1.5), (1L, 20L, 2.5)))
+    assert(out == Seq(
+      ("before", -1L, -1.0),    // no right row at-or-before ts=5
+      ("at", 10L, 1.5),         // inclusive: ts == right ts matches
+      ("between", 10L, 1.5),
+      ("after", 20L, 2.5),
+      ("other-key", -1L, -1.0)  // key 2 has no right rows at all
+    ))
+  }
+
+  test("pointInInterval: half-open bounds, bucket-straddling intervals match") {
+    val sp = spark
+    import sp.implicits._
+    // width 100; interval [95, 195) straddles buckets 0 and 1 — points in
+    // either bucket must match exactly once
+    val iv = Seq((1L, 10L, 95L, 195L)).toDF("k", "iv_id", "lo", "hi")
+    val pts = Seq(
+      (1L, 1L, 94L),   // before start → no
+      (1L, 2L, 95L),   // at start (inclusive) → yes, bucket 0
+      (1L, 3L, 150L),  // inside, bucket 1 → yes
+      (1L, 4L, 194L),  // last inside → yes
+      (1L, 5L, 195L),  // at end (exclusive) → no
+      (2L, 6L, 150L)   // wrong key → no
+    ).toDF("k", "pt_id", "pt")
+    val got = Temporal.pointInInterval(iv, pts, Seq("k"), "lo", "hi", "pt", 100L)
+      .select("pt_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("plans: asOf has no join at all; range join never nested-loops") {
+    val asofPlan = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"),
+      "as-of must be the union+window shape, not a join:\n" + asofPlan.take(600))
+    val rangePlan = SparkEntry.queries("join_range")(spark, SparkSuite.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("CartesianProduct") &&
+      !rangePlan.contains("BroadcastNestedLoopJoin"), rangePlan.take(600))
+    assert(rangePlan.contains("Join"), "range join lost its equi-join")
+  }
+}
