@@ -448,6 +448,111 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── PII-shaped masking (numeric redaction) ─────────────────────────
+
+    // Scrub digit runs from free-text payloads before they enter a
+    // training corpus (the numeric-PII shape: ids, phone fragments,
+    // account numbers). Pure per-row codegen'd regex — no shuffle, no
+    // UDF; the redaction count rides along for an audit trail. The
+    // pattern is ERE-safe so Java and RE2 agree; DuckDB needs the 'g'
+    // flag (its regexp_replace is first-match-only by default, Spark's
+    // replaces all).
+    Q("txt_redact",
+      """SELECT event_id,
+        |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+          regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_masked"))
+        .orderBy("event_id")
+    },
+
+    // ── eval-set contamination scan ────────────────────────────────────
+
+    // Per-training-doc overlap with a held-out eval slice's bigram set —
+    // the decontamination report run before any pretraining job. The
+    // eval slice is the salted-md5 rule (deterministic on any cluster,
+    // rerun-stable); overlap is a shingle-key equi-join against the
+    // DISTINCT eval shingle set, which is tiny relative to the corpus
+    // and broadcastable at scale — never an all-pairs doc comparison.
+    Q("txt_contamination", {
+      val evalPred =
+        "substr(md5(concat('eval#', CAST(doc_id AS VARCHAR))), 1, 2) < '10'"
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS sx
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 2
+         |), ev AS (
+         |  SELECT DISTINCT sx FROM sh WHERE $evalPred
+         |), tr AS (
+         |  SELECT doc_id, sx FROM sh WHERE NOT ($evalPred)
+         |)
+         |SELECT tr.doc_id, COUNT(*) AS n_shingles,
+         |       SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS contamination
+         |FROM tr LEFT JOIN ev ON tr.sx = ev.sx
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin }) { (s, d) =>
+      val isEval =
+        substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
+          .lt("10")
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+        .distinct()
+      val evalSh = sh.filter(isEval).select("sx").distinct()
+      sh.filter(!isEval)
+        .join(evalSh.withColumn("hit", lit(1L)), Seq("sx"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_shingles"))
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // ── training-sequence packing by token budget ──────────────────────
+
+    // Assign docs to fixed-capacity training sequences (budget = 256
+    // tokens) in deterministic (lang, doc_id) order: seq_id = the
+    // running token count before the doc, integer-divided by the
+    // budget; seq_offset = where the doc starts inside its sequence.
+    // A doc may straddle a boundary (greedy fill-and-continue packing —
+    // the trainer truncates or spans; the ASSIGNMENT is the operator).
+    // Pure integer math end to end, so the engines agree exactly.
+    // Scale: the prefix sum partitions by stratum; for one giant
+    // stratum the production form is Ranking.globalRowNumber's shape —
+    // range-partition, per-partition local sums, broadcast offsets.
+    Q("txt_pack",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |              AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, n_tokens, cum0 // 256 AS seq_id,
+         |       cum0 % 256 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum0", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("cum0 div 256").as("seq_id"),
+          (col("cum0") % 256).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+
     // ── end-to-end near-dup pipeline: LSH candidates → exact re-rank ───
 
     // The composed production shape: MinHash-band candidate generation

@@ -362,6 +362,64 @@ object Vectors {
         .filter(col("rn") <= 10)
         .select("q_id", "rn", "vec_id", "cos")
         .orderBy("q_id", "rn")
+    },
+
+    // ── int8 scalar quantization ───────────────────────────────────────
+
+    // Per-vector symmetric int8 quantization (the storage/serving format
+    // for large embedding corpora: 4× smaller than float32, dot products
+    // stay integer until one final rescale). scale = max|x|; q_i =
+    // ⌊x_i/scale·127 + 0.5⌋ — floor-based half-up so BOTH engines round
+    // identically (`round()` ties differ across engines, rule 1), every
+    // step exact IEEE double. max_err is the reconstruction check
+    // (max over dims is order-free, unlike a sum). The int8 lane string
+    // keeps the output comparator-hashable (rule 4: no array columns).
+    // Per-row codegen'd expressions only — no shuffle at all beyond the
+    // final presentation sort.
+    Q("vec_quantize_int8", {
+      val m = "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)"
+      s"""SELECT vec_id, $m AS scale,
+         |       array_to_string(list_transform(embedding, x ->
+         |         CAST(floor(CAST(x AS DOUBLE) / $m * 127.0 + 0.5) AS BIGINT)), ',') AS q8,
+         |       CAST(list_max(list_transform(embedding, x ->
+         |         abs(floor(CAST(x AS DOUBLE) / $m * 127.0 + 0.5) * ($m / 127.0)
+         |             - CAST(x AS DOUBLE)))) AS DOUBLE) AS max_err
+         |FROM embeddings ORDER BY vec_id""".stripMargin }) { (s, d) =>
+      val scale = array_max(transform(col("embedding"), x => abs(x)))
+        .cast("double")
+      def q8(x: Column) =
+        floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5))
+      Tables.embeddings(s, d)
+        .withColumn("scale", scale)
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("embedding"),
+            x => q8(x).cast("long")), ",").as("q8"),
+          array_max(transform(col("embedding"),
+            x => abs(q8(x) * (col("scale") / lit(127.0)) - x.cast("double"))))
+            .cast("double").as("max_err"))
+        .orderBy("vec_id")
+    },
+
+    // ── L2 normalization, exploded to comparator-safe scalar rows ──────
+
+    // Unit-norm embeddings (cosine becomes plain dot product downstream).
+    // Output explodes to (vec_id, dim, v) DOUBLE rows instead of a
+    // double-array column: arrays aren't hashable by the comparator and
+    // stringified doubles aren't engine-portable (rule 7) — scalars are.
+    // The norm is the pinned left-fold Σx² (same as `dot`), sqrt/div are
+    // correctly-rounded IEEE, so values match bit-for-bit.
+    Q("vec_normalize",
+      s"""WITH $normedSql
+         |SELECT vec_id, CAST(i AS INTEGER) AS dim,
+         |       CAST(embedding[i] AS DOUBLE) / nrm AS v
+         |FROM nrm CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      normed(s, d)
+        .select(col("vec_id"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
+          (col("x").cast("double") / col("nrm")).as("v"))
+        .orderBy("vec_id", "dim")
     }
   )
 }
