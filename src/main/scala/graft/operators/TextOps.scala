@@ -67,7 +67,7 @@ object TextOps {
 
   /** documents ∪ near-clones (tail-perturbed text) — MinHash candidate
     * generation needs near-duplicates to find. */
-  private def withNearClones(s: SparkSession, d: String): DataFrame = {
+  private[operators] def withNearClones(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text")
     base.unionByName(
       base.filter(col("doc_id") % 10 === 0)
@@ -108,8 +108,35 @@ object TextOps {
     nearCloneShingles(s, d).groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
+  /** SQL mirror of nearCloneShingles→minhashSig→minhashCandidates as a
+    * CTE chain (docs, t, sig, bands, cand) — shared by every oracle that
+    * starts from the banded MinHash candidate pairs. */
+  private[operators] val minhashCandSql: String = {
+    val sigs = (0 until 4).map(k =>
+      s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
+      .mkString(",\n         ")
+    s"""$withNearClonesSql,
+       |t AS (
+       |  SELECT doc_id, ${bigramsSql("t")} AS sh
+       |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
+       |  WHERE len(t) >= 2
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $sigs
+       |  FROM t
+       |), bands AS (
+       |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat(h2, h3) AS key FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   /** 2×2 banding of the signatures: candidate pairs share a band key. */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d)
     val bands = sig.select(col("doc_id"), lit(0).as("band"),
       concat(col("h0"), col("h1")).as("key"))
@@ -561,28 +588,8 @@ object TextOps {
     // thresholded to survivors. At 100 TB every stage is a bucket join
     // or a doc_id-keyed aggregate; the all-pairs kernel never sees more
     // than the banded candidates.
-    Q("dedup_pipeline", {
-      val sigs = (0 until 4).map(k =>
-        s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
-        .mkString(",\n         ")
-      s"""WITH $withNearClonesSql,
-         |t AS (
-         |  SELECT doc_id, ${bigramsSql("t")} AS sh
-         |  FROM (SELECT doc_id, $toksSql AS t FROM docs) x
-         |  WHERE len(t) >= 2
-         |), sig AS (
-         |  SELECT doc_id,
-         |         $sigs
-         |  FROM t
-         |), bands AS (
-         |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, concat(h2, h3) AS key FROM sig
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), e AS (
+    Q("dedup_pipeline",
+      s"""WITH $minhashCandSql, e AS (
          |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
          |  WHERE doc_id IN (SELECT a_id FROM cand UNION SELECT b_id FROM cand)
          |), sz AS (
@@ -599,7 +606,7 @@ object TextOps {
          |FROM inter i JOIN sz sa ON i.a_id = sa.doc_id
          |             JOIN sz sb ON i.b_id = sb.doc_id
          |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin }) { (s, d) =>
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       // exploded shingles feed BOTH the signature stage and the exact
       // re-rank — materialize the interpreted tokenize/explode once
       // (no-op when Bench already session-persisted the same subplan)
