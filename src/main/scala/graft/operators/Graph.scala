@@ -37,28 +37,56 @@ object Graph {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // persist the EDGE LIST, not the symmetrized union: both union
+    // branches then read one cached copy instead of materializing the
+    // (possibly expensive) edge derivation twice
+    val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // only vertices that touch an edge can ever change label — the
+    // propagation loop runs on the candidate SUBGRAPH (normally ≪ the
+    // corpus: most docs have no dup candidate), and the singleton
+    // majority bypasses every round as its own cluster. `ids` is
+    // checkpointed so the bypass branch of the returned plan doesn't
+    // depend on `e` after it is unpersisted.
+    val ids = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val solo = vertices.select(col("id"))
+      .join(ids, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    // convergence probe: labels only ever DECREASE under min-propagation,
+    // so Σlabel is strictly monotone until the fixpoint — one tiny
+    // aggregate on the already-checkpointed round result replaces a
+    // join-with-previous + count job per round. Decimal sum: exact and
+    // overflow-free at any vertex-count × id-range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    // LAZY checkpoints: the convergence probe is the action that
+    // materializes each round, so a round costs one job, not two
+    var labels = vertices.select(col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = false)
+    var prevSum = labelSum(labels)
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    var converged = false
+    while (!converged && it < maxIter) {
       val viaNbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"))
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so "<" counts exactly the changes
-      changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") < col("prev")).count()
+        .localCheckpoint(eager = false)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       it += 1
     }
-    sym.unpersist()
-    labels
+    e.unpersist()
+    labels.unionByName(solo)
   }
 
   val queries: Seq[Q] = Seq(
