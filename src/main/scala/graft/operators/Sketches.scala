@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Deterministic cardinality sketching (distinct users per event type
+  * via K-Minimum-Values). This module holds the window-form twin that
+  * the DuckDB oracle can check EXACTLY — KMV, unlike HLL, is a pure
+  * function of the hash values, so both engines compute the identical
+  * estimate. The production aggregation form (bounded O(k) state,
+  * map-side-combinable merge) is functions/KmvSketch; SketchSpec pins
+  * the two equal to the last bit.
+  */
+object Sketches {
+
+  private val K = 32
+  private val Norm = 4.503599627370496e15 // 16^13 = 2^52, exact double
+
+  /** DuckDB: first-13-hex-chars value of `h` as a BIGINT polynomial
+    * (mirror of Spark's conv(substring(h,1,13),16,10)). */
+  private def hex13Sql(h: String): String =
+    (1 to 13).map { j =>
+      val w = 1L << (4 * (13 - j))
+      s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * $w"
+    }.mkString(" + ")
+
+  val queries: Seq[Q] = Seq(
+
+    // Distinct users per event type, exact AND KMV-estimated: the k-th
+    // smallest md5 per group yields est = (k−1)/u_k. Groups with fewer
+    // than k distinct members have no k-th minimum and fall back to the
+    // exact path in production (KmvSketch.finish); here every group is
+    // over k. The window form sorts each group's full distinct set —
+    // the checkable twin; the scale form is the bounded-state
+    // aggregator (see module doc).
+    Q("sketch_kmv_distinct",
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |), h AS (
+         |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d
+         |), r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+         |  FROM h
+         |)
+         |SELECT event_type, n_exact,
+         |       ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
+         |                     / 4503599627370496.0) AS kmv_est
+         |FROM r WHERE rn = $K ORDER BY event_type""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .select("event_type", "user_id").distinct()
+        .select(col("event_type"),
+          md5(col("user_id").cast("string")).as("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val wAll = Window.partitionBy("event_type")
+      h.select(col("event_type"), col("h"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n_exact"))
+        .filter(col("rn") === K)
+        .select(col("event_type"), col("n_exact"),
+          (lit((K - 1).toDouble) /
+            (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
+              / lit(Norm))).as("kmv_est"))
+        .orderBy("event_type")
+    }
+  )
+}

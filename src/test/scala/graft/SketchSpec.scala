@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+
+/** KMV sketch pins: the bounded-state aggregator must equal the
+  * window-form query bit-for-bit (same hash, same estimator), stay
+  * exact below k distinct values, and land near the true cardinality
+  * on real data. */
+class SketchSpec extends SparkSuite {
+
+  test("aggregator ≡ window-form query, fed RAW duplicated rows") {
+    val sp = spark
+    import sp.implicits._
+    // raw events (duplicate users galore) through the aggregator…
+    val agg = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(KmvSketch.toColumn.name("kmv_est"))
+      .collect().toMap
+    // …must equal the oracled window form exactly (same doubles)
+    val q = SparkEntry.queries("sketch_kmv_distinct")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q.nonEmpty)
+    q.foreach { case (et, est) =>
+      assert(agg(et) == est, s"$et: aggregator ${agg(et)} != query $est")
+    }
+  }
+
+  test("below k distinct values the sketch is exact") {
+    val vals = (1 to 10).map(i => s"v$i")
+    val buf = vals.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    assert(KmvSketch.finish(buf) == 10.0)
+    // duplicates must not inflate it
+    val buf2 = (vals ++ vals).foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    assert(KmvSketch.finish(buf2) == 10.0)
+  }
+
+  test("merge is order-insensitive and cap-respecting") {
+    val a = (1 to 100).map(i => s"a$i").foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    val b = (1 to 100).map(i => s"b$i").foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    val ab = KmvSketch.merge(a, b)
+    val ba = KmvSketch.merge(b, a)
+    assert(ab == ba)
+    assert(ab.size == KmvSketch.K)
+    assert(ab == ab.sorted && ab.distinct == ab)
+  }
+
+  test("estimate lands within 50% of the true cardinality") {
+    val rows = SparkEntry.queries("sketch_kmv_distinct")(spark, SparkSuite.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      assert(est > exact * 0.5 && est < exact * 1.5,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+}
