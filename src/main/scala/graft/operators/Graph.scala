@@ -65,10 +65,17 @@ object Graph {
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .head.getDecimal(0)
     // LAZY checkpoints: the convergence probe is the action that
-    // materializes each round, so a round costs one job, not two
+    // materializes each round, so a round costs one job, not two.
+    // Round 1 is FUSED into initialization: with identity labels,
+    // propagating min over self∪neighbors IS the first round, so the
+    // textbook identity-init round never runs as its own job. Its probe
+    // sum CANNOT equal a later round's (it would require every label
+    // stationary already, which the loop then confirms in one round).
     var labels = vertices.select(col("id"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
+      .unionByName(sym.select(col("src").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var it = 0

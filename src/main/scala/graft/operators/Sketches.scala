@@ -29,12 +29,12 @@ object Sketches {
   val queries: Seq[Q] = Seq(
 
     // Distinct users per event type, exact AND KMV-estimated: the k-th
-    // smallest md5 per group yields est = (k−1)/u_k. Groups with fewer
-    // than k distinct members have no k-th minimum and fall back to the
-    // exact path in production (KmvSketch.finish); here every group is
-    // over k. The window form sorts each group's full distinct set —
-    // the checkable twin; the scale form is the bounded-state
-    // aggregator (see module doc).
+    // smallest md5 per group yields est = (k−1)/u_k. A group with
+    // fewer than k distinct members takes the sketch's exact path
+    // (KmvSketch.finish returns the count when the buffer never
+    // filled) — same branch here, via rn = min(k, n). The window form
+    // sorts each group's full distinct set — the checkable twin; the
+    // scale form is the bounded-state aggregator (see module doc).
     Q("sketch_kmv_distinct",
       s"""WITH d AS (
          |  SELECT DISTINCT event_type, user_id FROM events
@@ -47,9 +47,11 @@ object Sketches {
          |  FROM h
          |)
          |SELECT event_type, n_exact,
-         |       ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
-         |                     / 4503599627370496.0) AS kmv_est
-         |FROM r WHERE rn = $K ORDER BY event_type""".stripMargin) { (s, d) =>
+         |       CASE WHEN n_exact < $K THEN CAST(n_exact AS DOUBLE)
+         |            ELSE ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
+         |                               / 4503599627370496.0) END AS kmv_est
+         |FROM r WHERE rn = least($K, n_exact)
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
       val h = Tables.events(s, d)
         .select("event_type", "user_id").distinct()
         .select(col("event_type"),
@@ -59,11 +61,12 @@ object Sketches {
       h.select(col("event_type"), col("h"),
           row_number().over(w).as("rn"),
           count(lit(1)).over(wAll).as("n_exact"))
-        .filter(col("rn") === K)
+        .filter(col("rn") === least(lit(K), col("n_exact")))
         .select(col("event_type"), col("n_exact"),
-          (lit((K - 1).toDouble) /
-            (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
-              / lit(Norm))).as("kmv_est"))
+          when(col("n_exact") < K, col("n_exact").cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
+                / lit(Norm))).as("kmv_est"))
         .orderBy("event_type")
     }
   )
