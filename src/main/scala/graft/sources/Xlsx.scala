@@ -22,10 +22,11 @@ import scala.collection.mutable
   * serial — /root/reference/src/parse.ts:64); [[serialDate]] converts
   * when a consumer wants the calendar date.
   *
-  * Legacy BIFF `.xls` (an OLE2/CFB binary container, not a ZIP) is
-  * detected by magic and REJECTED LOUDLY — the reference's file regex
-  * accepts `.xls[x]?` via SheetJS, but a binary BIFF parser is out of
-  * scope here and a silent empty read would be worse than an error.
+  * Legacy BIFF8 `.xls` (an OLE2/CFB binary container, not a ZIP) is
+  * detected by magic and dispatched to the first-party [[Xls]] reader —
+  * the reference's file regex accepts `.xls[x]?` via SheetJS and its own
+  * output template writes `.xls`. Unsupported legacy forms (BIFF5,
+  * encrypted) fail loudly there; never a silent empty read.
   *
   * Cell values stay raw STRINGS — the grid is schema-on-read (sentinel
   * text shares columns with numbers), numeric reads happen downstream
@@ -121,7 +122,7 @@ object Xlsx {
     * common readers): strip color/condition `[...]` blocks, quoted
     * literals, and escaped chars; what's left is a date format iff it
     * still contains a y/m/d/h/s token. */
-  private def isDateFmt(id: Int, code: Option[String]): Boolean =
+  private[sources] def isDateFmt(id: Int, code: Option[String]): Boolean =
     BuiltinDateIds(id) || code.exists { c =>
       c.replaceAll("\\[[^\\]]*\\]", "")
         .replaceAll("\"[^\"]*\"", "")
@@ -226,13 +227,15 @@ object Xlsx {
   def serialDate(serial: Double): java.time.LocalDate =
     java.time.LocalDate.of(1899, 12, 30).plusDays(serial.toLong)
 
-  /** Parse one workbook's bytes: the named sheet's cells. Rejects legacy
-    * BIFF `.xls` bytes loudly (never a silent empty read). */
+  /** Parse one workbook's bytes: the named sheet's cells. Legacy BIFF8
+    * `.xls` bytes (OLE2/CFB magic) dispatch to the first-party [[Xls]]
+    * reader — the reference's own filename template writes `.xls`
+    * (/root/reference/src/helpers.ts:76) — and unsupported legacy forms
+    * (BIFF5, encrypted) still fail loudly there, never a silent empty
+    * read. */
   def parse(bytes: Array[Byte], sheetName: String): Seq[Cell] = {
     if (isCompoundFile(bytes))
-      throw new IllegalArgumentException(
-        "legacy BIFF '.xls' workbook (OLE2 compound file) — this source " +
-          "reads OOXML '.xlsx' only; re-save the workbook as .xlsx")
+      return Xls.parse(bytes, sheetName)
     val parts = entries(bytes)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(sharedStrings).getOrElse(IndexedSeq.empty)

@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (schema-on-read; numeric reads are downstream `try_cast`s).
   *
   * Options: `path` (dir or file), `sheet` (default "A4 Summary"),
-  * `pattern` (file-NAME regex, default `.*\.xlsx$`; the reference's DD
-  * check would be `^DD \d\d\.xlsx$`).
+  * `pattern` (file-NAME regex, default `.*\.xlsx?$` — both OOXML and
+  * legacy BIFF8 workbooks, dispatched by magic like the reference's
+  * `DD \d\d.xls[x]?` regex via SheetJS; a DD-only load would pass
+  * `^DD \d\d\.xlsx?$`).
   */
 class XlsxTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -36,7 +38,7 @@ class XlsxTableProvider extends TableProvider {
     new XlsxTable(
       properties.get("path"),
       Option(properties.get("sheet")).getOrElse("A4 Summary"),
-      Option(properties.get("pattern")).getOrElse(".*\\.xlsx$"))
+      Option(properties.get("pattern")).getOrElse(".*\\.xlsx?$"))
 }
 
 object XlsxTableProvider {

@@ -165,8 +165,9 @@ class XlsxSpec extends SparkSuite {
     assert(!cells((1, "B")).isDate)  // 'd'/'y'/'s' only in quotes/brackets
   }
 
-  test("legacy BIFF .xls bytes are rejected loudly, naming the format") {
-    // OLE2/CFB magic — what a real 97-2003 .xls starts with
+  test("malformed BIFF .xls bytes are rejected loudly, naming the format") {
+    // OLE2/CFB magic but truncated garbage — must fail loudly, never an
+    // empty read (valid BIFF8 now parses via the Xls reader, XlsSpec)
     val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
       .map(_.toByte) ++ Array.fill(64)(0.toByte)
     val e = intercept[IllegalArgumentException] {
