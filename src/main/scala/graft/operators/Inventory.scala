@@ -20,13 +20,10 @@ object Inventory {
     * "A4 Summary", date serial in B3 as the reference reads it,
     * /root/reference/src/parse.ts:63-64), written to a deterministic
     * temp drop-dir. Returns the dir. */
-  def ensureXlsxFixture(): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xlsx-drop")
-    Files.createDirectories(dir)
+  private def fixtureCells: Seq[XlsxWrite.CellOut] = {
     def s(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = false)
     def n(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = true)
-    val cells = Seq(
+    Seq(
       n("B3", "45000"),
       n("D15", "-2.50"), // till variance (parse.ts:65: ws?.D15?.v ?? 0)
       s("C5", "Amount"),
@@ -40,8 +37,25 @@ object Inventory {
       n("C29", "-30.00"), s("D29", "7001"), n("E29", "16"), s("F29", "pay note"),
       n("C31", "20.00"), s("D31", "7002"), n("E31", "17"),
       s("D32", "Total Charges"))
+  }
+
+  def ensureXlsxFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xlsx-drop")
+    Files.createDirectories(dir)
     Files.write(dir.resolve("DD 15.xlsx"),
-      XlsxWrite.workbook("A4 Summary", cells))
+      XlsxWrite.workbook("A4 Summary", fixtureCells))
+    dir.toString
+  }
+
+  /** The SAME grid written as a legacy BIFF8 `.xls` — the reference's
+    * own output extension (/root/reference/src/helpers.ts:76). */
+  def ensureXlsFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xls-drop")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("DD 16.xls"),
+      graft.sources.XlsWrite.workbook("A4 Summary", fixtureCells))
     dir.toString
   }
 
@@ -68,6 +82,33 @@ object Inventory {
         .option("pattern", "^DD \\d\\d\\.xlsx$")
         .load(dir)
       // the reference reads the day's date from cell B3 (a point lookup)
+      val serial = grid.filter(col("row_idx") === 3)
+        .select(col("colB").cast("int")).head().getInt(0)
+      CellGrid.parse(grid, excelSerialDate = serial)
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("row_idx")
+    },
+
+    // The SAME end-to-end flow from a legacy BIFF8 .xls workbook — the
+    // reference's production format (its filename template writes
+    // `.xls`, /root/reference/src/helpers.ts:76; SheetJS reads both at
+    // src/parse.ts:61-63). The DSv2 source dispatches on the CFB magic
+    // to the first-party Xls reader; identical oracle rows prove the
+    // binary path parses the grid identically to OOXML.
+    Q("src_xls_file",
+      """SELECT * FROM (
+        |  SELECT 'SALE' AS rowType, DATE '2023-03-15' AS date, CAST(100.00 AS DOUBLE) AS amount,
+        |         '45678' AS customerId, '0012' AS seqNo, 'note a' AS notes, 22 AS row_idx
+        |  UNION ALL SELECT 'CR', DATE '2023-03-15', CAST(-25.50 AS DOUBLE), '9001', '0013', NULL, 23
+        |  UNION ALL SELECT 'SALE', DATE '2023-03-15', CAST(50.00 AS DOUBLE), '42', '0015', NULL, 26
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(30.00 AS DOUBLE), '7001', '0016', 'pay note', 29
+        |  UNION ALL SELECT 'PAYMENT', DATE '2023-03-15', CAST(20.00 AS DOUBLE), '7002', '0017', NULL, 31
+        |) t ORDER BY row_idx""".stripMargin) { (s, _) =>
+      val dir = ensureXlsFixture()
+      val grid = s.read.format(classOf[XlsxTableProvider].getName)
+        .option("sheet", "A4 Summary")
+        .option("pattern", "^DD \\d\\d\\.xls$")
+        .load(dir)
       val serial = grid.filter(col("row_idx") === 3)
         .select(col("colB").cast("int")).head().getInt(0)
       CellGrid.parse(grid, excelSerialDate = serial)

@@ -67,7 +67,7 @@ class PlanSpec extends SparkSuite {
     // CellGrid's band/bound windows must carry the file_name partition
     // key — a partition-less window funnels every workbook in a drop-dir
     // through ONE task (VERDICT r2 weak #3)
-    for (q <- Seq("src_xlsx_grid", "src_xlsx_file")) {
+    for (q <- Seq("src_xlsx_grid", "src_xlsx_file", "src_xls_file")) {
       val wins = SparkEntry.queries(q)(spark, Sf001)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
