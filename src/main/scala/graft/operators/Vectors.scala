@@ -244,6 +244,66 @@ object Vectors {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  // ── product quantization: M=8 subspaces × 8 dims, K=4 codewords ─────
+
+  val PqM = 8
+  val PqK = 4
+  val PqSub: Int = Dim / PqM
+
+  /** Literal LCG codebook (index space disjoint from the LSH planes and
+    * IVF centroids), scaled into the embeddings' value range. */
+  def pqCb(m: Int, k: Int, j: Int): Double =
+    plane(Planes + FixedNList + m * PqK + k, j) / 4096.0
+
+  private def pqSubVec(e: Column, m: Int): Column =
+    slice(e, m * PqSub + 1, PqSub)
+
+  /** ‖sub − C[m][k]‖², the pinned left-fold (same association as the
+    * oracle's explicit 8-term sum). */
+  private def pqDist(sub: Column, m: Int, k: Int): Column = {
+    val cb = array((0 until PqSub).map(j => lit(pqCb(m, k, j))): _*)
+    aggregate(zip_with(sub, cb, (x, c) =>
+      (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** argmin_k of the subspace distance — per-row array_min over
+    * (dist, k) structs, ties to the smallest k; pure codegen'd
+    * expression, so PQ ENCODING shuffles nothing at any corpus size. */
+  private def pqCode(e: Column, m: Int): Column =
+    array_min(array((0 until PqK).map(k =>
+      struct(pqDist(pqSubVec(e, m), m, k).as("d"), lit(k).as("k"))): _*))
+      .getField("k")
+
+  /** DuckDB: ‖e_sub − C[m][k]‖² as an explicit left-associated 8-term
+    * sum over `e`'s slice for literal m, k. */
+  private def pqDistSql(e: String, m: Int, k: Int): String =
+    (0 until PqSub).map { j =>
+      val c = pqCb(m, k, j)
+      s"(CAST($e[${m * PqSub + j + 1}] AS DOUBLE) - $c) * " +
+        s"(CAST($e[${m * PqSub + j + 1}] AS DOUBLE) - $c)"
+    }.mkString(" + ")
+
+  /** DuckDB CTEs: per-(vec, subspace) argmin codes, pivoted to one row
+    * per vector with code0..code7 columns. */
+  private def pqEncSql: String = {
+    val dists = (0 until PqM).flatMap(m => (0 until PqK).map(k =>
+      s"SELECT vec_id, $m AS m, $k AS k, ${pqDistSql("embedding", m, k)} AS dist FROM embeddings"))
+      .mkString("\n  UNION ALL ")
+    val pivot = (0 until PqM).map(m =>
+      s"CAST(MAX(CASE WHEN m = $m THEN k END) AS INTEGER) AS code$m")
+      .mkString(", ")
+    s"""pqd AS (
+       |  $dists
+       |), pqa AS (
+       |  SELECT vec_id, m, k,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rk
+       |  FROM pqd
+       |), enc AS (
+       |  SELECT vec_id, $pivot FROM pqa WHERE rk = 1 GROUP BY vec_id
+       |)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: every query vector scored against every
@@ -420,6 +480,76 @@ object Vectors {
         .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
           (col("x").cast("double") / col("nrm")).as("v"))
         .orderBy("vec_id", "dim")
+    },
+
+    // ── product quantization: encode ───────────────────────────────────
+
+    // PQ codes: each vector compresses to M=8 codes of K=4 codewords
+    // (8× float32→4-bit-class compression; the storage format IVF-PQ
+    // indexes serve from). Encoding is a pure per-row codegen'd
+    // expression — nothing shuffles — and the fixed LCG codebook makes
+    // it deterministic, so the oracle checks the exact code assignment
+    // (argmin ties to the smallest codeword in both engines).
+    Q("vec_pq_codes",
+      s"""WITH ${pqEncSql}
+         |SELECT vec_id,
+         |       ${(0 until PqM).map(m => s"CAST(code$m AS VARCHAR)")
+                  .mkString("concat_ws(',', ", ", ", ")")} AS pq_codes
+         |FROM enc ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          concat_ws(",", (0 until PqM).map(m =>
+            pqCode(col("embedding"), m).cast("string")): _*).as("pq_codes"))
+        .orderBy("vec_id")
+    },
+
+    // ── product quantization: ADC search ───────────────────────────────
+
+    // Asymmetric distance computation: the query stays full-precision;
+    // each candidate contributes only its 8 codes, and the distance is
+    // Σ_m ‖q_sub − C[m][code_m]‖² — a per-subspace table lookup
+    // (element_at over the 4 precomputed query-side distances), never a
+    // decode of the candidate vector. At scale this is the in-list
+    // re-rank kernel of an IVF-PQ index: candidates arrive
+    // partition-pruned from the probed lists (sim_ivf_fixed), and the
+    // scan reads CODES (4 bytes/vec) instead of embeddings (256
+    // bytes/vec). The 5-query side broadcasts, exactly like the
+    // brute-force baseline it replaces.
+    Q("sim_pq_adc", {
+      def adcSql(qe: String): String =
+        (0 until PqM).map { m =>
+          val lut = (0 until PqK).map(k => pqDistSql(qe, m, k))
+            .mkString("[", ", ", "]")
+          s"($lut[c.code$m + 1])"
+        }.mkString(" + ")
+      s"""WITH ${pqEncSql},
+         |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q.q_id, c.vec_id, ${adcSql("q.embedding")} AS adc
+         |  FROM q JOIN enc c ON c.vec_id <> q.q_id
+         |)
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY adc, vec_id) AS rn
+         |  FROM p) t
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin }) { (s, d) =>
+      val enc = Tables.embeddings(s, d).select(
+        (col("vec_id") +: (0 until PqM).map(m =>
+          pqCode(col("embedding"), m).as(s"code$m"))): _*)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+      val adc = (0 until PqM).map { m =>
+        val lut = array((0 until PqK).map(k =>
+          pqDist(pqSubVec(col("eq"), m), m, k)): _*)
+        element_at(lut, col(s"code$m") + 1)
+      }.reduce(_ + _)
+      val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+      broadcast(q).join(enc, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "rn", "vec_id", "adc")
+        .orderBy("q_id", "rn")
     }
   )
 }

@@ -87,4 +87,23 @@ class VectorsSpec extends SparkSuite {
       bf.get(k).foreach(c => assert(c == r.getDouble(3)))
     }
   }
+
+  test("PQ codes are non-degenerate and ADC is a sane ranking") {
+    // every subspace position must actually discriminate (≥2 codewords
+    // in use) — a constant code column means the codebook scale is off
+    val codes = SparkEntry.queries("vec_pq_codes")(spark, Sf001)
+      .collect().map(_.getString(1).split(",").map(_.toInt))
+    assert(codes.length == 500)
+    for (m <- 0 until 8)
+      assert(codes.map(_(m)).distinct.length >= 2, s"subspace $m degenerate")
+    // ADC: per query exactly 10 ranked rows, non-negative, non-decreasing
+    val adc = SparkEntry.queries("sim_pq_adc")(spark, Sf001).collect()
+    val perQ = adc.groupBy(_.getLong(0))
+    assert(perQ.size == 5 && perQ.values.forall(_.length == 10))
+    perQ.values.foreach { rows =>
+      val ds = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.forall(_ >= 0.0))
+      assert(ds.sliding(2).forall(p => p(0) <= p(1)), "ADC not sorted")
+    }
+  }
 }
