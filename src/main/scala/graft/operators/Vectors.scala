@@ -186,11 +186,16 @@ object Vectors {
     * VALUES table, window-ranked assignment/probe (same max-dot /
     * smallest-list-id tie-break as the struct-min expression), identical
     * candidate join and re-rank. */
-  private def ivfFixedSql(k: Int, nlist: Int, nprobe: Int): String = {
-    def cdot(e: String): String =
-      (1 to Dim).map(i => s"CAST($e[$i] AS DOUBLE) * c.center[$i]")
-        .mkString(" + ")
-    s"""WITH $normedSql,
+  private def cdotSql(e: String): String =
+    (1 to Dim).map(i => s"CAST($e[$i] AS DOUBLE) * c.center[$i]")
+      .mkString(" + ")
+
+  /** The shared IVF-fixed CTE chain (normed → centroid table →
+    * assignment → queries → probe lists); the cosine re-rank and the
+    * PQ-ADC re-rank both continue from `probes`/`assigned`. */
+  private def ivfFixedCtes(nlist: Int, nprobe: Int): String = {
+    def cdot(e: String): String = cdotSql(e)
+    s"""$normedSql,
        |cen AS (SELECT * FROM (VALUES
        |    ${(0 until nlist).map { c =>
              val arr = (1 to Dim).map(j => fixedCentroid(c, j)).mkString("[", ", ", "]")
@@ -212,7 +217,11 @@ object Vectors {
        |             ORDER BY (${cdot("q.embedding")}) DESC, c.list_id) AS crk
        |    FROM q CROSS JOIN cen c) t
        |  WHERE crk <= $nprobe
-       |),
+       |)""".stripMargin
+  }
+
+  private def ivfFixedSql(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH ${ivfFixedCtes(nlist, nprobe)},
        |p AS (
        |  SELECT q.q_id, a.vec_id,
        |         (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) AS cos
@@ -225,7 +234,6 @@ object Vectors {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM p) t
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
-  }
 
   /** Per-group embedding centroid, fully distributed: posexplode to
     * (group, dim, value), one hash-aggregate per (group, dim), then
@@ -545,6 +553,64 @@ object Vectors {
       }.reduce(_ + _)
       val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
       broadcast(q).join(enc, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "rn", "vec_id", "adc")
+        .orderBy("q_id", "rn")
+    },
+
+    // ── IVF-PQ: the composed production ANN index ──────────────────────
+
+    // Coarse quantizer prunes to nprobe inverted lists (partition-pruned
+    // scans at cluster scale), then the PQ-ADC kernel ranks ONLY the
+    // in-list candidates by code lookup — the FAISS-style IVFPQ shape:
+    // the full-precision corpus is never scanned and never decoded.
+    // Everything downstream of the fixed quantizer is deterministic, so
+    // the whole composed index is oracle-checked end-to-end.
+    Q("sim_ivfpq_fixed", {
+      def adcSql(qe: String): String =
+        (0 until PqM).map { m =>
+          val lut = (0 until PqK).map(k => pqDistSql(qe, m, k))
+            .mkString("[", ", ", "]")
+          s"($lut[c.code$m + 1])"
+        }.mkString(" + ")
+      s"""WITH ${ivfFixedCtes(FixedNList, FixedNProbe)},
+         |${pqEncSql},
+         |p AS (
+         |  SELECT q.q_id, a.vec_id, ${adcSql("q.embedding")} AS adc
+         |  FROM probes pr
+         |  JOIN assigned a ON a.list_id = pr.list_id
+         |  JOIN enc c ON c.vec_id = a.vec_id
+         |  JOIN q ON q.q_id = pr.q_id
+         |  WHERE a.vec_id <> q.q_id
+         |)
+         |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY adc, vec_id) AS rn
+         |  FROM p) t
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin }) { (s, d) =>
+      val assigned = Tables.embeddings(s, d).select(
+        (col("vec_id") +:
+          array_min(centroidScores(col("embedding"), FixedNList))
+            .getField("list_id").as("list_id") +:
+          (0 until PqM).map(m => pqCode(col("embedding"), m).as(s"code$m"))): _*)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+      val probes = q
+        .select(col("q_id"), explode(
+          slice(array_sort(centroidScores(col("eq"), FixedNList)), 1,
+            FixedNProbe)).as("sc"))
+        .select(col("q_id"), col("sc.list_id").as("list_id"))
+      val adc = (0 until PqM).map { m =>
+        val lut = array((0 until PqK).map(k =>
+          pqDist(pqSubVec(col("eq"), m), m, k)): _*)
+        element_at(lut, col(s"code$m") + 1)
+      }.reduce(_ + _)
+      val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+      probes.join(assigned, Seq("list_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), adc.as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
