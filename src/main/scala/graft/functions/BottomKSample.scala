@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bottom-k-by-hash uniform sample with payloads — the quantile
+  * companion of [[KmvSketch]]: keep the k rows whose key hashes
+  * smallest (a deterministic uniform sample, rerun-stable on any
+  * cluster), then read rank-based quantiles off the sample. Like KMV
+  * (and unlike t-digest/GK sketches) the result is a pure function of
+  * the hash, so the window-form twin (`sketch_quantile` in
+  * operators/Sketches) is DuckDB-oracled exactly and SketchSpec pins
+  * this aggregator equal to it.
+  *
+  * State caps at k (hash, value) pairs; merge is commutative and
+  * associative (map-side combine safe); shuffle is O(k) per group.
+  * `finish` returns the sample's values sorted ascending — rank-based
+  * quantile selection (`index ⌈q·n⌉`, 1-based) is the caller's one
+  * line, kept outside so one sample serves every quantile.
+  */
+object BottomKSample extends Aggregator[(String, Double),
+    List[(String, Double)], Seq[Double]] {
+
+  val K = 64
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def insert(b: List[(String, Double)],
+      p: (String, Double)): List[(String, Double)] =
+    if (b.exists(_._1 == p._1)) b
+    else if (b.size < K) (p :: b).sortBy(_._1)
+    else if (p._1 < b.last._1) (p :: b.init).sortBy(_._1)
+    else b
+
+  override def zero: List[(String, Double)] = Nil
+  override def reduce(b: List[(String, Double)],
+      a: (String, Double)): List[(String, Double)] =
+    insert(b, (md5hex(a._1), a._2))
+  override def merge(b1: List[(String, Double)],
+      b2: List[(String, Double)]): List[(String, Double)] =
+    b2.foldLeft(b1)(insert)
+  override def finish(b: List[(String, Double)]): Seq[Double] =
+    b.map(_._2).sorted
+  override def bufferEncoder: Encoder[List[(String, Double)]] =
+    Encoders.kryo[List[(String, Double)]]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    Encoders.kryo[Seq[Double]]
+
+  /** Rank-based quantile of a sorted sample: the ⌈q·n⌉-th value. */
+  def quantile(sorted: Seq[Double], q: Double): Double =
+    sorted(math.ceil(q * sorted.size).toInt - 1)
+}

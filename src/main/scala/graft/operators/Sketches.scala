@@ -68,6 +68,73 @@ object Sketches {
               (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
                 / lit(Norm))).as("kmv_est"))
         .orderBy("event_type")
+    },
+
+    // ── bottom-k quantile sketch ───────────────────────────────────────
+
+    // p50/p90 of `value` per event type, exact AND estimated from the
+    // bottom-64-by-hash sample (functions/BottomKSample is the bounded
+    // O(k)-state production form; this window twin is the exactly
+    // oracle-checkable one). Rank rule: the ⌈q·n⌉-th value by
+    // (value, event_id) — pure selection, no interpolation for the
+    // engines to disagree on. The exact columns sort each full group
+    // (the thing the sketch avoids at scale); they ride along here as
+    // the accuracy reference.
+    Q("sketch_quantile", {
+      val SK = 64
+      def pick(alias: String, rnCol: String, q: String, n: String) =
+        s"MAX(CASE WHEN $rnCol = CAST(ceil($q * $n) AS BIGINT) THEN value END) AS $alias"
+      s"""WITH h AS (
+         |  SELECT event_type, event_id, value,
+         |         md5(CAST(event_id AS VARCHAR)) AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS hrk,
+         |         COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM h
+         |), ex AS (
+         |  SELECT event_type, n,
+         |         ${pick("p50_exact", "vrk", "0.5", "n")},
+         |         ${pick("p90_exact", "vrk", "0.9", "n")}
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |                  ORDER BY value, event_id) AS vrk FROM r) t
+         |  GROUP BY event_type, n
+         |), sm AS (
+         |  SELECT event_type,
+         |         ${pick("p50_est", "srk", "0.5", s"LEAST(n, $SK)")},
+         |         ${pick("p90_est", "srk", "0.9", s"LEAST(n, $SK)")}
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |                  ORDER BY value, event_id) AS srk
+         |        FROM r WHERE hrk <= $SK) t
+         |  GROUP BY event_type
+         |)
+         |SELECT ex.event_type, ex.n, p50_exact, p90_exact, p50_est, p90_est
+         |FROM ex JOIN sm ON ex.event_type = sm.event_type
+         |ORDER BY 1""".stripMargin }) { (s, d) =>
+      val SK = 64
+      val h = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        col("value"), md5(col("event_id").cast("string")).as("h"))
+      val wH = Window.partitionBy("event_type").orderBy("h")
+      val wAll = Window.partitionBy("event_type")
+      val wV = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val r = h.withColumn("hrk", row_number().over(wH))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def pick(rn: org.apache.spark.sql.Column, q: Double,
+          n: org.apache.spark.sql.Column) =
+        max(when(rn === ceil(lit(q) * n).cast("long"), col("value")))
+      val ex = r.withColumn("vrk", row_number().over(wV))
+        .groupBy("event_type", "n")
+        .agg(pick(col("vrk"), 0.5, col("n")).as("p50_exact"),
+          pick(col("vrk"), 0.9, col("n")).as("p90_exact"))
+      val sm = r.filter(col("hrk") <= SK)
+        .withColumn("srk", row_number().over(wV))
+        .groupBy("event_type")
+        .agg(pick(col("srk"), 0.5, least(col("n"), lit(SK))).as("p50_est"),
+          pick(col("srk"), 0.9, least(col("n"), lit(SK))).as("p90_est"))
+      ex.join(sm, Seq("event_type"))
+        .select("event_type", "n", "p50_exact", "p90_exact",
+          "p50_est", "p90_est")
+        .orderBy("event_type")
     }
   )
 }

@@ -37,9 +37,14 @@ object Temporal {
     * silently). Right payload columns surface as `asof_<name>`, the
     * matched right timestamp as `asof_<ts>`; unmatched left rows keep
     * them null (left-outer semantics).
+    *
+    * `tolerance` (same unit as `ts`) bounds the match age: a right row
+    * older than `left.ts - tolerance` is treated as no match (nulls) —
+    * the "feature too stale to use" contract of pandas `merge_asof`.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-           rightPayload: Seq[String]): DataFrame = {
+           rightPayload: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val rSchema = right.schema
     val leftOnly = left.columns.toSeq.diff(keys :+ ts)
     val l = rightPayload.foldLeft(left.withColumn("__side", lit(1))) {
@@ -55,9 +60,16 @@ object Temporal {
       last(when(col("__side") === 0, col(ts)), ignoreNulls = true).over(w)) +:
       rightPayload.map(c => s"asof_$c" ->
         last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    carried.foldLeft(l.unionByName(r)) { case (df, (n, c)) => df.withColumn(n, c) }
+    val joined = carried
+      .foldLeft(l.unionByName(r)) { case (df, (n, c)) => df.withColumn(n, c) }
       .filter(col("__side") === 1)
       .select((left.columns.toSeq ++ carried.map(_._1)).map(col): _*)
+    tolerance.fold(joined) { tol =>
+      val fresh = col(s"asof_$ts").isNotNull &&
+        col(ts) - col(s"asof_$ts") <= tol
+      carried.map(_._1).foldLeft(joined)((df, n) =>
+        df.withColumn(n, when(fresh, col(n))))
+    }
   }
 
   /** Interval ⋈ point overlap (`start <= pt < end`, same `keys`) via the

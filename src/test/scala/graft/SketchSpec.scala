@@ -48,6 +48,35 @@ class SketchSpec extends SparkSuite {
     assert(ab == ab.sorted && ab.distinct == ab)
   }
 
+  test("bottom-k sample aggregator ≡ the window-form quantile twin") {
+    val sp = spark
+    import sp.implicits._
+    val samples = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("event_type"), col("event_id").cast("string"), col("value"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.BottomKSample.toColumn.name("sample"))
+      .collect().toMap
+    val q = SparkEntry.queries("sketch_quantile")(spark, SparkSuite.Sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    assert(q.nonEmpty)
+    q.foreach { case (et, (p50, p90)) =>
+      val s = samples(et)
+      assert(graft.functions.BottomKSample.quantile(s, 0.5) == p50,
+        s"$et p50: sample says ${graft.functions.BottomKSample.quantile(s, 0.5)}, query $p50")
+      assert(graft.functions.BottomKSample.quantile(s, 0.9) == p90)
+    }
+    // the sketch must bracket the exact quantile reasonably on real data
+    val exact = SparkEntry.queries("sketch_quantile")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    q.foreach { case (et, (p50, _)) =>
+      assert(math.abs(p50 - exact(et)) <= math.abs(exact(et)) * 0.5 + 1.0,
+        s"$et: p50 est $p50 vs exact ${exact(et)}")
+    }
+  }
+
   test("estimate lands within 50% of the true cardinality") {
     val rows = SparkEntry.queries("sketch_kmv_distinct")(spark, SparkSuite.Sf001)
       .collect()

@@ -37,6 +37,19 @@ class TemporalSpec extends SparkSuite {
     ))
   }
 
+  test("asOf tolerance: stale matches null out, fresh ones survive") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, 7.0)).toDF("k", "ts", "v")
+    val out = Temporal.asOf(left, right, Seq("k"), "ts", Seq("v"),
+        tolerance = Some(50L))
+      .orderBy("ts").collect()
+    assert(out(0).getString(2) == "fresh" && out(0).getDouble(4) == 7.0)
+    assert(out(1).getString(2) == "stale" && out(1).isNullAt(3) &&
+      out(1).isNullAt(4))
+  }
+
   test("pointInInterval: half-open bounds, bucket-straddling intervals match") {
     val sp = spark
     import sp.implicits._
