@@ -24,7 +24,12 @@ object StreamJoin {
     * (user_id, click_id, error_id, error_us, lag_us) for every error in
     * [click, click + 1 day) — identical output contract to the batch
     * `join_range` query. */
-  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+  /** `joinType` "inner" (default) or "leftOuter": the outer form emits
+    * a null-error row for a click ONLY once the watermark proves no
+    * matching error can still arrive — the state-eviction moment, not
+    * an eager null that a late error would contradict. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -35,7 +40,8 @@ object StreamJoin {
         col("event_id").as("error_id"), col("ts").as("e_ts"))
     c.join(e,
       expr("""user_id = e_user_id AND
-             |e_ts >= c_ts AND e_ts < c_ts + INTERVAL 1 DAY""".stripMargin))
+             |e_ts >= c_ts AND e_ts < c_ts + INTERVAL 1 DAY""".stripMargin),
+      joinType)
       .select(col("user_id"), col("click_id"), col("error_id"),
         unix_micros(col("e_ts")).as("error_us"),
         (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
