@@ -92,9 +92,76 @@ object Graph {
       labels = next
       it += 1
     }
+    // a diameter > maxIter graph would otherwise return labels that are
+    // silently WRONG (mid-propagation) — fail loudly and name the fix
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it or use " +
+          "connectedComponentsStar (O(log n) rounds)")
     e.unpersist()
     labels.unionByName(solo)
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., SoCC'14) — the O(log n)-round variant for graphs whose
+    * components can be LONG CHAINS, where min-label propagation's
+    * round count (= diameter) would hurt. Each round is two
+    * groupBy-min + join passes; edges converge to stars (child → root).
+    * Returns (labels, rounds) so callers — and GraphSpec — can see the
+    * logarithmic round count, not just trust the citation.
+    * [[connectedComponents]] stays the default for near-dup graphs
+    * (near-cliques: diameter ≈ 2 makes propagation cheaper per round).
+    */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxIter: Int = 50): (DataFrame, Int) = {
+    // EAGER checkpoints here (unlike the propagation loop): the stable
+    // edge-set comparison reads `e` and `ss` across several jobs each
+    // round, so materialize once up front — with a logarithmic round
+    // count the extra job per round is noise.
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIter) {
+      // large-star: v > u hooks onto min(N(u) ∪ {u})
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val lm = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(lm, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star: orient v ≤ u, everyone hooks onto the min
+      val or = ls.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val sm = or.groupBy("u").agg(min("v").as("m"))
+      val ss = or.join(sm, Seq("u"))
+        .select(explode(array(col("v"), col("u"))).as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      val changed = ss.exceptAll(e).count() + e.exceptAll(ss).count()
+      stable = changed == 0
+      e = ss
+      rounds += 1
+    }
+    val labels = vertices.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("label")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (labels, rounds)
+  }
+
+  /** The near-clone corpus as a graph: vertices = docs, edges = the
+    * MinHash-banded candidate pairs. */
+  private[graft] def dedupGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = (
+    TextOps.withNearClones(s, d).select(col("doc_id").as("id")),
+    TextOps.minhashCandidates(s, d)
+      .select(col("a_id").as("src"), col("b_id").as("dst")))
 
   val queries: Seq[Q] = Seq(
 
@@ -116,10 +183,7 @@ object Graph {
          |SELECT src AS doc_id, MIN(dst) AS cluster,
          |       MIN(dst) = src AS is_canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val vertices = TextOps.withNearClones(s, d)
-        .select(col("doc_id").as("id"))
-      val edges = TextOps.minhashCandidates(s, d)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val (vertices, edges) = dedupGraph(s, d)
       connectedComponents(vertices, edges)
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))

@@ -8,11 +8,12 @@ import graft.operators.Graph
   * empty-edge degenerate case. */
 class GraphSpec extends SparkSuite {
 
-  private def cc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] = {
     val sp = spark
     import sp.implicits._
     Graph.connectedComponents(
-      vs.toDF("id"), es.toDF("src", "dst"))
+      vs.toDF("id"), es.toDF("src", "dst"), maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -24,6 +25,34 @@ class GraphSpec extends SparkSuite {
       Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("star method ≡ propagation on a long chain, in O(log n) rounds") {
+    val sp = spark
+    import sp.implicits._
+    // a 64-node path: diameter 63 — propagation pays ~diameter rounds,
+    // the star method must close it in O(log n)
+    val vs = (1L to 64L)
+    val es = (1L until 64L).map(i => (i, i + 1))
+    val viaProp = cc(vs, es, maxIter = 100) // diameter 63: needs > 63 rounds
+    val (starLabels, rounds) = Graph.connectedComponentsStar(
+      vs.toDF("id"), es.toDF("src", "dst"))
+    val viaStar = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+    assert(viaStar.values.forall(_ == 1L))
+    assert(rounds <= 10, s"star method took $rounds rounds on a 64-chain")
+    // under-budgeted propagation must REFUSE, not return wrong labels
+    val e = intercept[IllegalStateException] { cc(vs, es, maxIter = 10) }
+    assert(e.getMessage.contains("connectedComponentsStar"))
+  }
+
+  test("star method matches propagation on the dedup candidate graph") {
+    val (verts, edges) = Graph.dedupGraph(spark, SparkSuite.Sf0001)
+    val prop = Graph.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (starLabels, _) = Graph.connectedComponentsStar(verts, edges)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
   }
 
   test("no edges: every vertex is its own cluster") {
