@@ -542,6 +542,60 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── repetition quality signals ─────────────────────────────────────
+
+    // The repetition filters LLM data curation actually uses (the
+    // Gopher/MassiveText family): what fraction of a doc is its single
+    // most frequent word, and what fraction of its bigrams are
+    // repeats. High values mark boilerplate/spam for removal before
+    // training. Everything is exact integer counting per doc — one
+    // explode + two hash aggregates, shuffled on doc_id with map-side
+    // combine; ratios are single double divisions, engine-identical.
+    Q("txt_repetition",
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest($toksSql) AS w FROM documents
+         |), wc AS (
+         |  SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY doc_id, w
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(MAX(c) AS BIGINT) AS top_word_n
+         |  FROM wc GROUP BY doc_id
+         |), b AS (
+         |  SELECT doc_id, unnest(${bigramsSql("t")}) AS bg
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 2
+         |), bagg AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |         COUNT(DISTINCT bg) AS n_distinct
+         |  FROM b GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, a.n_tokens,
+         |       CAST(a.top_word_n AS DOUBLE) / a.n_tokens AS top_word_frac,
+         |       CAST(ba.n_bigrams - ba.n_distinct AS DOUBLE)
+         |         / ba.n_bigrams AS dup_bigram_frac
+         |FROM agg a JOIN bagg ba ON a.doc_id = ba.doc_id
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val agg = e.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_word_n"))
+      val bagg = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(bigrams(col("t"))).as("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct"))
+      agg.join(bagg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("top_word_n").cast("double") / col("n_tokens"))
+            .as("top_word_frac"),
+          ((col("n_bigrams") - col("n_distinct")).cast("double")
+            / col("n_bigrams")).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // ── training-sequence packing by token budget ──────────────────────
 
     // Assign docs to fixed-capacity training sequences (budget = 256
