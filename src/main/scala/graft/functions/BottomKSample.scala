@@ -23,25 +23,13 @@ object BottomKSample extends Aggregator[(String, Double),
 
   val K = 64
 
-  private def md5hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  private def insert(b: List[(String, Double)],
-      p: (String, Double)): List[(String, Double)] =
-    if (b.exists(_._1 == p._1)) b
-    else if (b.size < K) (p :: b).sortBy(_._1)
-    else if (p._1 < b.last._1) (p :: b.init).sortBy(_._1)
-    else b
-
   override def zero: List[(String, Double)] = Nil
   override def reduce(b: List[(String, Double)],
       a: (String, Double)): List[(String, Double)] =
-    insert(b, (md5hex(a._1), a._2))
+    BottomK.insert(b, (BottomK.md5hex(a._1), a._2), K)(_._1)
   override def merge(b1: List[(String, Double)],
       b2: List[(String, Double)]): List[(String, Double)] =
-    b2.foldLeft(b1)(insert)
+    b2.foldLeft(b1)((acc, p) => BottomK.insert(acc, p, K)(_._1))
   override def finish(b: List[(String, Double)]): Seq[Double] =
     b.map(_._2).sorted
   override def bufferEncoder: Encoder[List[(String, Double)]] =

@@ -30,23 +30,11 @@ object KmvSketch extends Aggregator[String, List[String], Double] {
   val K = 32
   private val Norm = 4.503599627370496e15 // 16^13 = 2^52, exact double
 
-  private def md5hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
-  /** Insert keeping the buffer sorted ascending, distinct, ≤ K. */
-  private def insert(b: List[String], h: String): List[String] =
-    if (b.contains(h)) b
-    else if (b.size < K) (h :: b).sorted
-    else if (h < b.last) (h :: b.init).sorted
-    else b
-
   override def zero: List[String] = Nil
   override def reduce(b: List[String], a: String): List[String] =
-    insert(b, md5hex(a))
+    BottomK.insert(b, BottomK.md5hex(a), K)(identity)
   override def merge(b1: List[String], b2: List[String]): List[String] =
-    b2.foldLeft(b1)(insert)
+    b2.foldLeft(b1)((acc, h) => BottomK.insert(acc, h, K)(identity))
   override def finish(b: List[String]): Double =
     if (b.size < K) b.size.toDouble // sketch never filled → exact
     else (K - 1).toDouble /

@@ -64,10 +64,37 @@ object CellGrid {
   }
 
   /** Parsed summary: one DataFrame with rowType ∈ SALE | CR | PAYMENT,
-    * reference-shaped columns. Pass `keepFile = true` to retain the
-    * workbook id column (multi-file drop-dirs). */
+    * reference-shaped columns. SINGLE-WORKBOOK contract: the one scalar
+    * serial stamps every row — a multi-file drop-dir must use
+    * [[parsePerFile]], which reads each workbook's own B3 (one scalar
+    * here would stamp file A's date on file B's rows). Pass
+    * `keepFile = true` to retain the workbook id column. */
   def parse(grid: DataFrame, excelSerialDate: Int,
-      keepFile: Boolean = false): DataFrame = {
+      keepFile: Boolean = false): DataFrame =
+    finish(parseRows(grid),
+      date_add(to_date(lit("1899-12-30")), lit(excelSerialDate)), keepFile)
+
+  /** Multi-workbook parse: each file's date comes from ITS OWN B3
+    * serial (the reference's per-workbook `ws.B3.v` read,
+    * /root/reference/src/parse.ts:63-64), joined back as a broadcast
+    * one-row-per-file map — no driver-side point lookup, so a drop-dir
+    * of thousands of workbooks derives every date distributed. Requires
+    * the grid to carry `colB` (the DSv2 source schema does). */
+  def parsePerFile(grid: DataFrame, keepFile: Boolean = false): DataFrame = {
+    require(grid.columns.contains("colB"),
+      "parsePerFile needs the colB column (each workbook's B3 serial)")
+    val serials = withFileId(grid)
+      .groupBy(FileCol)
+      .agg(min(when(col("row_idx") === 3, col("colB").try_cast("int")))
+        .as("__serial"))
+    finish(
+      parseRows(grid).join(broadcast(serials), Seq(FileCol)),
+      date_add(to_date(lit("1899-12-30")), col("__serial")), keepFile)
+  }
+
+  /** Shared band/row extraction, file column retained, date left to the
+    * caller ([[parse]] scalar vs [[parsePerFile]] per-workbook). */
+  private def parseRows(grid: DataFrame): DataFrame = {
     val b = banded(grid)
 
     val perFile = Window.partitionBy(FileCol).rowsBetween(
@@ -99,8 +126,6 @@ object CellGrid {
         .when(col("colC").isNotNull, lit(Tables.StoreId))
         .otherwise(lit(null).cast("string"))
 
-    val date = date_add(to_date(lit("1899-12-30")), lit(excelSerialDate))
-
     withBounds
       .withColumn("rowType",
         when(isChargeRow && amt < 0, "CR")
@@ -108,17 +133,29 @@ object CellGrid {
           .when(isPaymentRow, "PAYMENT"))
       .filter(col("rowType").isNotNull)
       .select(
-        (if (keepFile) Seq(col(FileCol)) else Nil) ++ Seq(
-          col("rowType"),
-          date.as("date"),
-          when(col("rowType") === "PAYMENT", abs(amt)).otherwise(amt)
-            .as("amount"),
-          when(col("rowType") === "PAYMENT", col("colD"))
-            .otherwise(chargeCustomer).as("customerId"),
-          substring(concat(lit("0000"), col("colE")), -4, 4).as("seqNo"),
-          col("colF").as("notes"),
-          col("row_idx")): _*)
+        col(FileCol),
+        col("rowType"),
+        when(col("rowType") === "PAYMENT", abs(amt)).otherwise(amt)
+          .as("amount"),
+        when(col("rowType") === "PAYMENT", col("colD"))
+          .otherwise(chargeCustomer).as("customerId"),
+        substring(concat(lit("0000"), col("colE")), -4, 4).as("seqNo"),
+        col("colF").as("notes"),
+        col("row_idx"))
   }
+
+  /** Stamp the date column and emit the reference-shaped column order. */
+  private def finish(rows: DataFrame, date: Column,
+      keepFile: Boolean): DataFrame =
+    rows.select(
+      (if (keepFile) Seq(col(FileCol)) else Nil) ++ Seq(
+        col("rowType"),
+        date.as("date"),
+        col("amount"),
+        col("customerId"),
+        col("seqNo"),
+        col("notes"),
+        col("row_idx")): _*)
 
   /** Audit total: colG of the row whose colD carries the
     * "Total Debtors" marker (value search in the reference,

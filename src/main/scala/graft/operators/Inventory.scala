@@ -81,10 +81,9 @@ object Inventory {
         .option("sheet", "A4 Summary")
         .option("pattern", "^DD \\d\\d\\.xlsx$")
         .load(dir)
-      // the reference reads the day's date from cell B3 (a point lookup)
-      val serial = grid.filter(col("row_idx") === 3)
-        .select(col("colB").cast("int")).head().getInt(0)
-      CellGrid.parse(grid, excelSerialDate = serial)
+      // each workbook's date comes from ITS OWN B3 (the reference's
+      // per-file ws.B3.v read) — distributed, no driver point lookup
+      CellGrid.parsePerFile(grid)
         .withColumn("amount", col("amount").cast("double"))
         .orderBy("row_idx")
     },
@@ -109,9 +108,7 @@ object Inventory {
         .option("sheet", "A4 Summary")
         .option("pattern", "^DD \\d\\d\\.xls$")
         .load(dir)
-      val serial = grid.filter(col("row_idx") === 3)
-        .select(col("colB").cast("int")).head().getInt(0)
-      CellGrid.parse(grid, excelSerialDate = serial)
+      CellGrid.parsePerFile(grid)
         .withColumn("amount", col("amount").cast("double"))
         .orderBy("row_idx")
     },

@@ -45,6 +45,14 @@ object Temporal {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
            rightPayload: Seq[String],
            tolerance: Option[Long] = None): DataFrame = {
+    // a payload name that also exists on the left would be overwritten
+    // by the union's null padding — silent all-null output; refuse
+    val leftSet = left.columns.toSet
+    val clashes = rightPayload.filter(leftSet.contains) ++
+      (s"asof_$ts" +: rightPayload.map("asof_" + _)).filter(leftSet.contains)
+    require(clashes.isEmpty,
+      s"asOf: column name collision with the left side: " +
+        s"${clashes.distinct.mkString(", ")} — rename before joining")
     val rSchema = right.schema
     val leftOnly = left.columns.toSeq.diff(keys :+ ts)
     val l = rightPayload.foldLeft(left.withColumn("__side", lit(1))) {

@@ -764,7 +764,16 @@ object TextOps {
           .bitwiseAND(lit(65535L))
         when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
       }.reduce(_ + _)
-      val sig = sg.select(col("doc_id"), sim.as("sim"))
+      // the 16-bit lanes hold per-bit ONES counters: a doc beyond 65535
+      // tokens would overflow a lane into its neighbor and corrupt the
+      // signature SILENTLY — refuse loudly instead (chunk such docs
+      // upstream; the synthetic corpus is ~30 tokens/doc)
+      val guarded = when(col("n") > 65535,
+        raise_error(concat(lit("SimHash lane overflow: doc "),
+          col("doc_id").cast("string"), lit(" has "),
+          col("n").cast("string"), lit(" tokens (max 65535)"))).cast("long"))
+        .otherwise(sim)
+      val sig = sg.select(col("doc_id"), guarded.as("sim"))
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
           shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key"))

@@ -292,6 +292,25 @@ object Vectors {
         s"(CAST($e[${m * PqSub + j + 1}] AS DOUBLE) - $c)"
     }.mkString(" + ")
 
+  /** DuckDB: the ADC distance for query embedding `qe` against a
+    * candidate aliased `c` with code0..code7 columns — per subspace, a
+    * 4-entry literal LUT indexed by the candidate's code. */
+  private def adcSql(qe: String): String =
+    (0 until PqM).map { m =>
+      val lut = (0 until PqK).map(k => pqDistSql(qe, m, k))
+        .mkString("[", ", ", "]")
+      s"($lut[c.code$m + 1])"
+    }.mkString(" + ")
+
+  /** Spark twin of [[adcSql]]: expects `eq` (query embedding) and
+    * code0..code7 columns in scope. */
+  private def adcCol: Column =
+    (0 until PqM).map { m =>
+      val lut = array((0 until PqK).map(k =>
+        pqDist(pqSubVec(col("eq"), m), m, k)): _*)
+      element_at(lut, col(s"code$m") + 1)
+    }.reduce(_ + _)
+
   /** DuckDB CTEs: per-(vec, subspace) argmin codes, pivoted to one row
     * per vector with code0..code7 columns. */
   private def pqEncSql: String = {
@@ -523,13 +542,7 @@ object Vectors {
     // scan reads CODES (4 bytes/vec) instead of embeddings (256
     // bytes/vec). The 5-query side broadcasts, exactly like the
     // brute-force baseline it replaces.
-    Q("sim_pq_adc", {
-      def adcSql(qe: String): String =
-        (0 until PqM).map { m =>
-          val lut = (0 until PqK).map(k => pqDistSql(qe, m, k))
-            .mkString("[", ", ", "]")
-          s"($lut[c.code$m + 1])"
-        }.mkString(" + ")
+    Q("sim_pq_adc",
       s"""WITH ${pqEncSql},
          |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
          |p AS (
@@ -540,20 +553,15 @@ object Vectors {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |            ORDER BY adc, vec_id) AS rn
          |  FROM p) t
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin }) { (s, d) =>
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
       val enc = Tables.embeddings(s, d).select(
         (col("vec_id") +: (0 until PqM).map(m =>
           pqCode(col("embedding"), m).as(s"code$m"))): _*)
       val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
-      val adc = (0 until PqM).map { m =>
-        val lut = array((0 until PqK).map(k =>
-          pqDist(pqSubVec(col("eq"), m), m, k)): _*)
-        element_at(lut, col(s"code$m") + 1)
-      }.reduce(_ + _)
       val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
       broadcast(q).join(enc, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .select(col("q_id"), col("vec_id"), adcCol.as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("q_id", "rn", "vec_id", "adc")
@@ -568,13 +576,7 @@ object Vectors {
     // the full-precision corpus is never scanned and never decoded.
     // Everything downstream of the fixed quantizer is deterministic, so
     // the whole composed index is oracle-checked end-to-end.
-    Q("sim_ivfpq_fixed", {
-      def adcSql(qe: String): String =
-        (0 until PqM).map { m =>
-          val lut = (0 until PqK).map(k => pqDistSql(qe, m, k))
-            .mkString("[", ", ", "]")
-          s"($lut[c.code$m + 1])"
-        }.mkString(" + ")
+    Q("sim_ivfpq_fixed",
       s"""WITH ${ivfFixedCtes(FixedNList, FixedNProbe)},
          |${pqEncSql},
          |p AS (
@@ -589,7 +591,7 @@ object Vectors {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |            ORDER BY adc, vec_id) AS rn
          |  FROM p) t
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin }) { (s, d) =>
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
       val assigned = Tables.embeddings(s, d).select(
         (col("vec_id") +:
           array_min(centroidScores(col("embedding"), FixedNList))
@@ -602,16 +604,11 @@ object Vectors {
           slice(array_sort(centroidScores(col("eq"), FixedNList)), 1,
             FixedNProbe)).as("sc"))
         .select(col("q_id"), col("sc.list_id").as("list_id"))
-      val adc = (0 until PqM).map { m =>
-        val lut = array((0 until PqK).map(k =>
-          pqDist(pqSubVec(col("eq"), m), m, k)): _*)
-        element_at(lut, col(s"code$m") + 1)
-      }.reduce(_ + _)
       val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
       probes.join(assigned, Seq("list_id"))
         .join(broadcast(q), Seq("q_id"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .select(col("q_id"), col("vec_id"), adcCol.as("adc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("q_id", "rn", "vec_id", "adc")

@@ -54,6 +54,10 @@ object Xls {
 
       private def sector(n: Long): Array[Byte] = {
         val off = ((n + 1) * sectorSize).toInt
+        if (off >= bytes.length)
+          throw new IllegalArgumentException(
+            s"truncated CFB container: sector $n lies past the file end " +
+              s"(${bytes.length} bytes) — corrupt '.xls' workbook")
         java.util.Arrays.copyOfRange(bytes, off,
           math.min(off + sectorSize, bytes.length))
       }
@@ -93,8 +97,14 @@ object Xls {
         out.toSeq
       }
 
-      private def readChain(start: Long, size: Long): Array[Byte] =
-        chain(start).flatMap(sector).take(size.toInt).toArray
+      private def readChain(start: Long, size: Long): Array[Byte] = {
+        val got = chain(start).flatMap(sector).toArray
+        if (got.length < size)
+          throw new IllegalArgumentException(
+            s"truncated CFB container: stream declares $size bytes, " +
+              s"chain holds ${got.length} — corrupt '.xls' workbook")
+        got.take(size.toInt)
+      }
 
       val entries: Seq[Entry] = {
         val dir = chain(u32(bytes, 48)).flatMap(sector).toArray
@@ -131,6 +141,10 @@ object Xls {
             cur = miniFat(cur.toInt)
             guard += 1
           }
+          if (out.size < e.size)
+            throw new IllegalArgumentException(
+              s"truncated CFB container: mini stream declares ${e.size} " +
+                s"bytes, chain holds ${out.size} — corrupt '.xls' workbook")
           out.take(e.size.toInt).toArray
         }
     }
@@ -181,6 +195,10 @@ object Xls {
       def hasNext: Boolean = off + 4 <= wb.length
       def next(): Rec = {
         val id = u16(wb, off); val len = u16(wb, off + 2)
+        if (off + 4 + len > wb.length)
+          throw new IllegalArgumentException(
+            s"truncated BIFF record (id 0x${id.toHexString} declares $len " +
+              s"bytes past the stream end) — corrupt '.xls' workbook")
         val d = java.util.Arrays.copyOfRange(wb, off + 4, off + 4 + len)
         off += 4 + len
         Rec(id, d)

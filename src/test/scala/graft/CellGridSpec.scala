@@ -85,34 +85,41 @@ class CellGridSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft-xlsx-multi")
     def sc(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = false)
     def nc(ref: String, v: String) = XlsxWrite.CellOut(ref, v, isNumber = true)
-    def book(amount: String) = XlsxWrite.workbook("A4 Summary", Seq(
-      nc("B3", "45000"),
-      sc("C21", "Amount"),
-      nc("C22", amount), sc("D22", "9001"), nc("E22", "12"),
-      sc("C27", "Amount"),
-      nc("C29", "-30.00"), sc("D29", "7001"), nc("E29", "16"),
-      sc("D32", "Total Charges")))
-    Files.write(dir.resolve("DD 01.xlsx"), book("100.00"))
-    Files.write(dir.resolve("DD 02.xlsx"), book("200.00"))
+    def book(amount: String, serial: String) =
+      XlsxWrite.workbook("A4 Summary", Seq(
+        nc("B3", serial),
+        sc("C21", "Amount"),
+        nc("C22", amount), sc("D22", "9001"), nc("E22", "12"),
+        sc("C27", "Amount"),
+        nc("C29", "-30.00"), sc("D29", "7001"), nc("E29", "16"),
+        sc("D32", "Total Charges")))
+    // DIFFERENT dates per workbook: each file must carry its own B3
+    Files.write(dir.resolve("DD 01.xlsx"), book("100.00", "45000"))
+    Files.write(dir.resolve("DD 02.xlsx"), book("200.00", "45010"))
 
     val gridDf = spark.read.format(classOf[XlsxTableProvider].getName)
       .option("sheet", "A4 Summary")
       .option("pattern", "^DD \\d\\d\\.xlsx$")
       .load(dir.toString)
-    val parsed = CellGrid.parse(gridDf, 45000, keepFile = true)
+    val parsed = CellGrid.parsePerFile(gridDf, keepFile = true)
 
-    // bands/bounds are per-workbook: each file contributes exactly its
-    // own SALE (with its own amount) and its own payment — a shared
-    // global band counter would mis-band everything after file 1
+    // bands/bounds AND dates are per-workbook: each file contributes its
+    // own SALE and payment stamped with ITS OWN B3 date — a shared
+    // global band counter or a single scalar serial would corrupt
+    // everything after file 1
     val got = parsed
       .select(col("file_name"), col("rowType"),
-        col("amount").cast("double").as("amount"))
+        col("amount").cast("double").as("amount"),
+        col("date").cast("string"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
       .toSet
     assert(got == Set(
-      ("DD 01.xlsx", "SALE", 100.0), ("DD 01.xlsx", "PAYMENT", 30.0),
-      ("DD 02.xlsx", "SALE", 200.0), ("DD 02.xlsx", "PAYMENT", 30.0)))
+      ("DD 01.xlsx", "SALE", 100.0, "2023-03-15"),
+      ("DD 01.xlsx", "PAYMENT", 30.0, "2023-03-15"),
+      ("DD 02.xlsx", "SALE", 200.0, "2023-03-25"),
+      ("DD 02.xlsx", "PAYMENT", 30.0, "2023-03-25")))
 
     // the scale property itself: no partition-less window anywhere
     val wins = parsed.queryExecution.optimizedPlan.collect {

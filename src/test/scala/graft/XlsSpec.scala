@@ -57,10 +57,32 @@ class XlsSpec extends SparkSuite {
     assert(cells.find(_.row == 900).get.value == "row-900-payload-padding-padding")
   }
 
-  test("unknown sheet and BIFF5 fail loudly") {
+  test("unknown sheet fails loudly, naming what exists") {
     val bytes = XlsWrite.workbook("S", grid)
     val e = intercept[IllegalArgumentException](Xls.parse(bytes, "Nope"))
     assert(e.getMessage.contains("Nope") && e.getMessage.contains("S"))
+  }
+
+  test("BIFF5 ('Book' stream) is rejected loudly") {
+    // rename the directory entry Workbook → Book in place: entry 1 sits
+    // at 1024 + 128 in the writer's fixed layout (header, FAT, dir)
+    val bytes = XlsWrite.workbook("S", grid)
+    val off = 1024 + 128
+    assert(new String(bytes, off, 16, java.nio.charset.StandardCharsets.UTF_16LE)
+      .startsWith("Workbook"))
+    val book = "Book".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    java.util.Arrays.fill(bytes, off, off + 64, 0.toByte)
+    System.arraycopy(book, 0, bytes, off, book.length)
+    bytes(off + 64) = (book.length + 2).toByte // name length incl. null
+    val e = intercept[IllegalArgumentException](Xls.parse(bytes, "S"))
+    assert(e.getMessage.contains("BIFF5"))
+  }
+
+  test("a truncated container fails loudly, never a zero-padded parse") {
+    val bytes = XlsWrite.workbook("S", grid)
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 600)
+    val e = intercept[IllegalArgumentException](Xls.parse(cut, "S"))
+    assert(e.getMessage.toLowerCase.contains("truncated"))
   }
 
   test("DSv2 source reads a mixed .xls/.xlsx drop-dir by magic") {
