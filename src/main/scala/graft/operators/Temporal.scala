@@ -80,6 +80,24 @@ object Temporal {
     }
   }
 
+  /** Forward as-of join: the EARLIEST right row at-or-after each left
+    * row ("next event after" — the label-lookahead shape). Implemented
+    * by time reversal over [[asOf]]: negate both timestamps, run the
+    * backward join, un-negate the matched timestamp — every property of
+    * the backward form (one shuffle, no inequality join, tolerance)
+    * carries over by symmetry. Requires a numeric `ts` column. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  ts: String, rightPayload: Seq[String],
+                  tolerance: Option[Long] = None): DataFrame = {
+    val flipped = asOf(
+      left.withColumn(ts, -col(ts)),
+      right.withColumn(ts, -col(ts)),
+      keys, ts, rightPayload, tolerance)
+    flipped
+      .withColumn(ts, -col(ts))
+      .withColumn(s"asof_$ts", -col(s"asof_$ts"))
+  }
+
   /** Interval ⋈ point overlap (`start <= pt < end`, same `keys`) via the
     * coarse-bucket equi-join. `bucketWidth` must be ≥ every interval
     * length so an interval explodes to at most 2 buckets; integer

@@ -50,6 +50,31 @@ class TemporalSpec extends SparkSuite {
       out(1).isNullAt(4))
   }
 
+  test("asOfForward: earliest at-or-after, inclusive, tolerance-bounded") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 5L, "early"), (1L, 10L, "at"), (1L, 25L, "late"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.5), (1L, 20L, 2.5)).toDF("k", "ts", "v")
+    val out = Temporal.asOfForward(left, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("ts").collect()
+      .map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("early", 10L, 1.5), // next right row at ts=10
+      ("at", 10L, 1.5),    // inclusive at equality
+      ("late", -1L, -1.0)  // nothing after ts=25
+    ))
+    // tolerance: the match at ts=10 is 5 ahead of 'early' — a bound of 3
+    // nulls it, 'at' (distance 0) survives
+    val tight = Temporal.asOfForward(left, right, Seq("k"), "ts", Seq("v"),
+        tolerance = Some(3L))
+      .orderBy("ts").collect()
+    assert(tight(0).isNullAt(3) && tight(0).isNullAt(4))
+    assert(tight(1).getLong(3) == 10L)
+  }
+
   test("pointInInterval: half-open bounds, bucket-straddling intervals match") {
     val sp = spark
     import sp.implicits._
