@@ -55,6 +55,40 @@ class GraphSpec extends SparkSuite {
     assert(star == prop)
   }
 
+  test("both algorithms ≡ brute-force union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sp = spark
+    import sp.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L) if a != b
+    } yield (a, b)
+    for (trial <- 0 until 3) {
+      val es = (0 until 25).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(trial * 1000L + i)))
+      val vs = (1L to 30L)
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      def find(v: Long): Long =
+        if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = vs.map(v => v -> find(v)).toMap
+      // min-root canonicalization: find() may compress to a non-min root
+      val byRoot = expected.groupBy(_._2).flatMap { case (_, m) =>
+        val minId = m.keys.min; m.keys.map(_ -> minId)
+      }
+      val prop = cc(vs, es, maxIter = 100)
+      val (starDf, _) = Graph.connectedComponentsStar(
+        vs.toDF("id"), es.toDF("src", "dst"))
+      val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == byRoot, s"trial $trial: propagation != union-find")
+      assert(star == byRoot, s"trial $trial: star != union-find")
+    }
+  }
+
   test("no edges: every vertex is its own cluster") {
     val got = cc(Seq(5L, 6L), Seq.empty)
     assert(got == Map(5L -> 5L, 6L -> 6L))
