@@ -89,9 +89,17 @@ object Temporal {
   def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   ts: String, rightPayload: Seq[String],
                   tolerance: Option[Long] = None): DataFrame = {
+    // Long.MinValue negates to ITSELF: a sentinel timestamp would sort
+    // before everything in flipped space and silently match as a
+    // BEFORE-the-left row — refuse in-plan (per-row codegen'd check)
+    def neg(c: org.apache.spark.sql.Column) =
+      when(c === Long.MinValue,
+        raise_error(lit(s"asOfForward: $ts = Long.MinValue cannot be " +
+          "time-reversed — filter sentinel timestamps first")).cast("long"))
+        .otherwise(-c)
     val flipped = asOf(
-      left.withColumn(ts, -col(ts)),
-      right.withColumn(ts, -col(ts)),
+      left.withColumn(ts, neg(col(ts))),
+      right.withColumn(ts, neg(col(ts))),
       keys, ts, rightPayload, tolerance)
     flipped
       .withColumn(ts, -col(ts))

@@ -18,7 +18,7 @@ class FnsSpec extends SparkSuite {
   import spark.implicits._
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    SparkSuite.samples(g, n)
 
   /** JS-semantics model of getDueDate
     * (/root/reference/src/helpers.ts:228-259) to property-test against. */

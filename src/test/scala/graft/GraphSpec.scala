@@ -57,17 +57,16 @@ class GraphSpec extends SparkSuite {
 
   test("both algorithms ≡ brute-force union-find on random graphs") {
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
     val sp = spark
     import sp.implicits._
     val edgeGen = for {
       a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L) if a != b
     } yield (a, b)
     for (trial <- 0 until 3) {
-      val es = (0 until 25).flatMap(i =>
-        edgeGen.apply(Gen.Parameters.default, Seed(trial * 1000L + i)))
+      val es = SparkSuite.samples(edgeGen, 25, seedOffset = trial * 1000L)
       val vs = (1L to 30L)
-      // brute-force union-find reference
+      // brute-force union-find reference; union-by-min keeps every root
+      // the minimum id of its component, so roots ARE the expected labels
       val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
       def find(v: Long): Long =
         if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
@@ -76,16 +75,12 @@ class GraphSpec extends SparkSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = vs.map(v => v -> find(v)).toMap
-      // min-root canonicalization: find() may compress to a non-min root
-      val byRoot = expected.groupBy(_._2).flatMap { case (_, m) =>
-        val minId = m.keys.min; m.keys.map(_ -> minId)
-      }
       val prop = cc(vs, es, maxIter = 100)
       val (starDf, _) = Graph.connectedComponentsStar(
         vs.toDF("id"), es.toDF("src", "dst"))
       val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(prop == byRoot, s"trial $trial: propagation != union-find")
-      assert(star == byRoot, s"trial $trial: star != union-find")
+      assert(prop == expected, s"trial $trial: propagation != union-find")
+      assert(star == expected, s"trial $trial: star != union-find")
     }
   }
 

@@ -21,6 +21,14 @@ object SparkSuite {
   }
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+
+  /** Deterministic scalacheck sampling (seed = index) — shared by every
+    * property suite so the seeding scheme can't silently diverge. */
+  def samples[A](g: org.scalacheck.Gen[A], n: Int,
+      seedOffset: Long = 0L): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seedOffset + i)))
 }
 
 abstract class SparkSuite extends AnyFunSuite {

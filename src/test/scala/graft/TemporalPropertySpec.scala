@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.operators.Temporal
 
 /** Property tests: the distributed temporal joins against brute-force
@@ -12,7 +11,7 @@ import graft.operators.Temporal
 class TemporalPropertySpec extends SparkSuite {
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    SparkSuite.samples(g, n)
 
   private val leftGen = for {
     k <- Gen.choose(1L, 4L)
