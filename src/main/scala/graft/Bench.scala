@@ -93,6 +93,17 @@ object Bench {
     spark.stop()
     println(line)
     println(s"BENCH_TOTAL_SEC=$total")
+    // The driver keeps only the last ~2000 stdout chars and JSON-parses a
+    // line from that window; the full line above is ~3.3k chars, so its
+    // head is always cut. Emit a LAST line that is a complete, parseable
+    // JSON summary small enough to fit in the window: total + the slowest
+    // queries (3 decimals) + a pointer to the full per-query file.
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val qsCompact = slowest
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -517,7 +517,7 @@ object TextOps {
          |  SELECT doc_id, sx FROM sh WHERE NOT ($evalPred)
          |)
          |SELECT tr.doc_id, COUNT(*) AS n_shingles,
-         |       SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / COUNT(*) AS contamination
          |FROM tr LEFT JOIN ev ON tr.sx = ev.sx

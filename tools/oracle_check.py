@@ -55,6 +55,25 @@ def main(sf_dir, out_dir):
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             n_bad += 1; continue
+        # pandas-dtype drift check: the driver compares pandas frames, so a
+        # DuckDB HUGEINT (SUM over ints -> float64 in .df()) vs Spark BIGINT
+        # (int64) hashes differently even when fetchall() values are equal.
+        # Catch that class here by comparing .df() dtypes on both sides.
+        try:
+            sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
+            ddt = con.execute(sql).df().dtypes
+            s_dt = {c: str(t) for c, t in sdt.items()}
+            d_dt = {c: str(t) for c, t in ddt.items()}
+            dtype_diffs = {c: (s_dt[c], d_dt[c])
+                           for c in s_dt if c in d_dt and s_dt[c] != d_dt[c]}
+            if dtype_diffs:
+                print(f"FAIL {name}: pandas dtype drift {dtype_diffs}")
+                n_bad += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: dtype check: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
         sk, dk = rows_key(srows), rows_key(drows)
         if sk != dk:
             diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
