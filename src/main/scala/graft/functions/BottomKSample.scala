@@ -17,19 +17,36 @@ import org.apache.spark.sql.expressions.Aggregator
   * `finish` returns the sample's values sorted ascending — rank-based
   * quantile selection (`index ⌈q·n⌉`, 1-based) is the caller's one
   * line, kept outside so one sample serves every quantile.
+  *
+  * Tie handling: inserts key on the full (hash, value) pair, not the
+  * hash alone, so the result is a pure function of the input MULTISET —
+  * commutative/associative even when the same key arrives with
+  * different values (a hash-only key would keep whichever value a
+  * partition saw first). Exact duplicate (key, value) rows still
+  * collapse to one sample entry; note the oracled window twin
+  * (`sketch_quantile`) counts such duplicate rows separately, so the
+  * spec-pinned equality with it additionally relies on keys being
+  * distinct per group in the data.
   */
 object BottomKSample extends Aggregator[(String, Double),
     List[(String, Double)], Seq[Double]] {
 
   val K = 64
 
+  // fixed-width suffix: md5 is 32 hex chars, so comparing hash+bits
+  // strings orders primarily by hash and breaks ties deterministically
+  // on the value's exact bit pattern
+  private def key(p: (String, Double)): String =
+    p._1 + java.lang.String.format("%016x",
+      java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(p._2)))
+
   override def zero: List[(String, Double)] = Nil
   override def reduce(b: List[(String, Double)],
       a: (String, Double)): List[(String, Double)] =
-    BottomK.insert(b, (BottomK.md5hex(a._1), a._2), K)(_._1)
+    BottomK.insert(b, (BottomK.md5hex(a._1), a._2), K)(key)
   override def merge(b1: List[(String, Double)],
       b2: List[(String, Double)]): List[(String, Double)] =
-    b2.foldLeft(b1)((acc, p) => BottomK.insert(acc, p, K)(_._1))
+    b2.foldLeft(b1)((acc, p) => BottomK.insert(acc, p, K)(key))
   override def finish(b: List[(String, Double)]): Seq[Double] =
     b.map(_._2).sorted
   override def bufferEncoder: Encoder[List[(String, Double)]] =

@@ -148,6 +148,15 @@ object Graph {
       e = ss
       rounds += 1
     }
+    // same loud-failure contract as connectedComponents: exiting at
+    // maxIter with the edge set still moving means the labels below
+    // would be silently mid-convergence
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds grow O(log n) in component size, so " +
+          "hitting this bound means n is astronomically large or the " +
+          "edge derivation is unstable)")
     val labels = vertices.select(col("id"))
       .join(e.select(col("src").as("id"), col("dst").as("label")), Seq("id"),
         "left")

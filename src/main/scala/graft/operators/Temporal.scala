@@ -34,9 +34,16 @@ object Temporal {
     *
     * `right` must be unique per (keys, ts) — pre-aggregate ties first
     * (ambiguous as-of matches are a data bug, not a tie to break
-    * silently). Right payload columns surface as `asof_<name>`, the
-    * matched right timestamp as `asof_<ts>`; unmatched left rows keep
-    * them null (left-outer semantics).
+    * silently). NOTE: by default this precondition is NOT checked; a
+    * violating input silently yields whichever duplicate sorts last in
+    * the carry-forward window, which is nondeterministic across runs.
+    * Pass `assertUniqueRight = true` to enforce it in-plan (one extra
+    * count window over the right side — same shuffle key as the join,
+    * so the cost is one window pass, not an extra exchange) and fail
+    * loudly on the first duplicate instead. Right payload columns
+    * surface as `asof_<name>`, the matched right timestamp as
+    * `asof_<ts>`; unmatched left rows keep them null (left-outer
+    * semantics).
     *
     * `tolerance` (same unit as `ts`) bounds the match age: a right row
     * older than `left.ts - tolerance` is treated as no match (nulls) —
@@ -44,7 +51,8 @@ object Temporal {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
            rightPayload: Seq[String],
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           assertUniqueRight: Boolean = false): DataFrame = {
     // a payload name that also exists on the left would be overwritten
     // by the union's null padding — silent all-null output; refuse
     val leftSet = left.columns.toSet
@@ -54,11 +62,24 @@ object Temporal {
       s"asOf: column name collision with the left side: " +
         s"${clashes.distinct.mkString(", ")} — rename before joining")
     val rSchema = right.schema
+    val rightChecked = if (!assertUniqueRight) right else {
+      val wu = Window.partitionBy((keys :+ ts).map(col): _*)
+      right
+        .withColumn("__n", count(lit(1)).over(wu))
+        .withColumn(ts, when(col("__n") > 1,
+          raise_error(concat(
+            lit(s"asOf: right side is not unique per (${keys.mkString(",")}" +
+              s", $ts) — e.g. "), col("__n").cast("string"),
+            lit(s" rows at $ts="), col(ts).cast("string"),
+            lit("; pre-aggregate ties first"))).cast(rSchema(ts).dataType))
+          .otherwise(col(ts)))
+        .drop("__n")
+    }
     val leftOnly = left.columns.toSeq.diff(keys :+ ts)
     val l = rightPayload.foldLeft(left.withColumn("__side", lit(1))) {
       (df, c) => df.withColumn(c, lit(null).cast(rSchema(c).dataType))
     }
-    val r = leftOnly.foldLeft(right.withColumn("__side", lit(0))) {
+    val r = leftOnly.foldLeft(rightChecked.withColumn("__side", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(keys.map(col): _*)
@@ -110,13 +131,33 @@ object Temporal {
     * coarse-bucket equi-join. `bucketWidth` must be ≥ every interval
     * length so an interval explodes to at most 2 buckets; integer
     * `div` keeps the bucket math exact on epoch-micros longs.
+    *
+    * The width contract is ENFORCED in-plan: an interval covering more
+    * than `maxBucketsPerInterval` buckets raises instead of silently
+    * exploding — a pathological interval (end − start ≫ bucketWidth)
+    * would otherwise materialize a huge per-row `sequence` array and
+    * can OOM an executor long before the join runs. Raise the knob
+    * deliberately if wider intervals are genuinely intended (the join
+    * stays correct; each pair still meets in exactly one bucket — the
+    * point's — so no dedup is needed at any fan-out).
     */
   def pointInInterval(intervals: DataFrame, points: DataFrame,
                       keys: Seq[String], start: String, end: String,
-                      pt: String, bucketWidth: Long): DataFrame = {
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"$start div ${bucketWidth}L"),
-        expr(s"($end - 1) div ${bucketWidth}L"))))
+                      pt: String, bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 2): DataFrame = {
+    val lo = expr(s"$start div ${bucketWidth}L")
+    val hi = expr(s"($end - 1) div ${bucketWidth}L")
+    val guardedHi = when(hi - lo >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"pointInInterval: interval length exceeds the bucket " +
+          s"contract (bucketWidth=$bucketWidth, " +
+          s"maxBucketsPerInterval=$maxBucketsPerInterval; interval "),
+        col(start).cast("string"), lit(".."), col(end).cast("string"),
+        lit(" spans "), (hi - lo + 1).cast("string"),
+        lit(" buckets) — widen bucketWidth or raise " +
+          "maxBucketsPerInterval"))).cast("long"))
+      .otherwise(hi)
+    val iv = intervals.withColumn("__bucket", explode(sequence(lo, guardedHi)))
     val p = points.withColumn("__bucket", expr(s"$pt div ${bucketWidth}L"))
     iv.join(p, keys :+ "__bucket")
       .filter(col(pt) >= col(start) && col(pt) < col(end))

@@ -170,20 +170,37 @@ object Xls {
 
   /** XLUnicodeRichExtendedString at `o`; returns (text, bytesConsumed). */
   private def xluString(b: Array[Byte], o: Int): (String, Int) = {
+    // every segment is bounds-checked: a string whose header, body, or
+    // trailers straddle the record end means it continues in a CONTINUE
+    // record — raise the same descriptive diagnostic as the caller's
+    // record-start check, not an ArrayIndexOutOfBoundsException
+    def need(upTo: Int, what: String): Unit =
+      if (upTo > b.length)
+        throw new IllegalArgumentException(
+          s"XLUnicodeString $what spills into a CONTINUE record — " +
+            "workbook too large for this minimal BIFF8 reader")
+    need(o + 3, "header")
     val cch = u16(b, o)
     val flags = u8(b, o + 2)
     var p = o + 3
-    val cRun = if ((flags & 0x08) != 0) { val n = u16(b, p); p += 2; n } else 0
-    val cbExt = if ((flags & 0x04) != 0) { val n = i32(b, p); p += 4; n } else 0
+    val cRun = if ((flags & 0x08) != 0) {
+      need(p + 2, "rich-run count"); val n = u16(b, p); p += 2; n
+    } else 0
+    val cbExt = if ((flags & 0x04) != 0) {
+      need(p + 4, "ext-block length"); val n = i32(b, p); p += 4; n
+    } else 0
     val s =
       if ((flags & 0x01) != 0) {
+        need(p + 2 * cch, "UTF-16 body")
         val t = new String(b, p, 2 * cch,
           java.nio.charset.StandardCharsets.UTF_16LE); p += 2 * cch; t
       } else {
+        need(p + cch, "compressed body")
         val t = new String(b, p, cch,
           java.nio.charset.StandardCharsets.ISO_8859_1); p += cch; t
       }
     p += 4 * cRun + cbExt
+    need(p, "rich-run/ext trailer")
     (s, p - o)
   }
 

@@ -46,6 +46,21 @@ class GraphSpec extends SparkSuite {
     assert(e.getMessage.contains("connectedComponentsStar"))
   }
 
+  test("star method refuses non-convergence instead of mid-labels") {
+    val sp = spark
+    import sp.implicits._
+    val vs = (1L to 64L)
+    val es = (1L until 64L).map(i => (i, i + 1))
+    // one round cannot stabilize a 64-chain's edge set; exiting at
+    // maxIter must throw (same contract as propagation), not return
+    // whatever the edges pointed at mid-convergence
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponentsStar(vs.toDF("id"), es.toDF("src", "dst"),
+        maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("star method matches propagation on the dedup candidate graph") {
     val (verts, edges) = Graph.dedupGraph(spark, SparkSuite.Sf0001)
     val prop = Graph.connectedComponents(verts, edges)

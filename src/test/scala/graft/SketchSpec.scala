@@ -77,6 +77,24 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("bottom-k sample: duplicate keys with different values merge " +
+      "order-independently") {
+    import graft.functions.BottomKSample
+    // the same key carrying two different values: a hash-only insert key
+    // would keep whichever value each partition saw first, making the
+    // merged sample partition-order dependent
+    val dupA = ("k1", 1.0); val dupB = ("k1", 2.0)
+    val rest = (1 to 80).map(i => (s"r$i", i.toDouble))
+    val b1 = (dupA +: rest).foldLeft(BottomKSample.zero)(BottomKSample.reduce)
+    val b2 = (dupB +: rest.reverse)
+      .foldLeft(BottomKSample.zero)(BottomKSample.reduce)
+    assert(BottomKSample.finish(BottomKSample.merge(b1, b2)) ==
+      BottomKSample.finish(BottomKSample.merge(b2, b1)))
+    // exact duplicate (key, value) pairs still collapse to one entry
+    val c1 = Seq(dupA, dupA, dupA).foldLeft(BottomKSample.zero)(BottomKSample.reduce)
+    assert(BottomKSample.finish(c1) == Seq(1.0))
+  }
+
   test("estimate lands within 50% of the true cardinality") {
     val rows = SparkEntry.queries("sketch_kmv_distinct")(spark, SparkSuite.Sf001)
       .collect()

@@ -94,6 +94,42 @@ class TemporalSpec extends SparkSuite {
     assert(got == Seq(2L, 3L, 4L))
   }
 
+  test("asOf assertUniqueRight: duplicate (key, ts) right rows raise") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "tag")
+    val dup = Seq((1L, 5L, 1.0), (1L, 5L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Temporal.asOf(left, dup, Seq("k"), "ts", Seq("v"),
+        assertUniqueRight = true).collect()
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // unique rights pass the check unchanged
+    val ok = Seq((1L, 5L, 1.0), (1L, 6L, 2.0)).toDF("k", "ts", "v")
+    val out = Temporal.asOf(left, ok, Seq("k"), "ts", Seq("v"),
+      assertUniqueRight = true).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 6L)
+  }
+
+  test("pointInInterval: an interval longer than the bucket width raises") {
+    val sp = spark
+    import sp.implicits._
+    // [0, 350) at width 100 spans 4 buckets — over the default cap of 2;
+    // the plan must raise instead of silently exploding the sequence
+    val iv = Seq((1L, 10L, 0L, 350L)).toDF("k", "iv_id", "lo", "hi")
+    val pts = Seq((1L, 1L, 50L)).toDF("k", "pt_id", "pt")
+    val e = intercept[Exception] {
+      Temporal.pointInInterval(iv, pts, Seq("k"), "lo", "hi", "pt", 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+    // raising the knob makes the same interval legal — and still exact
+    val got = Temporal.pointInInterval(iv, pts, Seq("k"), "lo", "hi", "pt",
+        100L, maxBucketsPerInterval = 4)
+      .select("pt_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("plans: asOf has no join at all; range join never nested-loops") {
     val asofPlan = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf001)
       .queryExecution.executedPlan.toString

@@ -85,6 +85,23 @@ class XlsSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("truncated"))
   }
 
+  test("an SST string straddling the record end fails loudly") {
+    val bytes = XlsWrite.workbook("S", grid)
+    // locate the SST record: id 0x00fc, and 12 bytes in (past total/
+    // unique) the first string's XLUnicodeString header — cch=27
+    // ("Day Dockets – café & ledger"), wide flag set
+    val sst = bytes.indices.dropRight(16).find { i =>
+      (bytes(i) & 0xff) == 0xfc && bytes(i + 1) == 0 &&
+        bytes(i + 12) == 27 && bytes(i + 13) == 0 && bytes(i + 14) == 1
+    }.getOrElse(fail("SST record not found in fixture"))
+    // shrink the declared record length so the UTF-16 body straddles the
+    // record end: the reader must raise the CONTINUE diagnostic, not an
+    // ArrayIndexOutOfBoundsException from reading past the copy
+    bytes(sst + 2) = 12; bytes(sst + 3) = 0
+    val e = intercept[IllegalArgumentException](Xls.parse(bytes, "S"))
+    assert(e.getMessage.contains("CONTINUE"), e.getMessage)
+  }
+
   test("DSv2 source reads a mixed .xls/.xlsx drop-dir by magic") {
     val dir = Files.createTempDirectory("xlsdir").toString
     Files.write(Paths.get(dir, "DD 01.xls"),
