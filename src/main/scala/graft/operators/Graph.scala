@@ -13,17 +13,18 @@ import graft.Q
   * survivor even if A~C was never a candidate pair), so pair-wise
   * dedup alone under-deletes.
   *
-  * Implementation: iterative min-label propagation — every vertex
-  * starts as its own label, each round takes the min label across
-  * itself and its neighbors, fixpoint when no label changes. Each round
-  * is one shuffle join + one hash aggregate; `localCheckpoint` cuts the
-  * lineage so round N's plan doesn't re-derive rounds 1..N-1. Round
-  * count = component DIAMETER, which for near-dup clusters is small
-  * (clones of one source doc form near-cliques); a corpus whose
-  * components could be long chains would use the large-star/small-star
-  * reformulation (Kiveris et al., "Connected Components in MapReduce
-  * and Beyond", SoCC'14) for O(log n) rounds — same join-per-round
-  * shape, so the swap is local.
+  * Implementation: iterative min-label propagation WITH pointer
+  * jumping — every vertex starts as its own label, each round takes
+  * the min label across itself and its neighbors, then path-halves
+  * (label ← label's label), fixpoint when no label changes. Each round
+  * is two shuffle joins + one hash aggregate; `localCheckpoint` cuts
+  * the lineage so round N's plan doesn't re-derive rounds 1..N-1.
+  * Round count = O(log diameter) thanks to the jump (propagation alone
+  * pays the full diameter, and real candidate graphs chain — measured
+  * diameter ~11 at sf0.1); the large-star/small-star reformulation
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) in [[connectedComponentsStar]] is the O(log n)-in-
+  * component-SIZE alternative with the same join-per-round shape.
   *
   * The oracle is a DuckDB RECURSIVE CTE transitive closure — an
   * independent fixpoint formulation, not a mirror of the loop.
@@ -83,8 +84,21 @@ object Graph {
     while (!converged && it < maxIter) {
       val viaNbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNbr)
+      val stepped = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jump (path halving): label ← min(label, label(label)).
+      // Neighbor propagation alone pays DIAMETER rounds, and real
+      // candidate graphs do chain (measured diameter ~11 at sf0.1, not
+      // the near-clique the MinHash intuition suggests); the jump makes
+      // the label distance to the root halve each round → O(log d)
+      // rounds. Every label is a vertex id of the subgraph, so the
+      // self-join matches every row; both steps only ever DECREASE
+      // labels, so the Σlabel convergence probe is untouched. The
+      // self-join reuses stepped's own exchange (same canonicalized
+      // subplan), not a recompute.
+      val l2 = stepped.select(col("id").as("__lid"), col("label").as("__ll"))
+      val next = stepped.join(l2, stepped("label") === l2("__lid"))
+        .select(stepped("id"), least(col("label"), col("__ll")).as("label"))
         .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

@@ -34,7 +34,10 @@ class GraphSpec extends SparkSuite {
     // the star method must close it in O(log n)
     val vs = (1L to 64L)
     val es = (1L until 64L).map(i => (i, i + 1))
-    val viaProp = cc(vs, es, maxIter = 100) // diameter 63: needs > 63 rounds
+    // pointer jumping makes propagation O(log diameter): a diameter-63
+    // chain must close well inside 12 rounds, not the 63+ the pure
+    // neighbor-min loop would need
+    val viaProp = cc(vs, es, maxIter = 12)
     val (starLabels, rounds) = Graph.connectedComponentsStar(
       vs.toDF("id"), es.toDF("src", "dst"))
     val viaStar = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -42,7 +45,7 @@ class GraphSpec extends SparkSuite {
     assert(viaStar.values.forall(_ == 1L))
     assert(rounds <= 10, s"star method took $rounds rounds on a 64-chain")
     // under-budgeted propagation must REFUSE, not return wrong labels
-    val e = intercept[IllegalStateException] { cc(vs, es, maxIter = 10) }
+    val e = intercept[IllegalStateException] { cc(vs, es, maxIter = 2) }
     assert(e.getMessage.contains("connectedComponentsStar"))
   }
 
