@@ -255,6 +255,41 @@ object Relational {
         .orderBy("date")
     },
 
+    // Bloom-pruned selective join: line items of the top ~0.7% orders by
+    // price. A Bloom filter built over the selective side's keys
+    // (plans/BloomMightContain — native codegen'd Expression) prunes the
+    // fact scan BEFORE the shuffle; false positives are eliminated by
+    // the exact join, so the result is exact at any fpp and the oracle
+    // is the plain join. At 100 TB the filter is what keeps the fact
+    // shuffle proportional to the match count instead of the table size
+    // (the explicit, fpp-tunable form of Spark's runtime filtering).
+    // PlanSpec pins the pruning actually happening pre-join.
+    Q("join_bloom_pruned",
+      """SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS line_total
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 495000
+        |GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.BloomMightContain.register(s)
+      val sel = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 495000)
+        .select("o_orderkey")
+      // build once per run (one aggregate job over the selective side);
+      // fixed-size bitmap regardless of how many keys qualify
+      val bytes = graft.plans.BloomMightContain.serialize(
+        sel.stat.bloomFilter("o_orderkey", 100000L, 0.03))
+      Tables.lineitem(s, d)
+        .filter(call_function("bloom_might_contain",
+          col("l_orderkey"), lit(bytes)))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 4)))
+            .cast("double").as("line_total"))
+        .orderBy("l_orderkey")
+    },
+
     // ── §2.4 aggregations ───────────────────────────────────────────────
 
     // Store-expense sum (/root/reference/src/queries.ts:125) — grouped by

@@ -237,6 +237,159 @@ object Temporal {
         .select(col("user_id"), col("click_id"), col("error_id"),
           col("error_us"), (col("error_us") - col("start_us")).as("lag_us"))
         .orderBy("user_id", "click_id", "error_id")
+    },
+
+    // ── gap fill / resample: daily forward-filled state ────────────────
+
+    // Regularize an irregular event series onto a per-user daily grid,
+    // carrying the last observed value forward — the resample step
+    // before any ML feature join on a calendar key. The grid size is
+    // bounded by TIME SPAN × keys, not event count (explode of a
+    // per-user sequence); the fill is one partitioned window — no
+    // self-join, no per-row lookup loop. Last-of-day is picked by a
+    // total order (us, event_id, value) so duplicate event ids cannot
+    // make the fill nondeterministic.
+    Q("ts_gapfill",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, us // 86400000000 AS day, us, event_id, value FROM ev
+        |), dv AS (
+        |  SELECT user_id, day, value AS day_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |              ORDER BY us DESC, event_id DESC, value DESC) AS rn
+        |    FROM d) x WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM d GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day,
+        |       last_value(dv.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       dv.day_value IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN dv
+        |  ON g.user_id = dv.user_id AND g.day = dv.day
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val byDay = e.select(col("user_id"),
+        expr(s"us div ${DayUs}L").as("day"),
+        col("us"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("us").desc, col("event_id").desc, col("value").desc)
+      val dayVal = byDay.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_value"))
+      val grid = byDay.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFF = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(dayVal, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(wFF)
+            .as("value_filled"),
+          col("day_value").isNotNull.as("observed"))
+        .orderBy("user_id", "day")
+    },
+
+    // ── time-weighted average ──────────────────────────────────────────
+
+    // The mean of a sampled signal weighted by how long each sample was
+    // in force (Σ value·Δt / ΣΔt per user) — the correct aggregate for
+    // state-like series where plain AVG over-weights bursty periods.
+    // Each value·Δt product is computed in exact decimal (a double sum
+    // would be association-order-sensitive across engines, parity rule
+    // 3); the single final division is the only double op.
+    Q("ts_twavg",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id, value,
+        |         lead(us) OVER (PARTITION BY user_id
+        |                        ORDER BY us, event_id, value) - us AS dt
+        |  FROM ev
+        |)
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(10,4)) * dt) AS VARCHAR)
+        |              AS DOUBLE)
+        |         / CAST(SUM(dt) AS DOUBLE) AS twavg,
+        |       CAST(SUM(dt) AS BIGINT) AS span_us
+        |FROM seg WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"), col("value"))
+      ev(s, d)
+        .withColumn("dt", lead("us", 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("value").cast(DecimalType(10, 4)) * col("dt")).as("num"),
+          sum(col("dt")).as("den"))
+        // decimal→string→double, NOT decimal→double: a wide decimal's
+        // direct double cast rounds twice in DuckDB (int128→double, then
+        // scale division) vs once in Java — last-ulp drift. The decimal
+        // digits are exact in the string, and string→double is correctly
+        // rounded in both engines, so the division operands match
+        // bit-for-bit.
+        .select(col("user_id"), col("n_segments"),
+          (col("num").cast("string").cast("double")
+            / col("den").cast("double")).as("twavg"),
+          col("den").as("span_us"))
+        .orderBy("user_id")
+    },
+
+    // ── SCD2: type-2 dimension history from a change log ───────────────
+
+    // The warehouse-ETL staple: collapse an event stream into versioned
+    // validity intervals — one row per STATE CHANGE with
+    // [valid_from, valid_to) and a current flag, consecutive repeats of
+    // the same state merged. Two partitioned windows (lag to find change
+    // points, lead to close intervals), zero joins; the change-point
+    // order includes the state so same-timestamp ties are total.
+    Q("scd2_history",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_type
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, us, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |              ORDER BY us, event_id, event_type) AS prev
+        |  FROM ev
+        |), chg AS (
+        |  SELECT user_id, us, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev
+        |)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |            ORDER BY us, event_type) AS INTEGER) AS version,
+        |       event_type AS state, us AS valid_from_us,
+        |       lead(us) OVER (PARTITION BY user_id
+        |            ORDER BY us, event_type) AS valid_to_us,
+        |       lead(us) OVER (PARTITION BY user_id
+        |            ORDER BY us, event_type) IS NULL AS is_current
+        |FROM chg ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"), col("event_type"))
+      val chg = ev(s, d)
+        .withColumn("prev", lag("event_type", 1).over(wOrd))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("user_id"), col("us"), col("event_type"))
+      val wVer = Window.partitionBy("user_id").orderBy("us", "event_type")
+      chg
+        .select(col("user_id"),
+          row_number().over(wVer).as("version"),
+          col("event_type").as("state"),
+          col("us").as("valid_from_us"),
+          lead("us", 1).over(wVer).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "version")
     }
   )
 }

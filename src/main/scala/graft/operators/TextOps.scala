@@ -382,6 +382,40 @@ object TextOps {
         .limit(100)
     },
 
+    // ── frequency-threshold heavy hitters ──────────────────────────────
+
+    // Every token whose corpus frequency exceeds n/(K+1) (K = 64) — the
+    // EXACT answer that a Misra-Gries sketch (functions/FreqSketch:
+    // bounded K-counter state, map-side-combinable merge) guarantees to
+    // contain; FreqSketchSpec pins the sketch's superset + error-bound
+    // contract against these counts. Differs from txt_vocab_topk (fixed
+    // top-k) in asking a threshold question whose answer SIZE the data
+    // decides. The bar is the integer comparison cnt·(K+1) > n — no
+    // doubles in the predicate; the reported fraction is the single
+    // final division.
+    Q("sketch_heavyhitters",
+      s"""WITH wc AS (
+         |  SELECT term, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS term FROM documents) t
+         |  GROUP BY term
+         |), tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM wc
+         |)
+         |SELECT term, cnt, n, CAST(cnt AS DOUBLE) / n AS frac
+         |FROM wc, tot
+         |WHERE cnt * 65 > n
+         |ORDER BY term""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = wc.agg(sum(col("cnt")).as("n"))
+      wc.crossJoin(broadcast(tot)) // one-row corpus total: broadcast
+        .filter(col("cnt") * 65 > col("n"))
+        .select(col("term"), col("cnt"), col("n"),
+          (col("cnt").cast("double") / col("n")).as("frac"))
+        .orderBy("term")
+    },
+
     // ── TF-IDF top terms per document ──────────────────────────────────
 
     // Top-3 characteristic terms per doc. The idf is the RATIONAL form

@@ -190,11 +190,10 @@ object Vectors {
     (1 to Dim).map(i => s"CAST($e[$i] AS DOUBLE) * c.center[$i]")
       .mkString(" + ")
 
-  /** The shared IVF-fixed CTE chain (normed → centroid table →
-    * assignment → queries → probe lists); the cosine re-rank and the
-    * PQ-ADC re-rank both continue from `probes`/`assigned`. */
-  private def ivfFixedCtes(nlist: Int, nprobe: Int): String = {
-    def cdot(e: String): String = cdotSql(e)
+  /** CTE chain up to cell assignment (normed → literal centroid table →
+    * per-vector list assignment): the front half of every fixed-
+    * quantizer pipeline (IVF probe search AND semantic dedup). */
+  private def cellAssignCtes(nlist: Int): String =
     s"""$normedSql,
        |cen AS (SELECT * FROM (VALUES
        |    ${(0 until nlist).map { c =>
@@ -205,20 +204,25 @@ object Vectors {
        |  SELECT vec_id, embedding, nrm, list_id FROM (
        |    SELECT n.vec_id, n.embedding, n.nrm, c.list_id,
        |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY (${cdot("n.embedding")}) DESC, c.list_id) AS ark
+       |             ORDER BY (${cdotSql("n.embedding")}) DESC, c.list_id) AS ark
        |    FROM nrm n CROSS JOIN cen c) t
        |  WHERE ark = 1
-       |),
+       |)""".stripMargin
+
+  /** The shared IVF-fixed CTE chain (cell assignment → queries → probe
+    * lists); the cosine re-rank and the PQ-ADC re-rank both continue
+    * from `probes`/`assigned`. */
+  private def ivfFixedCtes(nlist: Int, nprobe: Int): String =
+    s"""${cellAssignCtes(nlist)},
        |q AS (SELECT vec_id AS q_id, embedding, nrm FROM assigned WHERE vec_id < 5),
        |probes AS (
        |  SELECT q_id, list_id FROM (
        |    SELECT q.q_id, c.list_id,
        |           row_number() OVER (PARTITION BY q.q_id
-       |             ORDER BY (${cdot("q.embedding")}) DESC, c.list_id) AS crk
+       |             ORDER BY (${cdotSql("q.embedding")}) DESC, c.list_id) AS crk
        |    FROM q CROSS JOIN cen c) t
        |  WHERE crk <= $nprobe
        |)""".stripMargin
-  }
 
   private def ivfFixedSql(k: Int, nlist: Int, nprobe: Int): String =
     s"""WITH ${ivfFixedCtes(nlist, nprobe)},
@@ -566,6 +570,63 @@ object Vectors {
         .filter(col("rn") <= 10)
         .select("q_id", "rn", "vec_id", "adc")
         .orderBy("q_id", "rn")
+    },
+
+    // ── semantic dedup (the SemDeDup shape) ────────────────────────────
+
+    // Embedding-space near-duplicate REMOVAL, the way large pretraining
+    // corpora actually do it (Abbas et al., "SemDeDup", 2023): assign
+    // every vector to a coarse-quantizer cell (per-row expression, zero
+    // shuffle), compare pairs ONLY within a cell (equi-join on list_id —
+    // the cells bound the quadratic kernel, never corpus-wide
+    // all-pairs), connect pairs above the cosine threshold into
+    // clusters (transitivity: A~B, B~C collapse together even if A~C
+    // was never scored), keep the min-id survivor per cluster. The
+    // cluster step reuses Graph.connectedComponents (pointer-jumped
+    // min-label propagation, non-convergence refusal); the oracle is an
+    // independent recursive-CTE transitive closure over the same
+    // in-cell pairs.
+    Q("dedup_semantic",
+      s"""WITH RECURSIVE ${cellAssignCtes(FixedNList)},
+         |pairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM assigned a JOIN assigned b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a.embedding", "b.embedding")})
+         |          / (a.nrm * b.nrm) > 0.4
+         |), sym AS (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst, src FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM assigned
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |)
+         |SELECT a.vec_id, CAST(a.list_id AS INTEGER) AS cell,
+         |       MIN(r.dst) AS cluster, MIN(r.dst) = a.vec_id AS is_kept
+         |FROM reach r JOIN assigned a ON a.vec_id = r.src
+         |GROUP BY a.vec_id, a.list_id
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val assigned = normed(s, d).withColumn("list_id",
+        array_min(centroidScores(col("embedding"), FixedNList))
+          .getField("list_id"))
+      val a = assigned.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("list_id"))
+      val b = assigned.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("list_id"))
+      val pairs = a.join(b, Seq("list_id"))
+        .filter(col("a_id") < col("b_id"))
+        .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graph.connectedComponents(
+          assigned.select(col("vec_id").as("id")), pairs)
+        .join(assigned.select(col("vec_id").as("id"), col("list_id")),
+          Seq("id"))
+        .select(col("id").as("vec_id"), col("list_id").as("cell"),
+          col("label").as("cluster"),
+          (col("label") === col("id")).as("is_kept"))
+        .orderBy("vec_id")
     },
 
     // ── IVF-PQ: the composed production ANN index ──────────────────────

@@ -36,6 +36,58 @@ class ExtensionSpec extends SparkSuite {
     assert(r.isNullAt(2))
   }
 
+  test("bloom_might_contain: no false negatives, useful fpp, codegen'd") {
+    import graft.plans.BloomMightContain
+    BloomMightContain.register(spark)
+    val members = (0L until 500L).map(_ * 7)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.03)
+    members.foreach(bloom.putLong)
+    val bytes = BloomMightContain.serialize(bloom)
+    val probe = (0L until 10000L).toDF("k")
+      .select(col("k"),
+        call_function("bloom_might_contain", col("k"), lit(bytes)).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // a Bloom filter NEVER misses a member…
+    members.foreach(m => assert(probe(m), s"false negative on $m"))
+    // …and at fpp 3% the non-member pass-through must stay a small slice
+    val nonMembers = (0L until 10000L).filterNot(members.toSet)
+    val fp = nonMembers.count(probe)
+    assert(fp < nonMembers.size / 10, s"$fp/${nonMembers.size} false positives")
+    // null keys stay null, not false
+    val n = spark.sql("SELECT bloom_might_contain(CAST(NULL AS BIGINT), " +
+      s"X'${bytes.map("%02x".format(_)).mkString}')").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("join_bloom_pruned: prunes the fact scan, result exactly unfiltered twin") {
+    val d = Sf001
+    val sel = Tables.orders(spark, d).filter(col("o_totalprice") > 495000)
+      .select("o_orderkey")
+    // un-bloomed twin: the plain selective join
+    val twin = Tables.lineitem(spark, d)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("join_bloom_pruned")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == twin)
+    // the bloom filter must actually prune: rows surviving the scan
+    // filter ≪ the table, ≥ the true matches
+    graft.plans.BloomMightContain.register(spark)
+    val bytes = graft.plans.BloomMightContain.serialize(
+      sel.stat.bloomFilter("o_orderkey", 100000L, 0.03))
+    val full = Tables.lineitem(spark, d).count()
+    val kept = Tables.lineitem(spark, d)
+      .filter(call_function("bloom_might_contain",
+        col("l_orderkey"), lit(bytes))).count()
+    val trueMatches = Tables.lineitem(spark, d)
+      .join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(kept >= trueMatches)
+    assert(kept < full / 10,
+      s"bloom kept $kept of $full rows — not pruning")
+  }
+
   test("PosIdAggregator UDAF ≡ built-in ordered string concat") {
     val posIdUdaf = udaf(PosIdAggregator)
     val src = Tables.charge(spark, Sf0001)

@@ -95,6 +95,56 @@ class SketchSpec extends SparkSuite {
     assert(BottomKSample.finish(c1) == Seq(1.0))
   }
 
+  test("Misra-Gries: superset + error bound vs exact counts, synthetic") {
+    import graft.functions.FreqSketch
+    val rnd = new scala.util.Random(42)
+    // Zipf-ish stream: a few hot items over a long tail of 5000 keys
+    val stream = Seq.fill(2000)("hot1") ++ Seq.fill(1200)("hot2") ++
+      Seq.fill(400)("warm") ++ Seq.fill(20000)(s"cold${rnd.nextInt(5000)}")
+    val shuffled = rnd.shuffle(stream)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bar = n / (FreqSketch.K + 1)
+    // single-pass reduce AND chunked reduce+merge must both honor the
+    // guarantee (content may differ within the band — that's the trade)
+    val direct = shuffled.foldLeft(FreqSketch.zero)(FreqSketch.reduce)
+    val merged = shuffled.grouped(1000)
+      .map(_.foldLeft(FreqSketch.zero)(FreqSketch.reduce))
+      .reduce(FreqSketch.merge)
+    for (sk <- Seq(direct, merged)) {
+      assert(sk.size <= FreqSketch.K)
+      exact.foreach { case (k, f) =>
+        if (f > bar)
+          assert(sk.contains(k), s"item $k freq $f > bar $bar missing")
+      }
+      sk.foreach { case (k, est) =>
+        val f = exact.getOrElse(k, 0L)
+        assert(est <= f, s"$k overestimated: $est > $f")
+        assert(est >= f - bar, s"$k underestimated beyond bound: $est < $f - $bar")
+      }
+    }
+  }
+
+  test("Misra-Gries contains every sketch_heavyhitters answer on real data") {
+    import graft.functions.FreqSketch
+    val sp = spark
+    import sp.implicits._
+    val toks = Tables.documents(spark, SparkSuite.Sf0001)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .as[String]
+    // one global group, many partitions: exercises Spark's merge path
+    val sketch = toks.groupByKey(_ => 1)
+      .agg(FreqSketch.toColumn.name("sk")).collect().head._2
+    val hh = SparkEntry.queries("sketch_heavyhitters")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.nonEmpty, "no heavy hitters in the fixture corpus")
+    hh.foreach { case (term, cnt) =>
+      assert(sketch.contains(term),
+        s"heavy hitter '$term' (cnt $cnt) missing from the sketch")
+      assert(sketch(term) <= cnt)
+    }
+  }
+
   test("estimate lands within 50% of the true cardinality") {
     val rows = SparkEntry.queries("sketch_kmv_distinct")(spark, SparkSuite.Sf001)
       .collect()

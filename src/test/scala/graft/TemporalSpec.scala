@@ -130,6 +130,52 @@ class TemporalSpec extends SparkSuite {
     assert(got == Seq(1L))
   }
 
+  test("ts_gapfill: dense grid, observed days match raw, fill is last value") {
+    val raw = SparkEntry.queries("ts_gapfill")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(raw.nonEmpty)
+    raw.groupBy(_._1).foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      // the grid is DENSE: every day between min and max present once
+      assert(days.toSeq == (days.min to days.max).toSeq, s"user $u grid has gaps")
+      // forward fill: an unobserved day carries the previous day's value
+      val byDay = rows.map(r => r._2 -> r).toMap
+      rows.filter(!_._4).foreach { case (_, day, v, _) =>
+        assert(byDay(day - 1)._3 == v,
+          s"user $u day $day: fill $v != prev ${byDay(day - 1)._3}")
+      }
+    }
+  }
+
+  test("scd2_history: runs collapse, intervals chain, one current per key") {
+    val hist = SparkEntry.queries("scd2_history")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // versions are 1..n
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      // consecutive versions never repeat a state (runs collapsed)…
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3 || a._4 == b._4,
+          s"user $u: consecutive versions with same state ${a._3}")
+        case _ => ()
+      }
+      // …and intervals chain: valid_to == next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4,
+          s"user $u v${a._2}: valid_to ${a._5} != next valid_from ${b._4}")
+        case _ => ()
+      }
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_._6) == 1 && sorted.last._6)
+      assert(sorted.last._5 == -1L)
+    }
+  }
+
   test("plans: asOf has no join at all; range join never nested-loops") {
     val asofPlan = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf001)
       .queryExecution.executedPlan.toString

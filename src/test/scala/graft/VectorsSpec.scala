@@ -88,6 +88,25 @@ class VectorsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_semantic: clusters stay in-cell, min-id survivor, covers corpus") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per vector")
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cl, members) =>
+      // edges never cross cells, so a cluster's members share one cell
+      assert(members.map(_._2).distinct.length == 1,
+        s"cluster $cl spans cells ${members.map(_._2).distinct.mkString(",")}")
+      // survivor = min vec_id, exactly one kept
+      assert(members.map(_._1).min == cl)
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cl)
+    }
+    // the threshold actually removes something in the fixture corpus
+    assert(rows.exists(!_._4), "no semantic near-dups found — dead threshold")
+  }
+
   test("PQ codes are non-degenerate and ADC is a sane ranking") {
     // every subspace position must actually discriminate (≥2 codewords
     // in use) — a constant code column means the codebook scale is off
