@@ -148,6 +148,24 @@ object Shapes {
         .orderBy("o_custkey", "rn")
     },
 
+    // Same top-3-per-customer through the CUSTOM physical operator
+    // (plans/TopKPerKey: LogicalPlan + SparkStrategy + SparkPlan with
+    // bounded per-key heaps — no sort, partial stage before the shuffle).
+    // Same oracle as win_topk: the two forms must be row-identical.
+    Q("win_topk_phys",
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      graft.plans.TopKPerKey.install(s)
+      graft.plans.TopKPerKey.topK(Tables.orders(s, d), Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
     // ── §2.9 validation / cardinality checks ────────────────────────────
 
     // Soft balance audit: report the unbalanced days
