@@ -830,6 +830,88 @@ object TextOps {
         .filter(col("hamming") <= 6)
         .distinct()
         .orderBy("a_id", "b_id")
+    },
+
+    // ── RAG chunking: overlapping token windows ────────────────────────
+
+    // Chunk each document into 8-token windows with stride 6 (overlap 2)
+    // — the retrieval-corpus preparation shape. Pure per-row
+    // sequence+explode+slice: codegen'd, zero shuffle, output bounded at
+    // ~n_tokens/stride rows per doc. At 100 TB this is a map-only stage
+    // that pipelines straight into the embedding UDF batch.
+    Q("txt_chunk",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), n AS (
+         |  SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0
+         |), st AS (
+         |  SELECT doc_id, t, n, unnest(range(0, n, 6)) AS tok_start FROM n
+         |)
+         |SELECT doc_id,
+         |       CAST(tok_start // 6 AS INTEGER) AS chunk_id,
+         |       CAST(tok_start AS BIGINT) AS tok_start,
+         |       CAST(LEAST(8, n - tok_start) AS BIGINT) AS n_chunk,
+         |       array_to_string(list_slice(t, tok_start + 1, tok_start + 8), ' ')
+         |         AS chunk
+         |FROM st ORDER BY doc_id, tok_start""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(6L))).as("tok_start"))
+        .select(col("doc_id"),
+          expr("tok_start div 6").cast("int").as("chunk_id"),
+          col("tok_start"),
+          least(lit(8L), col("n") - col("tok_start")).as("n_chunk"),
+          array_join(slice(col("t"), (col("tok_start") + 1).cast("int"), lit(8)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "tok_start")
+    },
+
+    // ── domain-mixture rebalancing ─────────────────────────────────────
+
+    // Rebalance the corpus toward a uniform language mixture: languages
+    // larger than the per-language average are deterministically
+    // downsampled to it (rate = avg/n, clamped at 1 — on this corpus en
+    // is ~3× the others and gets cut; the rest pass whole), via the same
+    // salted-md5 threshold filter txt_sample_stratified uses — rerun-
+    // stable on any cluster, no RNG state. The rate table is
+    // languages-sized (broadcast join); the filter is per-row codegen.
+    Q("txt_mix",
+      """WITH cnt AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM cnt
+        |), th AS (
+        |  SELECT lang, r,
+        |         lower(lpad(hex(CAST(floor(r * 4294967296) AS BIGINT)), 8, '0'))
+        |           AS thr
+        |  FROM (SELECT lang,
+        |               LEAST(1.0, (CAST(t AS DOUBLE) / k) / n) AS r
+        |        FROM cnt CROSS JOIN tot)
+        |)
+        |SELECT d.doc_id, d.lang, CAST(th.r AS DOUBLE) AS rate
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE th.r >= 1.0
+        |   OR substr(md5(concat('mix#', CAST(d.doc_id AS VARCHAR))), 1, 8) < th.thr
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum("n").as("t"), count(lit(1)).as("k"))
+      val th = cnt.crossJoin(tot)
+        .withColumn("r", least(lit(1.0), (col("t").cast("double") / col("k")) / col("n")))
+        .withColumn("thr",
+          lower(lpad(hex(floor(col("r") * 4294967296L).cast("long")), 8, "0")))
+        .select("lang", "r", "thr")
+      docs.join(broadcast(th), Seq("lang"))
+        .filter(col("r") >= 1.0 ||
+          substring(md5(concat(lit("mix#"), col("doc_id").cast("string"))), 1, 8)
+            < col("thr"))
+        .select(col("doc_id"), col("lang"), col("r").as("rate"))
+        .orderBy("doc_id")
     }
   )
 

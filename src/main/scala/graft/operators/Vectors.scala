@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   val Dim = 64
+  /** Matryoshka prefix length (vec_mrl). */
+  val MrlDim = 16
 
   /** Left-associated Σ a[i]·b[i]: zip_with preserves index order and
     * aggregate left-folds, so the addition order is pinned — and the
@@ -674,6 +676,33 @@ object Vectors {
         .filter(col("rn") <= 10)
         .select("q_id", "rn", "vec_id", "adc")
         .orderBy("q_id", "rn")
+    },
+
+    // ── matryoshka truncation (MRL) ────────────────────────────────────
+
+    // Serving-time dimensionality reduction for MRL-trained embeddings:
+    // keep the first 16 of 64 dims and re-normalize the prefix — 4×
+    // smaller vectors for the coarse stages of a retrieval cascade (the
+    // full vector stays for the final re-rank). Pure per-row codegen,
+    // zero shuffle; same pinned left-associated fold as vec_normalize,
+    // exploded to scalar rows for comparator-hashable output.
+    Q("vec_mrl", {
+      val pref = (1 to MrlDim).map(i =>
+        s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+        .mkString(" + ")
+      s"""SELECT vec_id, CAST(i AS INTEGER) AS dim,
+         |       CAST(embedding[i] AS DOUBLE) / nrm16 AS v
+         |FROM (SELECT vec_id, embedding, sqrt($pref) AS nrm16
+         |      FROM embeddings) t
+         |CROSS JOIN range(1, ${MrlDim + 1}) r(i)
+         |ORDER BY vec_id, dim""".stripMargin }) { (s, d) =>
+      val pre = slice(col("embedding"), 1, MrlDim)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), sqrt(dot(pre, pre)).as("nrm16"),
+          posexplode(pre).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
+          (col("x").cast("double") / col("nrm16")).as("v"))
+        .orderBy("vec_id", "dim")
     }
   )
 }

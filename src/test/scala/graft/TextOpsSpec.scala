@@ -55,4 +55,49 @@ class TextOpsSpec extends SparkSuite {
       else assert(scores(pred) == scores.values.max)
     }
   }
+
+  test("txt_chunk: windows cover every token and overlap by stride") {
+    val rows = SparkEntry.queries("txt_chunk")(spark, Sf001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getLong(2))
+      // starts are 0, 6, 12, …; adjacent windows (size 8) overlap by 2
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == 6L * i && r.getInt(1) == i)
+      }
+      // last chunk reaches the end: start + n_chunk == n_tokens
+      val last = sorted.last
+      assert(last.getLong(3) <= 8 && last.getLong(3) >= 1)
+      // chunk text has exactly n_chunk tokens
+      sorted.foreach(r =>
+        assert(r.getString(4).split(" ").count(_.nonEmpty) == r.getLong(3)))
+    }
+  }
+
+  test("txt_mix: oversized languages downsampled toward the average, rest whole") {
+    val docs = Tables.documents(spark, Sf001)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avg = before.values.sum.toDouble / before.size
+    val after = SparkEntry.queries("txt_mix")(spark, Sf001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    before.foreach { case (lang, n) =>
+      if (n <= avg) assert(after(lang) == n, s"$lang must pass whole")
+      else {
+        // md5-threshold sampling: expect ≈ avg kept, binomial tolerance
+        val kept = after(lang)
+        assert(kept < n && math.abs(kept - avg) < 4 * math.sqrt(avg),
+          s"$lang kept $kept of $n, want ≈ $avg")
+      }
+    }
+  }
+
+  test("vec_mrl: truncated prefix re-normalizes to unit length") {
+    val rows = SparkEntry.queries("vec_mrl")(spark, Sf001).collect()
+    assert(rows.length == 500 * 16)
+    rows.groupBy(_.getLong(0)).values.foreach { vs =>
+      val norm = math.sqrt(vs.map(r => r.getDouble(2) * r.getDouble(2)).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
 }
