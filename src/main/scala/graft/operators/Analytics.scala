@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Product-analytics operators over the `events` stream table: funnel,
+  * cohort retention, moving averages, and rollup subtotals — the query
+  * family an analytics engine serves from the same events it sessionizes
+  * (win_sessionize) and windows (str_window_agg).
+  *
+  * Scale design (100 TB): every query here shuffles AT MOST ONCE, on
+  * user_id or the aggregation key. The funnel deliberately avoids the
+  * textbook per-stage self-join chain (three shuffles + three joins):
+  * stage timestamps are RUNNING conditional minima inside one window, so
+  * all stages ride a single hash partitioning, and the final per-user
+  * aggregate reuses that exchange.
+  *
+  * Engine-parity rules applied: event times compare as integral
+  * microseconds (unix_micros ≡ epoch_us — the ns parquet values truncate
+  * identically), money sums stay DECIMAL until one final double cast,
+  * and date bucketing is integer day arithmetic (datediff // 7), never
+  * engine week truncation.
+  */
+object Analytics {
+
+  val queries: Seq[Q] = Seq(
+
+    // ── conversion funnel: view → click → purchase ─────────────────────
+
+    // Per-user stage times: first view, first click AFTER that view,
+    // first purchase AFTER that click; depth = stages completed. One
+    // shuffle: both running minima and the closing per-user aggregate
+    // share the user_id partitioning.
+    Q("evt_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type, us,
+        |         MIN(CASE WHEN event_type = 'view' THEN us END)
+        |           OVER w AS run_v,
+        |         MIN(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER w AS run_c_raw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), s AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN us END) AS v_us,
+        |         MIN(CASE WHEN event_type = 'click'
+        |                   AND run_v IS NOT NULL AND us > run_v THEN us END) AS c_us
+        |  FROM r GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.us) AS p_us
+        |  FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND s.c_us IS NOT NULL AND e.us > s.c_us
+        |  GROUP BY e.user_id
+        |)
+        |SELECT s.user_id, s.v_us, s.c_us, p.p_us,
+        |       CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+        |                 WHEN s.c_us IS NOT NULL THEN 2
+        |                 WHEN s.v_us IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS depth
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = e
+        .withColumn("run_v",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+      val st = r.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("v_us"),
+        min(when(col("event_type") === "click" &&
+          col("run_v").isNotNull && col("us") > col("run_v"), col("us")))
+          .as("c_us"))
+      // the purchase stage needs "after the FIRST QUALIFIED click", which
+      // is only known post-aggregation — one join back on the same
+      // user_id partitioning (no new shuffle shape at scale)
+      val p = e.filter(col("event_type") === "purchase")
+        .join(st.select("user_id", "c_us"), Seq("user_id"))
+        .filter(col("c_us").isNotNull && col("us") > col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      st.join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          when(col("p_us").isNotNull, 3)
+            .when(col("c_us").isNotNull, 2)
+            .when(col("v_us").isNotNull, 1)
+            .otherwise(0).cast("int").as("depth"))
+        .orderBy("user_id")
+    },
+
+    // ── cohort retention ───────────────────────────────────────────────
+
+    // Cohort = each user's first active day; cell (cohort_day,
+    // week_offset) counts the cohort's users active in that week.
+    // Integer day arithmetic (datediff // 7) — no engine week
+    // truncation. Two aggregates: per-user first day (user_id shuffle),
+    // then the cohort cell count.
+    Q("evt_retention",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, e.day) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val f = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(f, Seq("user_id"))
+        .select(col("cohort_day"),
+          expr("datediff(day, cohort_day) div 7").cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+
+    // ── 7-day moving average of daily value ────────────────────────────
+
+    // Daily per-type totals (exact DECIMAL sums), then a rows-frame
+    // moving mean: window sum stays decimal (association-order-free),
+    // ONE double division at the end. The window partitions by
+    // event_type — bounded frame, no full-table sort.
+    Q("ts_moving_avg",
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |       CAST(total AS DOUBLE) AS total,
+        |       CAST(SUM(total) OVER w AS DOUBLE) /
+        |         COUNT(*) OVER w AS avg7
+        |FROM dly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      dly.select(col("event_type"), col("day"),
+          col("total").cast("double").as("total"),
+          (sum(col("total")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg7"))
+        .orderBy("event_type", "day")
+    },
+
+    // ── rollup subtotals ───────────────────────────────────────────────
+
+    // ROLLUP (returnflag, linestatus): detail rows + per-flag subtotals
+    // + grand total in ONE pass — Spark's Expand feeds a single hash
+    // aggregate (map-side combined), not three scans. Exact decimal
+    // sums; NULL grouping slots labelled 'ALL' so the output is
+    // unambiguous without grouping_id.
+    Q("agg_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("qty"))
+        .orderBy("rflag", "lstatus")
+    }
+  )
+}
