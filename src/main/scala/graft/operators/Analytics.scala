@@ -180,6 +180,77 @@ object Analytics {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("n"), col("qty"))
         .orderBy("rflag", "lstatus")
+    },
+
+    // ── semi-structured JSON column ────────────────────────────────────
+
+    // The events `props` column is a JSON document: extract a typed
+    // field path and aggregate on it — per-row codegen'd JSON path
+    // evaluation (get_json_object), one hash aggregate; the payload
+    // never materializes as a parsed struct wider than the fields used.
+    Q("evt_props_json",
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+        |         AS nd_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count_distinct(col("k")).as("nd_k"))
+        .orderBy("event_type")
+    },
+
+    // ── table profiling ────────────────────────────────────────────────
+
+    // Per-column null count / exact distinct count / min / max over the
+    // orders table — the data-quality profile an engine runs before
+    // trusting a feed. ONE scan: all per-column aggregates compute in a
+    // single global aggregate (Spark plans one Expand for the distincts,
+    // still one pass over the data), then unpivot via stack. Min/max
+    // aggregate in the NATIVE type and stringify after (lexicographic
+    // min of stringified ints would be wrong — and identically wrong in
+    // both engines, which is how a profile bug would slip through an
+    // oracle; timestamps profile as dates).
+    Q("chk_profile", {
+      def one(c: String, cast: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($cast) AS VARCHAR) AS min_s,
+           |  CAST(MAX($cast) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq(
+        one("o_orderkey", "o_orderkey"),
+        one("o_custkey", "o_custkey"),
+        one("o_orderstatus", "o_orderstatus"),
+        one("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        one("o_orderpriority", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name") }) { (s, d) =>
+      val specs = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderdate" -> col("o_orderdate").cast("date"),
+        "o_orderpriority" -> col("o_orderpriority"))
+      val aggs = specs.flatMap { case (n, c) => Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        count_distinct(col(n)).as(s"${n}__nd"),
+        min(c).cast("string").as(s"${n}__min"),
+        max(c).cast("string").as(s"${n}__max")) }
+      val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = specs.map { case (n, _) =>
+        struct(lit(n).as("column_name"),
+          col(s"${n}__nulls").as("n_nulls"),
+          col(s"${n}__nd").as("n_distinct"),
+          col(s"${n}__min").as("min_s"),
+          col(s"${n}__max").as("max_s")) }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.*").orderBy("column_name")
     }
   )
 }
