@@ -211,6 +211,32 @@ object Graph {
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // The SAME clustering through the large-star/small-star algorithm —
+    // algorithm-independent answer, so it shares dedup_cc's oracle (the
+    // recursive-CTE transitive closure) verbatim. This gives the
+    // O(log n)-round variant oracle coverage, not just its round-count
+    // spec.
+    Q("dedup_cc_star",
+      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |)
+         |SELECT src AS doc_id, MIN(dst) AS cluster,
+         |       MIN(dst) = src AS is_canonical
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (vertices, edges) = dedupGraph(s, d)
+      connectedComponentsStar(vertices, edges)._1
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("label") === col("id")).as("is_canonical"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -206,6 +206,39 @@ object Temporal {
         .orderBy("user_id", "event_id")
     },
 
+    // Forward as-of: the EARLIEST click at-or-after each error (the
+    // "next action after the incident" lookahead). Runs through
+    // [[asOfForward]]'s time reversal — one shuffle, no inequality
+    // join, every backward property carried by symmetry. The oracle is
+    // again DuckDB's native ASOF JOIN, in its forward (<=) direction —
+    // an independent implementation, not a mirror.
+    Q("join_asof_fwd",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), errors AS (
+        |  SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+        |)
+        |SELECT e.user_id, e.event_id, e.us,
+        |       c.us AS asof_us, c.value AS asof_value
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.us <= c.us
+        |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "us")
+        .agg(max(struct(col("event_id"), col("value"))).getField("value")
+          .as("value"))
+      asOfForward(errors, clicks, Seq("user_id"), "us", Seq("value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ── range join: errors inside the day after each click ─────────────
 
     // Interval-overlap join ([click, click+1d) × error points per user).
