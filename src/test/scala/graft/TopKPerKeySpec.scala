@@ -87,6 +87,52 @@ class TopKPerKeySpec extends SparkSuite {
     assert(out.map(_.getDouble(1)).sorted.toSeq == Seq(996.0, 997.0, 998.0, 999.0, 1000.0))
   }
 
+  test("partial-stage overflow flush: supersets cross the shuffle, output unchanged") {
+    TopKPerKey.install(spark)
+    import graft.plans.TopKPerKeyExec
+    val saved = TopKPerKeyExec.PartialMaxKeys
+    try {
+      TopKPerKeyExec.PartialMaxKeys = 2 // force constant flushing
+      val got = TopKPerKey.topK(orders, Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .orderBy("o_custkey", "rn").collect().map(_.toSeq).toSeq
+      val want = windowForm(3)
+        .orderBy("o_custkey", "rn").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally TopKPerKeyExec.PartialMaxKeys = saved
+  }
+
+  test("property: ≡ window form on random keys/values/partitionings") {
+    TopKPerKey.install(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 6)
+        v <- Gen.choose(-50, 50)
+      } yield (g.toLong, v.toDouble))
+      k <- Gen.choose(1, 4)
+      parts <- Gen.choose(1, 5)
+    } yield (rows, k, parts)
+    SparkSuite.samples(gen, 12).zipWithIndex.foreach {
+      case ((rows, k, parts), i) =>
+        // unique id per row = deterministic total order
+        val df = rows.zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+          .toDF("g", "v", "id").repartition(parts)
+        val got = TopKPerKey.topK(df, Seq("g"), Seq("v" -> true, "id" -> false), k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+        val want = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+        assert(got == want, s"sample $i: k=$k parts=$parts rows=${rows.size}")
+    }
+  }
+
   test("install is idempotent; unknown column fails loudly") {
     TopKPerKey.install(spark)
     TopKPerKey.install(spark)
