@@ -251,6 +251,79 @@ object Analytics {
           col(s"${n}__max").as("max_s")) }
       wide.select(explode(array(rows: _*)).as("r"))
         .select("r.*").orderBy("column_name")
+    },
+
+    // ── exact-decimal variance / stddev ────────────────────────────────
+
+    // Per-flag mean and SAMPLE stddev of quantity with ORACLE BIT-PARITY
+    // — normally impossible for streaming variance (Welford/merge order
+    // differs), solved by the sufficient-statistics route: Σx and Σx²
+    // accumulate EXACTLY in decimal (association-order-free), and the
+    // variance formula then runs in double with one pinned expression
+    // shape on both engines. One map-side-combined hash aggregate.
+    Q("agg_stats",
+      """SELECT l_returnflag,
+        |       CAST(n AS BIGINT) AS n,
+        |       sxd / nd AS mean,
+        |       sqrt((sx2d * nd - sxd * sxd) / (nd * (nd - 1))) AS sd
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(COUNT(*) AS DOUBLE) AS nd,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxd,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+        |                  CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2d
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast("decimal(12,2)")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("sx"), sum(q * q).as("sx2"))
+        .select(col("l_returnflag"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"),
+          col("sx2").cast("double").as("sx2d"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sxd") / col("nd")).as("mean"),
+          sqrt((col("sx2d") * col("nd") - col("sxd") * col("sxd")) /
+            (col("nd") * (col("nd") - 1))).as("sd"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── MERGE-shaped upsert classification ─────────────────────────────
+
+    // The declarative core of a lakehouse MERGE INTO: target ⟗ updates
+    // on the key, each output row classified insert / update / keep and
+    // carrying the winning payload. One shuffle join on the key — at
+    // 100 TB this is exactly the join Delta/Iceberg MERGE plans before
+    // the file rewrite, and with both sides bucketed on the key it runs
+    // exchange-free (ScaleSpec's bucketed-join proof covers the shape).
+    Q("snk_merge",
+      """WITH target AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey < 1000
+        |), updates AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 1.0 AS price FROM orders
+        |  WHERE o_orderkey >= 500 AND o_orderkey < 1500
+        |)
+        |SELECT COALESCE(t.k, u.k) AS k,
+        |       CASE WHEN t.k IS NULL THEN 'insert'
+        |            WHEN u.k IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action,
+        |       COALESCE(u.price, t.price) AS price
+        |FROM target t FULL OUTER JOIN updates u ON t.k = u.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("tk"), col("o_totalprice").as("tprice"))
+      val updates = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .select(col("o_orderkey").as("uk"), (col("o_totalprice") + 1.0).as("uprice"))
+      target.join(updates, col("tk") === col("uk"), "full_outer")
+        .select(coalesce(col("tk"), col("uk")).as("k"),
+          when(col("tk").isNull, "insert")
+            .when(col("uk").isNull, "keep")
+            .otherwise("update").as("action"),
+          coalesce(col("uprice"), col("tprice")).as("price"))
+        .orderBy("k")
     }
   )
 }

@@ -59,7 +59,53 @@ object Inventory {
     dir.toString
   }
 
+  /** CSV drop-dir fixture: two daily files plus one malformed line —
+    * the "partners upload CSVs" ingest a drop-dir pipeline sees. */
+  def ensureCsvFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-csv-drop")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("day1.csv"),
+      ("id,date,amount,customer\n" +
+        "1,2023-03-15,100.00,45678\n" +
+        "2,2023-03-15,-25.50,9001\n" +
+        "bad,notadate,xx,\n").getBytes(UTF_8))
+    Files.write(dir.resolve("day2.csv"),
+      ("id,date,amount,customer\n" +
+        "10,2023-03-16,50.00,42\n").getBytes(UTF_8))
+    dir.toString
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // CSV drop-dir ingestion with an explicit schema and PERMISSIVE
+    // bad-record capture: the malformed line surfaces as a row with
+    // null typed columns and the raw line in the corrupt column —
+    // quarantine-able downstream instead of failing the whole feed (or
+    // silently vanishing). Schema-applied CSV scans parallelize per
+    // file split at scale; nothing here is driver-side.
+    Q("src_csv_dropdir",
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS id, DATE '2023-03-15' AS date,
+        |         CAST(100.00 AS DOUBLE) AS amount, '45678' AS customer,
+        |         CAST(NULL AS VARCHAR) AS corrupt
+        |  UNION ALL SELECT 2, DATE '2023-03-15', -25.50, '9001', NULL
+        |  UNION ALL SELECT 10, DATE '2023-03-16', 50.00, '42', NULL
+        |  UNION ALL SELECT NULL, NULL, NULL, NULL, 'bad,notadate,xx,'
+        |) t ORDER BY corrupt IS NOT NULL, id""".stripMargin) { (s, _) =>
+      val dir = ensureCsvFixture()
+      s.read
+        .schema("id BIGINT, date DATE, amount DOUBLE, customer STRING, " +
+          "_corrupt_record STRING")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .select(col("id"), col("date"), col("amount"), col("customer"),
+          col("_corrupt_record").as("corrupt"))
+        .orderBy(col("corrupt").isNotNull, col("id"))
+    },
 
     // REAL workbook-bytes ingestion end-to-end: the §A5 fixture written
     // as an actual .xlsx (ZIP + OOXML), listed and parsed by the
