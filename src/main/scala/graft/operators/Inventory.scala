@@ -321,6 +321,46 @@ object Inventory {
           .orderBy("user_id", "sid")
     },
 
+    // The SAME sessionization through Spark's NATIVE session_window —
+    // the idiomatic form (one expression, and the only form that also
+    // runs structured-streaming with state eviction for free).
+    // Boundary semantics differ from the window-SQL form: session_window
+    // merges an event only while the gap is STRICTLY below 30 min (the
+    // session extends to [event, event+gap)), so the oracle's
+    // new-session predicate is >= where win_sessionize's is > — on a
+    // µs-resolution stream only an exactly-30:00.000000 gap separates
+    // them, but the oracle pins the native semantics, not the other
+    // query's.
+    Q("win_sessionize_native",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin) {
+      (s, d) =>
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 4)))
+              .cast("double").as("total"))
+          .select("user_id", "start_us", "end_us", "n", "total")
+          .orderBy("user_id", "start_us")
+    },
+
     // API filter-string construction
     // (/root/reference/src/apiFunctions.ts:131).
     Q("fn_where_string", Oracle.withCtes(
