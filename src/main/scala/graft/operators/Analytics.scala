@@ -289,6 +289,34 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    // ── exact median ───────────────────────────────────────────────────
+
+    // Exact per-flag median of quantity. Spark side: order statistics —
+    // row_number over the per-flag sort picks the middle one/two
+    // values, averaged ((a+b)/2). Oracle: DuckDB's NATIVE median()
+    // (quantile_cont 0.5), an independent implementation — its
+    // a+(b-a)·0.5 interpolation shape only agrees bit-for-bit because
+    // l_quantity is INTEGRAL (both shapes exact in double below 2^52);
+    // arbitrary-decimal columns would need the sufficient-statistics
+    // route instead. Exact medians need the per-group sort; the
+    // approximate-at-scale path is sketch_quantile's bounded-state
+    // bottom-k sample.
+    Q("agg_median",
+      """SELECT l_returnflag, median(CAST(l_quantity AS DOUBLE)) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("q")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy("l_returnflag")
+        .agg((sum("q") / count(lit(1))).as("med"))
+        .orderBy("l_returnflag")
+    },
+
     // ── MERGE-shaped upsert classification ─────────────────────────────
 
     // The declarative core of a lakehouse MERGE INTO: target ⟗ updates
