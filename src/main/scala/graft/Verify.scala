@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val (sfDir, outDir) = (args(0), args(1))
-    // optional trailing names: dev-loop filter (driver passes none)
+    // optional trailing names: dev-loop filter (driver passes none); an
+    // unknown name must fail loudly — a typo would otherwise verify
+    // nothing and read as "0 ok, 0 fail" green
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -41,9 +41,7 @@ object Analytics {
         |), r AS (
         |  SELECT user_id, event_type, us,
         |         MIN(CASE WHEN event_type = 'view' THEN us END)
-        |           OVER w AS run_v,
-        |         MIN(CASE WHEN event_type = 'click' THEN us END)
-        |           OVER w AS run_c_raw
+        |           OVER w AS run_v
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |), s AS (

@@ -160,7 +160,13 @@ object Shapes {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
       graft.plans.TopKPerKey.install(s)
-      graft.plans.TopKPerKey.topK(Tables.orders(s, d), Seq("o_custkey"),
+      // project BEFORE the custom node: TopKPerKeyPlan declares
+      // references = all child columns (the ColumnPruning survival
+      // contract), so pruning must happen upstream of it or the scan
+      // reads and shuffles the three unused orders columns
+      graft.plans.TopKPerKey.topK(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"),
           Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")

@@ -35,10 +35,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Same precondition as the batch operator: updates unique per
   * (key, ts) — among equal-ts updates the kernel keeps the last in
   * arrival-sorted order, which is NOT deterministic across runs.
-  * A LATE update (ts already behind the watermark) cannot
-  * retroactively change emitted rows — by the watermark contract it is
-  * at best the new "current value" if it is the newest late one; the
-  * spec pins that behavior.
+  * A LATE row (ts already behind the watermark, either side) is
+  * DROPPED before the state function runs — Spark's
+  * FlatMapGroupsWithStateExec filters watermark-late input under
+  * EventTimeTimeout — so a late update can neither rewrite emitted
+  * rows nor become the current value; the spec pins the no-rewrite
+  * half (the drop is Spark's own, verified contract).
   */
 object StreamAsOf {
 
