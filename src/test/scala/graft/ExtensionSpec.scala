@@ -181,4 +181,49 @@ class ExtensionSpec extends SparkSuite {
         col("dateString") === "2024-01-16")
     assert(submitted.count() == 3)
   }
+
+  test("GraftExtensions wires a session end-to-end: SQL functions, strategy, rule") {
+    // build a SECOND session over the same SparkContext with the
+    // extensions class — the cluster-deploy path
+    // (spark.sql.extensions=graft.plans.GraftExtensions), which
+    // getOrCreate alone cannot exercise (it returns the active session)
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession() // getOrCreate falls back to it too
+    val ext = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try {
+      assert(ext ne base)
+      // (1) injected SQL function, with arity errors surfaced properly
+      val d = ext.sql("SELECT due_date(DATE'2024-01-31', CAST(NULL AS STRING), 5) AS d")
+        .head.getDate(0).toString
+      assert(d == "2024-02-29")
+      val err = intercept[Exception] {
+        ext.sql("SELECT due_date(DATE'2024-01-31', 'X')").collect()
+      }
+      assert(err.getMessage.contains("3 arguments") ||
+        err.getMessage.contains("expects 3"), err.getMessage)
+      // (2) injected planner strategy: topK plans without install()
+      import ext.implicits._
+      val df = Seq(("a", 2.0, 1L), ("a", 5.0, 2L), ("b", 1.0, 3L))
+        .toDF("g", "v", "id")
+      val top = graft.plans.TopKPerKey.topK(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 1)
+      assert(top.collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+        .toSeq == Seq(("a", 5.0), ("b", 1.0)))
+      // (3) injected optimizer rule: the as-of node lowers without install()
+      val left = Seq((1L, 5L), (1L, 15L)).toDF("k", "ts")
+      val right = Seq((1L, 10L, 1.5)).toDF("k", "ts", "v")
+      val asof = graft.plans.AsOfJoinPlan.asOf(left, right, Seq("k"), "ts", Seq("v"))
+        .orderBy("ts").collect().map(r => Option(r.get(3)))
+      assert(asof.toSeq == Seq(None, Some(1.5)))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
