@@ -237,6 +237,49 @@ object Graph {
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // Per-node triangle counts on the co-purchase graph (parts bought
+    // together in one order) — the clustering-coefficient kernel of
+    // community/affinity mining. Edges orient a < b, so each triangle
+    // a<b<c materializes exactly once in the 2-path ⋈ closing-edge
+    // join; every stage is an equi-join or hash aggregate. The part-key
+    // window (< 400) keeps this the labelled demo kernel, exactly like
+    // dedup_ngram_jaccard's doc window; at corpus scale the standard
+    // degree-orientation trick (orient low→high degree, not low→high
+    // id) bounds the 2-path fan-out by sqrt(|E|) per node — same plan
+    // shape, different orientation key.
+    Q("graph_triangles",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |), tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |       JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |), corners AS (
+        |  SELECT a AS p FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |)
+        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY p ORDER BY p""".stripMargin) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+      val tri = e.select(col("p1").as("a"), col("p2").as("b"))
+        .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
+        .join(e.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
+      tri.select(col("a").as("p"))
+        .unionByName(tri.select(col("b").as("p")))
+        .unionByName(tri.select(col("c").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("n_tri"))
+        .orderBy("p")
     }
   )
 }
