@@ -155,6 +155,81 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── range-frame moving average (calendar days, not rows) ───────────
+
+    // The RANGE twin of ts_moving_avg: the frame is the last 7 CALENDAR
+    // days, not the last 7 observations — on a series with gaps the two
+    // disagree, and the range form is what "weekly trailing average"
+    // actually means. Frame bounds ride an integer epoch-day key, so
+    // both engines bound the frame identically; sums stay decimal.
+    Q("ts_moving_avg_range",
+      """WITH dly AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
+        |         CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |       CAST(SUM(total) OVER w AS DOUBLE) /
+        |         COUNT(*) OVER w AS avg7d
+        |FROM dly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .as("dnum"),
+          col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+      val w = Window.partitionBy("event_type").orderBy("dnum")
+        .rangeBetween(-6, Window.currentRow)
+      dly.select(col("event_type"), col("day"),
+          (sum(col("total")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg7d"))
+        .orderBy("event_type", "day")
+    },
+
+    // ── relative standing: percent_rank / cume_dist ────────────────────
+
+    // Where each customer's spend sits in the distribution. The oracle
+    // is DuckDB's NATIVE percent_rank()/cume_dist() over a global ORDER
+    // BY; the Spark side refuses the equivalent partition-less window
+    // (the one-task scale-killer snk_api_batch already evicted) and
+    // builds the same numbers distributed: a range-partitioned global
+    // row number (Ranking.globalRowNumber — two parallel linear
+    // passes), tie-merged into rank/rank_le by a window PARTITIONED on
+    // the spend value, then pure rank arithmetic against a broadcast
+    // 1-row total. Exact parity: (rank-1)/(n-1) and rank_le/n are one
+    // integer-fed double division each, the very formulas the native
+    // functions evaluate.
+    Q("win_pctrank",
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS s
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, CAST(s AS DOUBLE) AS spend,
+        |       percent_rank() OVER (ORDER BY s) AS pr,
+        |       cume_dist() OVER (ORDER BY s) AS cd
+        |FROM spend ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("s"))
+      val shuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val rn = Ranking.globalRowNumber(spend, Seq("s", "o_custkey"), shuffle)
+      val tot = spend.agg(count(lit(1)).as("n"))
+      val ws = Window.partitionBy("s")
+      rn.crossJoin(broadcast(tot))
+        .withColumn("rank", min("row_num").over(ws))
+        .withColumn("le", max("row_num").over(ws))
+        .select(col("o_custkey"), col("s").cast("double").as("spend"),
+          when(col("n") > 1, (col("rank") - 1) / (col("n") - 1))
+            .otherwise(0.0).as("pr"),
+          (col("le") / col("n")).as("cd"))
+        .orderBy("o_custkey")
+    },
+
     // ── rollup subtotals ───────────────────────────────────────────────
 
     // ROLLUP (returnflag, linestatus): detail rows + per-flag subtotals

@@ -21,10 +21,16 @@ object Ranking {
   /** Global 1-based row number ordered by `key` (which must be unique
     * for a deterministic result), appended as column `row_num`. */
   def globalRowNumber(df: DataFrame, key: String,
+      numPartitions: Int): DataFrame =
+    globalRowNumber(df, Seq(key), numPartitions)
+
+  /** Composite-key form: ordered by `keys` lexicographically; the TUPLE
+    * must be unique for a deterministic result. */
+  def globalRowNumber(df: DataFrame, keys: Seq[String],
       numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(numPartitions, col(key))
-      .sortWithinPartitions(key)
+    val ranged = df.repartitionByRange(numPartitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
     val indexed = ranged.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }

@@ -110,4 +110,44 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "global window crept back:\n" +
       p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
+
+  test("chk_profile: all 20 per-column aggregates ride ONE parquet scan") {
+    val p = plan("chk_profile")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profile must read the table once, found $scans scans")
+  }
+
+  test("win_topk_phys: scan prunes to the three used columns") {
+    // the custom node declares references = all child columns, so the
+    // query must project BEFORE it (review finding) — a regression here
+    // re-reads o_orderdate/o_orderstatus/o_orderpriority for nothing
+    val p = plan("win_topk_phys")
+    assert(p.contains("ReadSchema"), p.take(400))
+    assert(!p.contains("o_orderdate") && !p.contains("o_orderpriority"),
+      "unpruned orders scan under the top-k node:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("win_pctrank: no partition-less window (global ranks come distributed)") {
+    // native percent_rank needs ORDER BY with no PARTITION BY — the
+    // one-task shape; our form must only carry the s-partitioned
+    // tie-merge window
+    val wins = SparkEntry.queries("win_pctrank")(spark, Sf001)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "partition-less window in win_pctrank")
+  }
+
+  test("txt_chunk: map-only until the output sort (no mid-plan exchange)") {
+    // chunking is per-row sequence+explode+slice; the ONLY exchange
+    // allowed is the final presentation orderBy's range partitioning
+    val p = plan("txt_chunk")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking must not shuffle before the output sort:\n" +
+        exchanges.mkString("\n"))
+  }
 }
