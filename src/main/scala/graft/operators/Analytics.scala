@@ -191,6 +191,53 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── OHLC resampling ────────────────────────────────────────────────
+
+    // Daily open/high/low/close of value per event type — the canonical
+    // time-series downsample. Open/close come from first_value over
+    // (day, type)-PARTITIONED windows with a full (us, event_id)
+    // tie-break (min_by/arg_min tie behavior is engine-arbitrary; an
+    // ordered window with a unique key is not); high/low are plain
+    // decimal extrema. Both windows and the final aggregate share one
+    // (event_type, day) shuffle.
+    Q("ts_ohlc",
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |         CAST(value AS DECIMAL(10,4)) AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, day, v,
+        |         first_value(v) OVER (PARTITION BY event_type, day
+        |                              ORDER BY us, event_id) AS o,
+        |         first_value(v) OVER (PARTITION BY event_type, day
+        |                              ORDER BY us DESC, event_id DESC) AS c
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |       CAST(MIN(o) AS DOUBLE) AS px_open,
+        |       CAST(MAX(v) AS DOUBLE) AS px_high,
+        |       CAST(MIN(v) AS DOUBLE) AS px_low,
+        |       CAST(MIN(c) AS DOUBLE) AS px_close
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("value").cast("decimal(10,4)").as("v"))
+      val wAsc = Window.partitionBy("event_type", "day")
+        .orderBy(col("us"), col("event_id"))
+      val wDesc = Window.partitionBy("event_type", "day")
+        .orderBy(col("us").desc, col("event_id").desc)
+      e.withColumn("o", first(col("v")).over(wAsc))
+        .withColumn("c", first(col("v")).over(wDesc))
+        .groupBy("event_type", "day")
+        .agg(min("o").cast("double").as("px_open"),
+          max("v").cast("double").as("px_high"),
+          min("v").cast("double").as("px_low"),
+          min("c").cast("double").as("px_close"))
+        .orderBy("event_type", "day")
+    },
+
     // ── relative standing: percent_rank / cume_dist ────────────────────
 
     // Where each customer's spend sits in the distribution. The oracle
