@@ -191,6 +191,46 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── event-transition matrix ────────────────────────────────────────
+
+    // First-order Markov transitions between consecutive event types
+    // per user — the sequence model behind next-action prediction and
+    // funnel-leak analysis. One user_id shuffle for the lag window; the
+    // transition matrix itself is |types|² rows, so the per-prev
+    // probability normalization windows over a tiny aggregate, and the
+    // division is one integer-fed double op (exact parity).
+    Q("evt_markov",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events
+        |), b AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY us, event_id) AS prev,
+        |         event_type AS curr
+        |  FROM e
+        |), m AS (
+        |  SELECT prev, curr, COUNT(*) AS n FROM b
+        |  WHERE prev IS NOT NULL GROUP BY prev, curr
+        |)
+        |SELECT prev, curr, CAST(n AS BIGINT) AS n,
+        |       CAST(n AS DOUBLE) /
+        |         SUM(n) OVER (PARTITION BY prev) AS p
+        |FROM m ORDER BY prev, curr""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val m = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+      m.select(col("prev"), col("curr"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("prev"))).as("p"))
+        .orderBy("prev", "curr")
+    },
+
     // ── OHLC resampling ────────────────────────────────────────────────
 
     // Daily open/high/low/close of value per event type — the canonical
