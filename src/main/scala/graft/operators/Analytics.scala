@@ -191,6 +191,24 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── fixed-width histogram ──────────────────────────────────────────
+
+    // Value distribution per event type in width-10 bins — the
+    // profiling histogram behind data-drift monitors. Bin assignment is
+    // exact integer math on the decimal value (floor division — no
+    // float binning drift at bin edges); one hash aggregate.
+    Q("agg_histogram",
+      """SELECT event_type,
+        |       CAST(FLOOR(CAST(value AS DECIMAL(10,4)) / 10) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value").cast("decimal(10,4)") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+
     // ── event-transition matrix ────────────────────────────────────────
 
     // First-order Markov transitions between consecutive event types
