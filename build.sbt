@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver JSON-parses the LAST ~2000 stdout chars of
+// `sbt "runMain graft.Bench"`. Two things used to break that: the
+// forked JVM's stdout was re-logged with an `[info] ` prefix, and sbt
+// appended `[success] Total time: ...` AFTER the JSON. Forward forked
+// stdout verbatim and drop the success banner so graft.Bench's compact
+// JSON line is literally the last thing on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by sbt's command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

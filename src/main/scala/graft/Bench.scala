@@ -54,6 +54,11 @@ object Bench {
       Tables.deptSales(spark, sfDir).persist().count()
       operators.TextOps.nearCloneShingles(spark, sfDir).persist().count()
       operators.TextOps.minhashSig(spark, sfDir).persist().count()
+      // SimHash mirror of the MinHash pair above: the exploded-token
+      // stage and the 60-bit signature aggregate are the ingest-shaped
+      // stages dedup_simhash_pairs starts from
+      operators.TextOps.simhashTokens(spark, sfDir).persist().count()
+      operators.TextOps.simhashSig60(spark, sfDir).persist().count()
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY

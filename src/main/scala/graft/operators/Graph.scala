@@ -129,10 +129,10 @@ object Graph {
     */
   def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
                               maxIter: Int = 50): (DataFrame, Int) = {
-    // EAGER checkpoints here (unlike the propagation loop): the stable
-    // edge-set comparison reads `e` and `ss` across several jobs each
-    // round, so materialize once up front — with a logarithmic round
-    // count the extra job per round is noise.
+    // EAGER checkpoints here (unlike the propagation loop): the
+    // stability probe re-reads `e` and `ss` after the round's own
+    // consumption, so materialize once up front — with a logarithmic
+    // round count the extra job per round is noise.
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
@@ -157,8 +157,18 @@ object Graph {
         .select(explode(array(col("v"), col("u"))).as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint()
-      val changed = ss.exceptAll(e).count() + e.exceptAll(ss).count()
-      stable = changed == 0
+      // ONE-job stability probe (was 2×exceptAll + 2 counts = ~4 jobs
+      // per round): both sides are distinct edge sets, so tagging ±1 and
+      // keeping groups whose tag-sum ≠ 0 yields exactly the symmetric
+      // difference; isEmpty runs a single early-exit job over the two
+      // localCheckpoint'd inputs. Exact (no checksum-collision risk —
+      // a false "stable" here would silently emit mid-convergence
+      // labels).
+      stable = ss.select(col("src"), col("dst"), lit(1L).as("t"))
+        .unionByName(e.select(col("src"), col("dst"), lit(-1L).as("t")))
+        .groupBy("src", "dst").agg(sum("t").as("t"))
+        .filter(col("t") =!= 0L)
+        .isEmpty
       e = ss
       rounds += 1
     }

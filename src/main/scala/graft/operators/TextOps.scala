@@ -149,6 +149,52 @@ object TextOps {
       .select("a_id", "b_id").distinct()
   }
 
+  // ── shared SimHash pipeline stages (see dedup_simhash_pairs) ─────────
+
+  /** Exploded tokens of the near-clone corpus, each carrying its 60-bit
+    * md5-prefix as a long — the tokenize/explode/md5 stage the 60-bit
+    * SimHash signature aggregate starts from. ONE conv: the first 15
+    * md5 hex chars become a 60-bit long, so every downstream bit probe
+    * is integer shift/mask (the 15-string-convs-per-row form spent its
+    * time in string slicing). Bench session-persists this stage exactly
+    * like [[nearCloneShingles]]. */
+  def simhashTokens(s: SparkSession, d: String): DataFrame =
+    withNearClones(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("x"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** 60-bit SimHash signature per doc, computed from [[simhashTokens]]
+    * with 15 packed-lane sums: the ±1 vote sum v_i = 2·ones_i − n, so it
+    * suffices to count ONES per bit — and four 16-bit lanes pack one hex
+    * digit's 4 bit-counters into one long, collapsing 60 sum aggregates
+    * to 15 packed sums + count(n). Lane counts ≤ 65535 ≫ any document's
+    * token count; beyond that a lane would overflow into its neighbor
+    * and corrupt the signature SILENTLY — refuse loudly instead (chunk
+    * such docs upstream; the synthetic corpus is ~30 tokens/doc). */
+  def simhashSig60(s: SparkSession, d: String): DataFrame = {
+    // hex digit j (0-based from the LEFT) sits at bits 4*(14-j)
+    val packAggs = (0 until 15).map { j =>
+      val base = 4 * (14 - j)
+      sum((0 until 4).map { k =>
+        shiftright(col("h"), base + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
+      }.reduce(_ + _)).as(s"p$j")
+    } :+ count(lit(1)).as("n")
+    val sg = simhashTokens(s, d).groupBy("doc_id")
+      .agg(packAggs.head, packAggs.tail: _*)
+    val sim = (0 until 60).map { i =>
+      val ones = shiftright(col(s"p${i / 4}"), 16 * (i % 4))
+        .bitwiseAND(lit(65535L))
+      when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val guarded = when(col("n") > 65535,
+      raise_error(concat(lit("SimHash lane overflow: doc "),
+        col("doc_id").cast("string"), lit(" has "),
+        col("n").cast("string"), lit(" tokens (max 65535)"))).cast("long"))
+      .otherwise(sim)
+    sg.select(col("doc_id"), guarded.as("sim"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── token counting ──────────────────────────────────────────────────
@@ -774,40 +820,9 @@ object TextOps {
          |FROM cand
          |WHERE bit_count(xor(sa, sb)) <= 6
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      // ONE conv: the first 15 md5 hex chars become a 60-bit long, so
-      // every bit probe is integer shift/mask (the 15-string-convs-
-      // per-row form spent its time in string slicing). The ±1 vote sum
-      // v_i = 2·ones_i − n, so it suffices to count ONES per bit — and
-      // four 16-bit lanes pack one hex digit's 4 bit-counters into one
-      // long, collapsing 60 sum aggregates to 15 packed sums + count(n)
-      // (lane counts ≤ 65535 ≫ any document's token count).
-      val ex = withNearClones(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("x"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
-      // hex digit j (0-based from the LEFT) sits at bits 4*(14-j)
-      val packAggs = (0 until 15).map { j =>
-        val base = 4 * (14 - j)
-        sum((0 until 4).map { k =>
-          shiftright(col("h"), base + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
-        }.reduce(_ + _)).as(s"p$j")
-      } :+ count(lit(1)).as("n")
-      val sg = ex.groupBy("doc_id").agg(packAggs.head, packAggs.tail: _*)
-      val sim = (0 until 60).map { i =>
-        val ones = shiftright(col(s"p${i / 4}"), 16 * (i % 4))
-          .bitwiseAND(lit(65535L))
-        when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-      // the 16-bit lanes hold per-bit ONES counters: a doc beyond 65535
-      // tokens would overflow a lane into its neighbor and corrupt the
-      // signature SILENTLY — refuse loudly instead (chunk such docs
-      // upstream; the synthetic corpus is ~30 tokens/doc)
-      val guarded = when(col("n") > 65535,
-        raise_error(concat(lit("SimHash lane overflow: doc "),
-          col("doc_id").cast("string"), lit(" has "),
-          col("n").cast("string"), lit(" tokens (max 65535)"))).cast("long"))
-        .otherwise(sim)
-      val sig = sg.select(col("doc_id"), guarded.as("sim"))
+      // signature pipeline lives in simhashTokens/simhashSig60 (shared
+      // with Bench's session-persist block, like the MinHash stages)
+      val sig = simhashSig60(s, d)
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
           shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key"))
