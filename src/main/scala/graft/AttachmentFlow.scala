@@ -27,14 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object AttachmentFlow {
 
-  final case class Result(files: Long, uploads: Long, batches: Long)
+  /** `rejected` = uploads the transport's per-element response refused
+    * (summarizeErrors:false semantics — see Sinks.batchedPushValidated);
+    * accepted + rejected = uploads. */
+  final case class Result(files: Long, uploads: Long, batches: Long,
+      rejected: Long = 0)
 
   def run(spark: SparkSession, attachDir: String, yearMonth: String,
       server: RestSource.Server, contactName: String = "Day Dockets",
-      post: Seq[String] => Unit = _ => ()): Result = {
+      post: Seq[String] => Seq[Option[String]] =
+        batch => batch.map(_ => None)): Result = {
 
+    // recursiveFileLookup: the reference's getDDFiles recurses into
+    // subdirectories (/root/reference/src/parse.ts:44-48) but drops the
+    // recursive results — the intent (nested drop dirs contribute
+    // attachments) is honored here, the discard bug is not
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "DD *.xls").load(attachDir)
+      .option("pathGlobFilter", "DD *.xls")
+      .option("recursiveFileLookup", "true").load(attachDir)
       .select(element_at(split(col("path"), "/"), -1).as("fileName"),
         col("content"))
       .withColumn("dateString",
@@ -71,9 +81,20 @@ object AttachmentFlow {
 
       val uploads = joined.select(col("invoiceID"), col("fileName"),
         base64(col("content")).as("payload_b64"))
-      val batches = Sinks.batchedPush(uploads, batchSize = 50)(post)
-      // post-audit each file carries exactly one invoice ⇒ 1 upload/file
-      Result(files = nFiles, uploads = nFiles, batches = batches)
+      // per-element outcomes: a partially-rejected batch must surface
+      // WHICH uploads the API refused, not just how many batches went out
+      val outcomes = Sinks.batchedPushValidated(uploads, batchSize = 50)(post)
+      try {
+        val batches = outcomes.select("partition", "batch").distinct().count()
+        val bad = outcomes.filter(!col("ok"))
+        val rejected = bad.count()
+        if (rejected > 0)
+          bad.select("element", "error").take(20)
+            .foreach(r => System.err.println(s"ATTACH REJECTED: $r"))
+        // post-audit each file carries exactly one invoice ⇒ 1 upload/file
+        Result(files = nFiles, uploads = nFiles, batches = batches,
+          rejected = rejected)
+      } finally outcomes.unpersist()
     } finally perFile.unpersist()
   }
 }

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** `rejectedDocs` counts per-element validation refusals from the
+    * batched load stage (summarizeErrors:false semantics — see
+    * Sinks.batchedPushValidated). */
   final case class Result(invoices: Long, creditNotes: Long,
       ddInvoices: Long, unbalancedDays: Long, droppedRows: Long,
-      logPath: String)
+      logPath: String, rejectedDocs: Long = 0)
 
   private def keys = Seq("date", "customerId", "seqNo", "amount")
 
@@ -34,7 +37,8 @@ object Pipeline {
     * NOTHING-IMPORTED behavior). */
   def run(spark: SparkSession, sfDir: String, logDir: String,
       strict: Boolean = false,
-      post: Seq[String] => Unit = _ => ()): Result = {
+      post: Seq[String] => Seq[Option[String]] =
+        batch => batch.map(_ => None)): Result = {
     val db = Tables.charge(spark, sfDir)
     val parsed0 = Tables.xlsxCharges(spark, sfDir)
 
@@ -72,8 +76,14 @@ object Pipeline {
     val credits = typeCounts.getOrElse("ACCRECCREDIT", 0L)
     val dd = Docs.ddInvoices(spark, sfDir).count()
 
-    // load: batched push through the pluggable transport
-    Sinks.batchedPush(docs.toDF().limit(100), batchSize = 50)(post)
+    // load: batched push through the pluggable transport, with
+    // per-element outcomes (a partially-rejected batch surfaces its
+    // refusals instead of vanishing into a batch count)
+    val outcomes = Sinks.batchedPushValidated(
+      docs.toDF().limit(100), batchSize = 50)(post)
+    val rejected =
+      try outcomes.filter(!col("ok")).count()
+      finally outcomes.unpersist()
 
     // log sink with collision suffixing
     val summary = verified.agg(
@@ -85,6 +95,7 @@ object Pipeline {
       case n: Long => n
       case _ => 0L
     }
-    Result(invoices, credits, dd, unbalancedDays, dropped, logPath)
+    Result(invoices, credits, dd, unbalancedDays, dropped, logPath,
+      rejectedDocs = rejected)
   }
 }

@@ -44,11 +44,23 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  /** THE one place the `spark.sql.legacy.parquet.nanosAsLong` flag is
+    * set (every events.parquet reader — batch or streaming — calls
+    * this). It is a deliberate PROCESS-WIDE requirement, not a scoped
+    * read option: the flag only changes how ns-precision parquet
+    * timestamps (which Spark otherwise rejects outright) are surfaced —
+    * as raw long nanos — and no dataset in this engine reads ns parquet
+    * any other way, so there is no reader the sticky setting could
+    * change behind its back. Scoping set/restore around each read would
+    * race under concurrent query construction on the shared session. */
+  def ensureNanosAsLong(s: SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** events.parquet stores ns-precision timestamps, which Spark's parquet
     * reader rejects; read them as raw nanos (legacy conf) and floor-divide
     * to µs — exactly DuckDB's ns→µs truncation, so oracle parity holds. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(s)
     read(s, d, "events").withColumn("ts",
       timestamp_micros(expr("ts div 1000")))
   }

@@ -116,7 +116,14 @@ object Analytics {
       val f = e.groupBy("user_id").agg(min("day").as("cohort_day"))
       e.join(f, Seq("user_id"))
         .select(col("cohort_day"),
-          expr("datediff(day, cohort_day) div 7").cast("long").as("week_offset"),
+          // floor(), not div: DuckDB's // floors while Spark's div
+          // truncates toward zero — identical only while
+          // datediff(day, cohort_day) ≥ 0 (true here: cohort_day is the
+          // user's min day, but a future edit losing that invariant
+          // would silently diverge on negative offsets; floor is
+          // invariant-free)
+          expr("floor(datediff(day, cohort_day) / 7)").cast("long")
+            .as("week_offset"),
           col("user_id"))
         .groupBy("cohort_day", "week_offset")
         .agg(count_distinct(col("user_id")).as("n_users"))

@@ -39,42 +39,58 @@ object Inventory {
       s("D32", "Total Charges"))
   }
 
-  def ensureXlsxFixture(): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xlsx-drop")
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("DD 15.xlsx"),
-      XlsxWrite.workbook("A4 Summary", fixtureCells))
+  /** Content-addressed fixture drop dir: the directory NAME carries a
+    * hash of the exact file set, so the drop-dir queries (which read
+    * the whole directory) can never pick up stale files from an older
+    * fixture version or a concurrent run's different content — those
+    * live under a different name. Creation is atomic (write to a temp
+    * dir, ATOMIC_MOVE into place; a concurrent creator of the same
+    * content harmlessly loses the move), so a reader never sees a
+    * half-written directory. */
+  private def contentDropDir(name: String,
+      files: Seq[(String, Array[Byte])]): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { case (n, b) =>
+      digest.update(n.getBytes("UTF-8")); digest.update(b)
+    }
+    val tag = digest.digest().take(8).map("%02x".format(_)).mkString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"$name-$tag")
+    if (!Files.exists(dir)) {
+      val tmp = Files.createTempDirectory(s"$name-stage-")
+      files.foreach { case (n, b) => Files.write(tmp.resolve(n), b) }
+      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // other creator won
+      }
+    }
     dir.toString
   }
 
+  def ensureXlsxFixture(): String =
+    contentDropDir("graft-xlsx-drop",
+      Seq("DD 15.xlsx" -> XlsxWrite.workbook("A4 Summary", fixtureCells)))
+
   /** The SAME grid written as a legacy BIFF8 `.xls` — the reference's
     * own output extension (/root/reference/src/helpers.ts:76). */
-  def ensureXlsFixture(): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-xls-drop")
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("DD 16.xls"),
-      graft.sources.XlsWrite.workbook("A4 Summary", fixtureCells))
-    dir.toString
-  }
+  def ensureXlsFixture(): String =
+    contentDropDir("graft-xls-drop",
+      Seq("DD 16.xls" ->
+        graft.sources.XlsWrite.workbook("A4 Summary", fixtureCells)))
 
   /** CSV drop-dir fixture: two daily files plus one malformed line —
     * the "partners upload CSVs" ingest a drop-dir pipeline sees. */
   def ensureCsvFixture(): String = {
-    import java.nio.file.{Files, Paths}
     import java.nio.charset.StandardCharsets.UTF_8
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-csv-drop")
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("day1.csv"),
-      ("id,date,amount,customer\n" +
-        "1,2023-03-15,100.00,45678\n" +
-        "2,2023-03-15,-25.50,9001\n" +
-        "bad,notadate,xx,\n").getBytes(UTF_8))
-    Files.write(dir.resolve("day2.csv"),
-      ("id,date,amount,customer\n" +
-        "10,2023-03-16,50.00,42\n").getBytes(UTF_8))
-    dir.toString
+    contentDropDir("graft-csv-drop", Seq(
+      "day1.csv" ->
+        ("id,date,amount,customer\n" +
+          "1,2023-03-15,100.00,45678\n" +
+          "2,2023-03-15,-25.50,9001\n" +
+          "bad,notadate,xx,\n").getBytes(UTF_8),
+      "day2.csv" ->
+        ("id,date,amount,customer\n" +
+          "10,2023-03-16,50.00,42\n").getBytes(UTF_8)))
   }
 
   val queries: Seq[Q] = Seq(

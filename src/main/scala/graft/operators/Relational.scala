@@ -21,9 +21,14 @@ object Relational {
     // Drop-dir scan + filename-regex filter (reference getDDFiles,
     // /root/reference/src/parse.ts:39-54): pathGlobFilter prunes at file
     // listing (no data read for non-matching files); the _metadata regex
-    // mirrors the `/^DD \d\d.xls$/` name check.
+    // mirrors the `/^DD \d\d.xls$/` name check. recursiveFileLookup
+    // honors the reference's SUBDIRECTORY intent — getDDFiles recurses
+    // into nested dirs (parse.ts:44-48) but discards the recursive
+    // results (a documented reference bug, fixed here: nested files
+    // actually contribute rows — spec-pinned in EntrySpec).
     Q("src_dir_scan", "SELECT COUNT(*) AS n_rows FROM lineitem") { (s, d) =>
-      s.read.option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      s.read.option("pathGlobFilter", "lineitem.parquet")
+        .option("recursiveFileLookup", "true").parquet(d)
         .filter(col("_metadata.file_name").rlike("^lineitem\\.parquet$"))
         .agg(count(lit(1)).as("n_rows"))
     },

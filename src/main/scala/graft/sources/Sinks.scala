@@ -50,4 +50,46 @@ object Sinks {
     }
     acc.value
   }
+
+  /** Batched push with PER-ELEMENT outcomes — the reference's
+    * `summarizeErrors: false` semantics (/root/reference/src/
+    * apiFunctions.ts:68-72 posts with summarize=false so the batched
+    * response carries each element's validationErrors; helpers.ts:90-101
+    * then logs the full response). A partially-rejected batch is a
+    * day-one reality of batch APIs: the accepted elements MUST NOT be
+    * retried and the rejected ones MUST be visible, so a bare
+    * batch-count return is not enough.
+    *
+    * `post` receives one batch and returns one outcome per element in
+    * order — `None` = accepted, `Some(msg)` = that element's validation
+    * error (a transport returning the wrong number of outcomes fails
+    * loudly). Returns the outcome rows
+    * `(element, partition, batch, ok, error)`, MATERIALIZED exactly once
+    * (persist + count) before returning so downstream counting/logging
+    * never re-fires the posts; callers unpersist when done. Same
+    * executor contract as [[batchedPush]]: `post` must be serializable
+    * and idempotent under task retry. */
+  def batchedPushValidated(df: DataFrame, batchSize: Int)(
+      post: Seq[String] => Seq[Option[String]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outcomes = df.toJSON.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val errs = post(batch)
+        if (errs.length != batch.length)
+          throw new IllegalStateException(
+            s"push transport returned ${errs.length} outcomes for a " +
+              s"${batch.length}-element batch (partition $pid, batch $bi)" +
+              " — per-element validation requires exactly one outcome per" +
+              " posted element")
+        batch.zip(errs).map { case (el, e) =>
+          (el, pid, bi, e.isEmpty, e.orNull)
+        }
+      }
+    }.toDF("element", "partition", "batch", "ok", "error")
+      .persist()
+    outcomes.count() // fire the posts exactly once
+    outcomes
+  }
 }

@@ -32,13 +32,18 @@ object DropDir {
     * memory sink keeps the harness hermetic.) */
   def runAvailableNow(spark: SparkSession, srcDir: String,
       queryName: String = "dropdir_out"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark) // process-wide by design: see its scaladoc
     // file streams need an explicit schema: take it from a batch read
     // (glob-filtered — the dir may hold other tables' parquet too)
+    // recursiveFileLookup mirrors the reference's nested drop-dir intent
+    // (getDDFiles recursion, /root/reference/src/parse.ts:44-48): files
+    // landing in subdirectories are picked up too (spec-pinned)
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
+      .option("recursiveFileLookup", "true")
       .parquet(srcDir).schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
+      .option("recursiveFileLookup", "true")
       .parquet(srcDir)
     // same ns→µs floor conversion as Tables.events
     val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

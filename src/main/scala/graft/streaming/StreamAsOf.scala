@@ -33,8 +33,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * they can go quiet; the spec pins the held-back behavior.
   *
   * Same precondition as the batch operator: updates unique per
-  * (key, ts) — among equal-ts updates the kernel keeps the last in
-  * arrival-sorted order, which is NOT deterministic across runs.
+  * (key, ts). Violations no longer depend on arrival order: equal-ts
+  * updates resolve DETERMINISTICALLY to the max value (updates sort by
+  * (ts, value), mirroring batch asOf's documented tie-break), and
+  * `assertUniqueUpdates = true` — the streaming twin of batch asOf's
+  * `assertUniqueRight` — raises instead, naming the offending
+  * (key, ts). The check sees the buffered updates of each batch; an
+  * equal-ts duplicate arriving after its sibling was watermark-pruned
+  * would be watermark-late and is dropped by Spark before the state
+  * function runs, so it can't silently win either.
   * A LATE row (ts already behind the watermark, either side) is
   * DROPPED before the state function runs — Spark's
   * FlatMapGroupsWithStateExec filters watermark-late input under
@@ -64,7 +71,8 @@ object StreamAsOf {
     * watermark is the min of the two sides); it also delays emission by
     * the same amount. */
   def enrich(spark: SparkSession, events: DataFrame, updates: DataFrame,
-      delay: String = "30 minutes"): Dataset[AsOfOut] = {
+      delay: String = "30 minutes",
+      assertUniqueUpdates: Boolean = false): Dataset[AsOfOut] = {
     import spark.implicits._
     val e = events
       .withWatermark("ts", delay)
@@ -90,7 +98,18 @@ object StreamAsOf {
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ripe, pending) = st.events.partition(_._1 <= wmUs)
-          val sortedUps = st.updates.sortBy(_._1)
+          // sort by (ts, value) — equal-ts updates resolve to the MAX
+          // value deterministically (lastOption below), never by
+          // arrival order; see the uniqueness paragraph in the scaladoc
+          val sortedUps = st.updates.sortBy(identity)
+          if (assertUniqueUpdates)
+            sortedUps.lazyZip(sortedUps.drop(1)).foreach { (a, b) =>
+              if (a._1 == b._1) throw new IllegalStateException(
+                s"as-of updates not unique per (key, ts): key=$key " +
+                  s"ts_us=${a._1} values=${a._2} and ${b._2} — " +
+                  "deduplicate the update stream or drop " +
+                  "assertUniqueUpdates to take the max value")
+            }
           val out = ripe.sortBy(identity).map { case (us, id) =>
             val m = sortedUps.takeWhile(_._1 <= us).lastOption
             AsOfOut(key, id, us, m.map(_._1), m.map(_._2))
@@ -121,7 +140,7 @@ object StreamAsOf {
     * the batch-equivalence spec exact. */
   def runAvailableNow(spark: SparkSession, srcDir: String,
       queryName: String = "streamasof_out"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark) // process-wide by design: see its scaladoc
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet(srcDir).schema
     def side(eventType: String): DataFrame =

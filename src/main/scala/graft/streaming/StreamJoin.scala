@@ -53,7 +53,7 @@ object StreamJoin {
     * checkpoint; the harness stays hermetic. */
   def runAvailableNow(spark: SparkSession, srcDir: String,
       queryName: String = "streamjoin_out"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark) // process-wide by design: see its scaladoc
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet(srcDir).schema
     def side(eventType: String): DataFrame =

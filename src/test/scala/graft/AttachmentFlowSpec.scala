@@ -40,8 +40,10 @@ class AttachmentFlowSpec extends SparkSuite {
     val counting: RestSource.Server =
       params => { fetches.incrementAndGet(); oneServer(params) }
     val r = AttachmentFlow.run(spark, mkDropDir(), "2024-01",
-      counting, post = batch => batch.foreach(acc.add))
+      counting,
+      post = batch => { batch.foreach(acc.add); batch.map(_ => None) })
     assert(r.files == 2 && r.uploads == 2 && r.batches >= 1)
+    assert(r.rejected == 0)
     assert(fetches.get() == 1,
       s"expected ONE range fetch per run, saw ${fetches.get()}")
     val posted = acc.value
@@ -55,6 +57,33 @@ class AttachmentFlowSpec extends SparkSuite {
     // payload really is the file bytes (base64)
     val b64 = java.util.Base64.getEncoder.encodeToString("xls-bytes-15".getBytes)
     assert(bodies.contains(b64))
+  }
+
+  test("attachments dropped in SUBDIRECTORIES upload too (getDDFiles " +
+      "recursion intent, minus the reference's discard bug)") {
+    val dir = mkDropDir()
+    Files.createDirectories(Paths.get(dir, "week3"))
+    Files.write(Paths.get(dir, "week3", "DD 17.xls"), "xls-bytes-17".getBytes)
+    val acc = spark.sparkContext.collectionAccumulator[String]("posted3")
+    val r = AttachmentFlow.run(spark, dir, "2024-01", oneServer,
+      post = batch => { batch.foreach(acc.add); batch.map(_ => None) })
+    assert(r.files == 3 && r.uploads == 3)
+    val bodies = scala.jdk.CollectionConverters.ListHasAsScala(acc.value)
+      .asScala.mkString("\n")
+    assert(bodies.contains("\"DD 17.xls\"") &&
+      bodies.contains("inv-2024-01-17-1"))
+  }
+
+  test("partially-rejecting transport surfaces per-element rejections") {
+    // the API refuses DD 16's upload (validation error) but accepts
+    // DD 15's — the flow must report the rejection, not just "2 batches"
+    val r = AttachmentFlow.run(spark, mkDropDir(), "2024-01",
+      oneServer,
+      post = batch => batch.map(el =>
+        if (el.contains("DD 16.xls")) Some("Account code is invalid")
+        else None))
+    assert(r.files == 2 && r.uploads == 2)
+    assert(r.rejected == 1, s"expected 1 rejected upload, got ${r.rejected}")
   }
 
   test("ambiguous lookup (multi-invoice date) aborts the flow") {

@@ -138,6 +138,34 @@ class ExtensionSpec extends SparkSuite {
     assert(batches >= 10 && batches <= 13, s"got $batches")
   }
 
+  test("validated push surfaces per-element outcomes (summarizeErrors:false)") {
+    val df = spark.range(20).toDF("id").repartition(2)
+    // canned partially-rejecting transport: every element whose id is
+    // divisible by 7 comes back with a validation error
+    val outcomes = Sinks.batchedPushValidated(df, batchSize = 6) { batch =>
+      batch.map(el =>
+        if (el.matches(""".*"id":(0|7|14)\}.*""")) Some("Account code invalid")
+        else None)
+    }
+    try {
+      assert(outcomes.count() == 20) // one outcome row per element
+      val bad = outcomes.filter(!col("ok")).collect()
+      assert(bad.length == 3)
+      assert(bad.forall(_.getString(4) == "Account code invalid"))
+      assert(outcomes.filter(col("ok")).count() == 17)
+      assert(outcomes.filter(col("ok") && col("error").isNotNull).isEmpty)
+    } finally outcomes.unpersist()
+  }
+
+  test("validated push refuses a transport with wrong outcome arity") {
+    val df = spark.range(10).toDF("id").repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Sinks.batchedPushValidated(df, batchSize = 5)(_ => Seq(None))
+    }
+    assert(ex.getMessage.contains("exactly one outcome per") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exactly one outcome per")))
+  }
+
   test("DataSourceV2 REST connector pushes equality filters to the server") {
     import graft.sources.RestTableProvider
     val df = spark.read.format(classOf[RestTableProvider].getName)

@@ -48,6 +48,50 @@ class StreamAsOfSpec extends SparkSuite {
         s"onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("equal-ts updates resolve deterministically (max value); " +
+      "assertUniqueUpdates raises instead") {
+    val sp = spark
+    import sp.implicits._
+    val in = Files.createTempDirectory("sao_dup").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h))
+    // TWO updates share (key=1, ts=h0) — the violated-uniqueness case
+    Seq((1L, 101L, ts(1), 0.0), (1L, 102L, ts(10), 0.0))
+      .toDF("user_id", "event_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$in/events")
+    Seq((1L, 0L, ts(0), 3.0), (1L, 0L, ts(0), 7.0), (1L, 0L, ts(9), 1.0))
+      .toDF("user_id", "event_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$in/updates")
+    def side(dir: String) = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$in/$dir")
+
+    // default: the tie resolves to the MAX value (7.0) — pinned, so the
+    // output can never be run-order-dependent
+    val q = StreamAsOf.enrich(spark, side("events"), side("updates"),
+        "0 seconds")
+      .writeStream.format("memory").queryName("sao_dup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sao_dup").collect()
+      .map(r => (r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq((101L, Some(7.0))), s"got ${rows.toSeq}")
+
+    // strict: the same stream with assertUniqueUpdates fails loudly,
+    // naming the offending (key, ts)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = StreamAsOf.enrich(spark, side("events"), side("updates"),
+          "0 seconds", assertUniqueUpdates = true)
+        .writeStream.format("memory").queryName("sao_dup_strict")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("not unique per (key, ts)")),
+      s"cause chain: ${msgs(ex)}")
+  }
+
   test("watermark-gated emission; late updates cannot rewrite emitted rows") {
     val sp = spark
     import sp.implicits._

@@ -29,6 +29,22 @@ class TopKPerKeySpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("ambiguous (duplicated) column names fail loudly, not last-wins") {
+    TopKPerKey.install(spark)
+    val sp = spark
+    import sp.implicits._
+    // self-join shape: both sides contribute a column named `v`
+    val l = Seq(("a", 1.0)).toDF("g", "v")
+    val r = Seq(("a", 2.0)).toDF("g2", "v")
+    val dup = l.join(r, col("g") === col("g2"))
+    val ex = intercept[Exception] {
+      TopKPerKey.topK(dup, Seq("g"), Seq("v" -> true), 1).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ambiguous")), s"got: ${msgs(ex)}")
+  }
+
   test("k = 1 and keys with fewer than k rows") {
     TopKPerKey.install(spark)
     val sp = spark

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard.
+
+Compares a Bench run's per-query seconds against the checked-in
+steady-state baseline (BENCH_BASELINE.json, recorded with
+SPARK_GRAFT_REPEAT=3 at sf0.1 so each number is a min-of-3 warm
+measurement) and flags regressions. Without per-query baselines,
+machine noise and real regressions are indistinguishable — round 4's
+driver run showed the same plan at 3.3s (builder) and 17.2s (driver,
+cold cache/contention); this guard is the tie-breaker you re-run
+locally.
+
+Usage:
+  tools/bench_guard.py              # run Bench (REPEAT=3, sf0.1), then compare
+  tools/bench_guard.py RESULT.json  # compare an existing Bench output file
+
+A query regresses when it is BOTH >2x its baseline AND >0.5s absolute
+over it (the absolute floor keeps 60ms queries from flagging on
+scheduler jitter). New queries (no baseline) are listed informationally
+and never fail the run. Exit 1 iff any regression is flagged.
+"""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BASELINE = REPO / "BENCH_BASELINE.json"
+RATIO = 2.0
+ABS_FLOOR_SEC = 0.5
+
+
+def run_bench() -> dict:
+    out = "/tmp/bench_guard_result.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        SPARK_GRAFT_REPEAT=os.environ.get("SPARK_GRAFT_REPEAT", "3"),
+        SPARK_GRAFT_BENCH_OUT=out,
+    )
+    subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        cwd=REPO, env=env, check=True,
+        stdout=sys.stderr, stderr=subprocess.DEVNULL,
+    )
+    return json.loads(pathlib.Path(out).read_text())
+
+
+def main() -> int:
+    base = json.loads(BASELINE.read_text())["queries"]
+    result = (
+        json.loads(pathlib.Path(sys.argv[1]).read_text())
+        if len(sys.argv) > 1
+        else run_bench()
+    )
+    cur = result["queries"]
+
+    regressions, new = [], []
+    for name, sec in sorted(cur.items()):
+        if sec < 0:  # Bench records time-to-failure as negative
+            regressions.append((name, sec, base.get(name), "FAILED"))
+            continue
+        b = base.get(name)
+        if b is None:
+            new.append((name, sec))
+        elif sec > b * RATIO and sec > b + ABS_FLOOR_SEC:
+            regressions.append((name, sec, b, f"{sec / b:.1f}x"))
+
+    for name, sec in new:
+        print(f"new     {name}: {sec:.2f}s (no baseline — re-record)")
+    for name, sec, b, why in regressions:
+        print(f"REGRESS {name}: {sec:.2f}s vs baseline {b:.2f}s ({why})")
+    total = sum(s for s in cur.values() if s >= 0)
+    print(f"{len(cur)} queries, total {total:.1f}s — "
+          f"{len(regressions)} regression(s), {len(new)} new")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
