@@ -136,7 +136,7 @@ object TextOps {
   }
 
   /** 2×2 banding of the signatures: candidate pairs share a band key. */
-  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d)
     val bands = sig.select(col("doc_id"), lit(0).as("band"),
       concat(col("h0"), col("h1")).as("key"))

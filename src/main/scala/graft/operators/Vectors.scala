@@ -47,10 +47,26 @@ object Vectors {
        |  FROM embeddings
        |)""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component (LCG over plane
-    * and dimension index) — reproducible on any cluster, no RNG state. */
-  def plane(p: Int, j: Int): Double =
-    (((1103515245L * (p * Dim + j) + 12345L) % 2048L) - 1024L).toDouble
+  /** Deterministic pseudo-random hyperplane component (splitmix64-style
+    * finalizer over plane and dimension index) — reproducible on any
+    * cluster, no RNG state.
+    *
+    * Why a full 64-bit mixer and not the round-1 LCG `(a·k + c) mod
+    * 2048`: that LCG is LINEAR in k, so two centroid indices whose flat
+    * keys differ by a multiple of 2048 produced IDENTICAL vectors —
+    * with Dim = 64 that is every 32nd centroid, silently capping the
+    * fixed quantizer at 32 distinct cells no matter how large `nList`
+    * was asked to be. At 16 cells nothing noticed; DedupScaleSpec's
+    * corpus-×4/cells-×4 law exposed it (in-cell pair work grew ×16).
+    * The mixer has no linear structure, so distinct (p, j) keys give
+    * independent components at ANY nList. */
+  def plane(p: Int, j: Int): Double = {
+    var z = (p.toLong * Dim + j) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (java.lang.Math.floorMod(z, 2048L) - 1024L).toDouble
+  }
 
   val Planes = 8
 
@@ -131,6 +147,33 @@ object Vectors {
 
   val FixedNList = 16
   val FixedNProbe = 3
+
+  /** SemDeDup cell assignment with the cell count as the explicit SCALE
+    * KNOB: the in-cell pair kernel is quadratic in cell occupancy, so a
+    * 100 TB deployment grows `nList` with the corpus to keep occupancy
+    * (and therefore per-cell work) constant — DedupScaleSpec asserts
+    * exactly that (corpus ×k with cells ×k ⇒ near-linear pair work).
+    * The `dedup_semantic` query pins nList = FixedNList so its DuckDB
+    * oracle stays literal. */
+  private[graft] def semanticAssigned(s: SparkSession, d: String,
+      nList: Int): DataFrame =
+    normed(s, d).withColumn("list_id",
+      array_min(centroidScores(col("embedding"), nList))
+        .getField("list_id"))
+
+  /** In-cell pairs above the SemDeDup cosine threshold (0.4) — the
+    * explicitly-bounded quadratic kernel: pairs are enumerated only
+    * within a cell, never corpus-wide. */
+  private[graft] def semanticPairs(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("list_id"))
+    val b = assigned.select(col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("list_id"))
+    a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
 
   /** Fixed deterministic coarse-quantizer centroid component — same LCG
     * family as [[plane]], offset past the hyperplane block so the two
@@ -610,17 +653,8 @@ object Vectors {
          |FROM reach r JOIN assigned a ON a.vec_id = r.src
          |GROUP BY a.vec_id, a.list_id
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
-      val assigned = normed(s, d).withColumn("list_id",
-        array_min(centroidScores(col("embedding"), FixedNList))
-          .getField("list_id"))
-      val a = assigned.select(col("vec_id").as("a_id"),
-        col("embedding").as("ea"), col("nrm").as("na"), col("list_id"))
-      val b = assigned.select(col("vec_id").as("b_id"),
-        col("embedding").as("eb"), col("nrm").as("nb"), col("list_id"))
-      val pairs = a.join(b, Seq("list_id"))
-        .filter(col("a_id") < col("b_id"))
-        .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val assigned = semanticAssigned(s, d, FixedNList)
+      val pairs = semanticPairs(assigned)
       Graph.connectedComponents(
           assigned.select(col("vec_id").as("id")), pairs)
         .join(assigned.select(col("vec_id").as("id"), col("list_id")),

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.SparkSuite.Sf001
+import graft.operators.{TextOps, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale law: the documents fixture is ~500 docs, so a
+  * quadratic regression in the banded/celled candidate generation would
+  * be INVISIBLE to the oracle suite — it only shows up as growth. This
+  * spec synthesizes corpora ×10 and ×40 (deterministic per-replica
+  * perturbation) and asserts the candidate work and wall time of
+  * dedup_minhash / dedup_simhash_pairs / dedup_semantic grow
+  * near-LINEARLY between them (×4 corpus ⇒ ≲×8 work, where a quadratic
+  * kernel would show ×16).
+  *
+  * Perturbation design: token identity is preserved WITHIN a replica
+  * (each replica keeps the base corpus's near-clone structure) but
+  * broken ACROSS replicas (tokens become replica-salted md5 prefixes;
+  * embeddings are cyclically shifted, which preserves in-replica
+  * cosines exactly) — so a bigger corpus adds NEW near-dup clusters
+  * instead of inflating existing ones, the way a growing real corpus
+  * behaves.
+  */
+class DedupScaleSpec extends SparkSuite {
+
+  private val Reps1 = 10
+  private val Reps2 = 40 // ×4 the first corpus
+
+  private def corpusDir(n: Int): String = {
+    val dir = Files.createTempDirectory(s"dedupscale$n").toString
+    val reps = spark.range(n).toDF("rep")
+    Tables.documents(spark, Sf001).select("doc_id", "text")
+      .crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        expr("array_join(transform(filter(split(text, ' '), t -> t <> ''), " +
+          "t -> substring(md5(concat('r', CAST(rep AS STRING), '#', t)), 1, 8)), ' ')")
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, Sf001).select("vec_id", "embedding")
+      .crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "j -> element_at(embedding, CAST((j - 1 + rep) % 64 AS INT) + 1))")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Enumerated in-bucket pair work of the 4×15-bit SimHash bands:
+    * Σ n·(n−1)/2 over (band, key) buckets — the join's actual row
+    * production, BEFORE the Hamming filter hides it. */
+  private def simhashBucketWork(d: String): Long = {
+    val sig = TextOps.simhashSig60(spark, d)
+    (0 until 4).map(b => sig.select(lit(b).as("b"),
+        shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key")))
+      .reduce(_ unionByName _)
+      .groupBy("b", "key").count()
+      .agg(sum(expr("count * (count - 1) div 2")).as("w"))
+      .head.getLong(0)
+  }
+
+  test("MinHash + SimHash candidate work and time grow near-linearly " +
+      s"(corpus ×${Reps2 / Reps1})") {
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    // warm once at the small scale so codegen/JIT isn't billed to d1
+    TextOps.minhashCandidates(spark, d1).count()
+    SparkEntry.queries("dedup_simhash_pairs")(spark, d1).count()
+
+    val (mh1, tMh1) = timed(TextOps.minhashCandidates(spark, d1).count())
+    val (mh2, tMh2) = timed(TextOps.minhashCandidates(spark, d2).count())
+    val (sh1, tSh1) = timed(
+      SparkEntry.queries("dedup_simhash_pairs")(spark, d1).count())
+    val (sh2, tSh2) = timed(
+      SparkEntry.queries("dedup_simhash_pairs")(spark, d2).count())
+    val (bw1, bw2) = (simhashBucketWork(d1), simhashBucketWork(d2))
+
+    val k = Reps2.toDouble / Reps1 // 4
+    assert(mh1 > 0 && sh1 > 0 && bw1 > 0, s"degenerate base: $mh1 $sh1 $bw1")
+    // outputs: expect ×k (each replica contributes its own clusters);
+    // 2× slack, quadratic would be ×k²
+    assert(mh2 <= mh1 * k * 2, s"minhash candidates superlinear: $mh1 -> $mh2")
+    assert(mh2 >= mh1 * k / 2, s"minhash candidates vanished: $mh1 -> $mh2")
+    assert(sh2 <= sh1 * k * 2, s"simhash survivors superlinear: $sh1 -> $sh2")
+    assert(sh2 >= sh1 * k / 2, s"simhash survivors vanished: $sh1 -> $sh2")
+    // enumerated bucket work — the quadratic-blowup detector (a band
+    // key space that saturates, e.g. the 16-bucket demo hash, fails
+    // here long before wall time does)
+    assert(bw2 <= bw1 * k * 3, s"simhash bucket work superlinear: $bw1 -> $bw2")
+    // wall time: generous 3× slack over linear; a quadratic kernel
+    // would be ~×${k*k} (noise-tolerant: only catches blowups)
+    assert(tMh2 <= tMh1 * k * 3 + 1.0, s"minhash time superlinear: $tMh1 -> $tMh2")
+    assert(tSh2 <= tSh1 * k * 3 + 1.0, s"simhash time superlinear: $tSh1 -> $tSh2")
+  }
+
+  test("SemDeDup in-cell pair work stays near-linear when cells scale " +
+      "with the corpus") {
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    // the scale contract of the celled design: nList grows with the
+    // corpus, keeping per-cell occupancy (and the quadratic in-cell
+    // kernel) bounded. Assignment itself is per-row × nList — at real
+    // scale it runs as a partitioned/approximate assign, so it is
+    // materialized UNTIMED here and only the pair kernel is measured.
+    val a1 = Vectors.semanticAssigned(spark, d1, Vectors.FixedNList * Reps1)
+      .persist()
+    val a2 = Vectors.semanticAssigned(spark, d2, Vectors.FixedNList * Reps2)
+      .persist()
+    try {
+      a1.count(); a2.count()
+      def cellWork(a: org.apache.spark.sql.DataFrame): Long =
+        a.groupBy("list_id").count()
+          .agg(sum(expr("count * (count - 1) div 2")).as("w"))
+          .head.getLong(0)
+      Vectors.semanticPairs(a1).count() // warm
+      val (p1, t1) = timed(Vectors.semanticPairs(a1).count())
+      val (p2, t2) = timed(Vectors.semanticPairs(a2).count())
+      val (w1, w2) = (cellWork(a1), cellWork(a2))
+      val k = Reps2.toDouble / Reps1
+      assert(p1 > 0 && w1 > 0, s"degenerate base: pairs=$p1 work=$w1")
+      assert(p2 <= p1 * k * 2, s"semantic pairs superlinear: $p1 -> $p2")
+      assert(p2 >= p1 * k / 2, s"semantic pairs vanished: $p1 -> $p2")
+      assert(w2 <= w1 * k * 3, s"in-cell pair work superlinear: $w1 -> $w2 " +
+        "(cells no longer bound the kernel)")
+      assert(t2 <= t1 * k * 3 + 1.0, s"pair kernel time superlinear: $t1 -> $t2")
+    } finally { a1.unpersist(); a2.unpersist() }
+  }
+}
