@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -247,6 +248,47 @@ object Graph {
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // Quality-aware survivor selection: real dedup pipelines keep the
+    // BEST member of each near-dup cluster, not the smallest id — here
+    // "best" = longest text (the common keep-longest policy), ties to
+    // the smallest doc_id so selection is deterministic. Composes the
+    // CC clusters with a per-cluster argmax: ONE window partitioned by
+    // cluster (bounded partitions — cluster sizes are near-clone group
+    // sizes, never corpus-scale).
+    Q("dedup_keep_longest",
+      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |), clus AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+         |), m AS (
+         |  SELECT c.cluster, c.doc_id, length(d.text) AS n
+         |  FROM clus c JOIN docs d ON d.doc_id = c.doc_id
+         |)
+         |SELECT cluster, doc_id AS survivor, CAST(n AS BIGINT) AS n_chars
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+         |              ORDER BY n DESC, doc_id) AS rk FROM m) t
+         |WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      val (vertices, edges) = dedupGraph(s, d)
+      val labels = connectedComponents(vertices, edges)
+      val lens = TextOps.withNearClones(s, d)
+        .select(col("doc_id").as("id"), length(col("text")).as("n"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("survivor"))
+      labels.join(lens, Seq("id"))
+        .select(col("label").as("cluster"), col("id").as("survivor"),
+          col("n").cast("long").as("n_chars"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .drop("rk")
+        .orderBy("cluster")
     },
 
     // Per-node triangle counts on the co-purchase graph (parts bought

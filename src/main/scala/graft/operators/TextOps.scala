@@ -622,6 +622,60 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Pairwise SOURCE overlap matrix — the dataset-audit twin of
+    // txt_contamination: how much shingle content two ingest sources
+    // share (mirrored crawls, syndicated feeds, re-uploads show up here
+    // before any per-doc dedup runs). Distinct (source, shingle-hash)
+    // first — so the join carries one row per source per shingle, never
+    // per document — then a shingle equi-join between sources and a
+    // Jaccard from the per-source totals. Scale shape: the join is
+    // keyed on the shingle hash (never all-pairs of docs), and its
+    // output is bounded by sources², a handful of rows.
+    Q("txt_source_overlap",
+      s"""WITH tt AS (
+         |  SELECT source, $toksSql AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT source, md5(x) AS h
+         |  FROM (SELECT source, unnest(${bigramsSql("t")}) AS x
+         |        FROM tt WHERE len(t) >= 2) u
+         |), tot AS (
+         |  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+         |), shared AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         COUNT(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.source_a, s.source_b,
+         |       CAST(s.n_shared AS BIGINT) AS n_shared,
+         |       CAST(s.n_shared AS DOUBLE) / (ta.n + tb.n - s.n_shared)
+         |         AS jaccard
+         |FROM shared s
+         |JOIN tot ta ON ta.source = s.source_a
+         |JOIN tot tb ON tb.source = s.source_b
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("source"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), explode(bigrams(col("t"))).as("sx"))
+        .select(col("source"), md5(col("sx")).as("h")).distinct()
+      val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = sh.select(col("source").as("source_a"), col("h"))
+        .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(tot.select(col("source").as("source_a"),
+          col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(tot.select(col("source").as("source_b"),
+          col("n").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          col("n_shared").cast("long").as("n_shared"),
+          (col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ── repetition quality signals ─────────────────────────────────────
 
     // The repetition filters LLM data curation actually uses (the

@@ -463,6 +463,53 @@ object Vectors {
       ivfFixedTopK(s, d, k = 10, nlist = FixedNList, nprobe = FixedNProbe)
     },
 
+    // kNN majority-vote label assignment — the classifier-inference
+    // stage of a data pipeline (label propagation from a labelled seed
+    // set: quality tiers, topic tags). Neighbors come from the
+    // partition-pruned IVF probe (never a corpus scan), then ONE small
+    // aggregate per query id; ties resolve to the smallest label so the
+    // vote is deterministic. At 100 TB the labelled side is the small
+    // relation: the probe prune bounds candidates per query, and the
+    // vote is a per-query-id hash aggregate — no global shuffle beyond
+    // the kNN join itself.
+    Q("sim_knn_label",
+      s"""WITH ${ivfFixedCtes(FixedNList, FixedNProbe)},
+         |p AS (
+         |  SELECT q.q_id, a.vec_id,
+         |         (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) AS cos
+         |  FROM probes pr
+         |  JOIN assigned a ON a.list_id = pr.list_id
+         |  JOIN q ON q.q_id = pr.q_id
+         |  WHERE a.vec_id <> q.q_id
+         |), knn AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS rn
+         |    FROM p) t
+         |  WHERE rn <= 10
+         |), votes AS (
+         |  SELECT k.q_id, e.label, COUNT(*) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q_id, CAST(label AS INTEGER) AS label,
+         |       CAST(votes AS BIGINT) AS votes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY votes DESC, label) AS vr FROM votes) t
+         |WHERE vr = 1 ORDER BY q_id""".stripMargin) { (s, d) =>
+      val knn = ivfFixedTopK(s, d, k = 10, nlist = FixedNList,
+        nprobe = FixedNProbe)
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = knn.join(lbl, Seq("vec_id"))
+        .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+        .select(col("q_id"), col("label").cast("int").as("label"),
+          col("votes").cast("long").as("votes"))
+        .orderBy("q_id")
+    },
+
     // LSH-bucketed ANN (scale path): sign-of-projection on 8 fixed
     // hyperplanes → 8-bit bucket; candidates = same-bucket equi-join;
     // exact cosine re-rank inside the bucket. Fully oracle-checked: the
