@@ -162,6 +162,62 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── trailing-window anomaly detection ──────────────────────────────
+
+    // Days whose total deviates more than 2σ from their trailing 7-day
+    // window — the data-quality tripwire a daily ingest runs before
+    // publishing (a collapsed source or a double-load shows up as an
+    // anomalous day, not as a schema error). Parity strategy is
+    // agg_stats': the window carries EXACT decimal sufficient
+    // statistics (Σx, Σx² — association-order-free), cast to double
+    // once, then mean/σ/flag are one pinned double expression evaluated
+    // identically by both engines. No division by σ anywhere (a
+    // constant window has σ = 0): the flag compares |x−μ| against 2σ
+    // directly. Warm-up days (window shorter than 7 rows) are excluded
+    // rather than emitted with unstable statistics.
+    Q("ts_anomaly",
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day,
+        |         CAST(total AS DOUBLE) AS td,
+        |         COUNT(*) OVER w7 AS n,
+        |         CAST(SUM(total) OVER w7 AS DOUBLE) AS sxd,
+        |         CAST(SUM(total * total) OVER w7 AS DOUBLE) AS sx2d
+        |  FROM dly
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, CAST(day AS DATE) AS day, td AS total,
+        |       sxd / 7.0 AS mean7,
+        |       sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0)) AS sd7,
+        |       abs(td - sxd / 7.0) >
+        |         2.0 * sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0))
+        |         AS is_anomaly
+        |FROM w WHERE n = 7
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val stats = dly.select(col("event_type"), col("day"),
+        col("total").cast("double").as("td"),
+        count(lit(1)).over(w7).as("n"),
+        sum(col("total")).over(w7).cast("double").as("sxd"),
+        sum(col("total") * col("total")).over(w7).cast("double").as("sx2d"))
+      val mean7 = col("sxd") / lit(7.0)
+      val sd7 = sqrt((col("sx2d") * lit(7.0) - col("sxd") * col("sxd"))
+        / (lit(7.0) * lit(6.0)))
+      stats.filter(col("n") === 7)
+        .select(col("event_type"), col("day"), col("td").as("total"),
+          mean7.as("mean7"), sd7.as("sd7"),
+          (abs(col("td") - mean7) > lit(2.0) * sd7).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // ── range-frame moving average (calendar days, not rows) ───────────
 
     // The RANGE twin of ts_moving_avg: the frame is the last 7 CALENDAR

@@ -197,6 +197,27 @@ object Graph {
     TextOps.minhashCandidates(s, d)
       .select(col("a_id").as("src"), col("b_id").as("dst")))
 
+  /** Near-clone cluster labels (id, label), clustered ONCE per
+    * (session, dir) and persisted: a dedup pipeline materializes the
+    * cluster assignment once and feeds every consumer from it (min-id
+    * canonicals in dedup_cc, keep-longest survivors in
+    * dedup_keep_longest) — re-running the iterative CC job per consumer
+    * would multiply its multi-job cost by the consumer count. The
+    * memo key holds the session by REFERENCE, so a new session (each
+    * test suite, each driver run) recomputes from scratch; the
+    * propagation loop's localCheckpoint lineage makes the plain
+    * cache-substitution route unusable here (two runs build distinct
+    * RDD lineages, so their plans never canonicalize equal). */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private[graft] def nearCloneClusters(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    ccMemo.computeIfAbsent((s, d), { _ =>
+      val (vertices, edges) = dedupGraph(s, d)
+      connectedComponents(vertices, edges).persist()
+    })
+
   val queries: Seq[Q] = Seq(
 
     // Cluster the MinHash-banded candidate pairs of the near-clone
@@ -217,8 +238,7 @@ object Graph {
          |SELECT src AS doc_id, MIN(dst) AS cluster,
          |       MIN(dst) = src AS is_canonical
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val (vertices, edges) = dedupGraph(s, d)
-      connectedComponents(vertices, edges)
+      nearCloneClusters(s, d)
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))
         .orderBy("doc_id")
@@ -277,8 +297,7 @@ object Graph {
          |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
          |              ORDER BY n DESC, doc_id) AS rk FROM m) t
          |WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
-      val (vertices, edges) = dedupGraph(s, d)
-      val labels = connectedComponents(vertices, edges)
+      val labels = nearCloneClusters(s, d)
       val lens = TextOps.withNearClones(s, d)
         .select(col("doc_id").as("id"), length(col("text")).as("n"))
       val w = Window.partitionBy("cluster")

@@ -305,6 +305,44 @@ object TextOps {
           .orderBy("keep_id")
     },
 
+    // Exact dedup AFTER canonical text normalization (lowercase, strip
+    // non-alphanumerics, collapse whitespace, trim) — the actual first
+    // stage of a crawl pipeline: byte-identical dedup misses the same
+    // document re-encoded with different casing/punctuation/spacing.
+    // The messy twins here (uppercased + trailing " !!") collapse onto
+    // their originals only through the normalization, so the query
+    // fails if any normalization step regresses. Same scale shape as
+    // dedup_exact: per-row codegen'd normalize → md5 → ONE hash
+    // aggregate; the normalized form is never shuffled, only its hash.
+    Q("dedup_exact_norm",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS doc_id, upper(text) || '  !!' AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+        |  FROM docs
+        |)
+        |SELECT md5(ntext) AS h, MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies
+        |FROM norm GROUP BY md5(ntext) ORDER BY keep_id""".stripMargin) {
+      (s, d) =>
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val docs = base.unionByName(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(upper(col("text")), lit("  !!")).as("text")))
+        val ntext = trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))
+        docs.select(col("doc_id"), md5(ntext).as("h"))
+          .groupBy("h")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id")
+    },
+
     // ── n-gram Jaccard (candidate-pair verification) ───────────────────
 
     // Bigram-shingle Jaccard over an explicit candidate window
