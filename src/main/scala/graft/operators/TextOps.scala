@@ -692,11 +692,15 @@ object TextOps {
          |JOIN tot ta ON ta.source = s.source_a
          |JOIN tot tb ON tb.source = s.source_b
          |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      // persisted: the distinct (source, shingle-hash) set feeds BOTH
+      // join sides and the totals — without the cache the tokenize +
+      // explode + distinct subplan runs three times (same pattern as
+      // dedup_pipeline's shingle persist)
       val sh = Tables.documents(s, d)
         .select(col("source"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("source"), explode(bigrams(col("t"))).as("sx"))
-        .select(col("source"), md5(col("sx")).as("h")).distinct()
+        .select(col("source"), md5(col("sx")).as("h")).distinct().persist()
       val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = sh.select(col("source").as("source_a"), col("h"))
         .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))

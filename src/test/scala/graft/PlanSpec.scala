@@ -141,6 +141,38 @@ class PlanSpec extends SparkSuite {
       "partition-less window in win_pctrank")
   }
 
+  test("txt_source_overlap: per-source totals broadcast into the matrix") {
+    // the sources² overlap matrix joins two tiny aggregates — those
+    // must broadcast, and candidate generation stays an equi-join
+    val p = plan("txt_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("sim_knn_label / dedup_keep_longest / ts_anomaly: ranking and " +
+      "frame windows all partitioned") {
+    for (q <- Seq("sim_knn_label", "dedup_keep_longest", "ts_anomaly")) {
+      val wins = SparkEntry.queries(q)(spark, Sf001)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(wins.nonEmpty, s"$q: expected Window nodes")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q: partition-less window")
+    }
+  }
+
+  test("ts_anomaly: the stats pipeline shuffles once before the output sort") {
+    // daily totals and the 7-row frame share the event_type(+day) keying
+    // — only the groupBy exchange and the presentation orderBy's range
+    // partitioning may appear
+    val p = plan("ts_anomaly")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 3, // agg hash, window hash, final range
+      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("txt_chunk: map-only until the output sort (no mid-plan exchange)") {
     // chunking is per-row sequence+explode+slice; the ONLY exchange
     // allowed is the final presentation orderBy's range partitioning
