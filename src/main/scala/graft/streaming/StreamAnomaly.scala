@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming twin of the batch `ts_anomaly` query: per event type,
+  * flag days whose total deviates more than 2σ from their trailing
+  * 7-observed-day window — live, as days CLOSE under the watermark
+  * (an ingest tripwire that pages before the bad day is published,
+  * instead of in tomorrow's batch audit).
+  *
+  * A day is closed once the watermark passes its end — no on-time
+  * event can still arrive — so each day's total is emitted exactly
+  * once, with final statistics. Open-day accumulators and the ring of
+  * the last 7 closed days are the ENTIRE per-key state: bounded by
+  * 7 + (days inside the watermark delay), independent of stream
+  * length. Event-time timeouts flush types that go quiet (a closed day
+  * must not wait for its type's next event).
+  *
+  * Exactness mirrors the batch query's decimal route: per-day sums
+  * accumulate as scale-4 longs (the exact image of the batch
+  * CAST(value AS DECIMAL(10,4)) SUM), Σx² is computed in BigInteger at
+  * emission (scale-8, exact), and both convert to double ONCE before
+  * the same pinned mean/σ/flag expression — StreamAnomalySpec pins
+  * bit-equality against the batch rows.
+  */
+object StreamAnomaly {
+
+  final case class Ev(event_type: String, us: Long, value: Double,
+      ts: java.sql.Timestamp)
+  final case class Flag(event_type: String, day: String, total: Double,
+      mean7: Double, sd7: Double, is_anomaly: Boolean)
+  /** open: dayEpoch → Σ(scale-4 value); ring: last ≤7 CLOSED
+    * (dayEpoch, Σscale-4) ascending by day. */
+  final case class St(open: Map[Long, Long], ring: List[(Long, Long)])
+
+  private val DayUs = 86400000000L
+
+  /** The batch cast's exact image: CAST(double AS DECIMAL(10,4)) as a
+    * scale-4 long. valueOf (shortest decimal repr) + HALF_UP matches
+    * Spark's Double→Decimal route (NOTES rule 7: never the exact-binary
+    * BigDecimal constructor). */
+  private def v4(value: Double): Long =
+    java.math.BigDecimal.valueOf(value)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def mkFlag(key: String, ring: List[(Long, Long)]): Flag = {
+    val (day, tot4) = ring.last
+    val td = tot4.toDouble / 10000.0
+    val sxd = ring.map(_._2).sum.toDouble / 10000.0
+    val sx2 = ring.map(_._2).map(v => BigInt(v) * BigInt(v)).sum
+    val sx2d = new java.math.BigDecimal(sx2.bigInteger, 8).doubleValue()
+    val mean7 = sxd / 7.0
+    val sd7 = math.sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0))
+    Flag(key, java.time.LocalDate.ofEpochDay(day).toString, td, mean7, sd7,
+      is_anomaly = math.abs(td - mean7) > 2.0 * sd7)
+  }
+
+  /** Flags over a (streaming) events frame with columns
+    * (event_type, ts, value); `delay` is the allowed event lateness. */
+  def flags(spark: SparkSession, events: DataFrame,
+      delay: String = "1 hour"): Dataset[Flag] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"), col("ts")).as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[St, Flag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[Ev], state: GroupState[St]) =>
+          var st = state.getOption.getOrElse(St(Map.empty, Nil))
+          it.foreach { e =>
+            val d = Math.floorDiv(e.us, DayUs)
+            st = st.copy(open =
+              st.open.updated(d, st.open.getOrElse(d, 0L) + v4(e.value)))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) =
+            st.open.partition { case (d, _) => (d + 1) * DayUs <= wmUs }
+          var ring = st.ring
+          val out = closed.toSeq.sortBy(_._1).flatMap { case (d, t) =>
+            ring = (ring :+ (d, t)).takeRight(7)
+            if (ring.size == 7) Some(mkFlag(key, ring)) else None
+          }
+          state.update(St(open, ring))
+          // wake when the earliest open day can close (strictly ahead
+          // of the current watermark, or Spark rejects the timestamp)
+          if (open.nonEmpty) {
+            val wake = (open.keys.min + 1) * 86400000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Drive the flags over the events parquet in `srcDir`, AvailableNow
+    * into a memory sink; `delay` = 0 closes every day behind the final
+    * watermark, which is what makes the batch-equivalence spec exact. */
+  def runAvailableNow(spark: SparkSession, srcDir: String,
+      queryName: String = "streamanomaly_out"): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark) // process-wide by design: see its scaladoc
+    val schema = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_type", "ts", "value")
+    val q = flags(spark, raw, "0 seconds")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
