@@ -446,6 +446,52 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Quality-WEIGHTED deterministic sampling: P(keep) = quality score
+    // (the curation move after scoring — keep most of the good text,
+    // thin the boilerplate, without a hard cutoff that wastes the
+    // mid-band). The uniform draw is TWO MINSTD LCG rounds on doc_id —
+    // two, because one multiply of a small id stays tiny
+    // (id·48271/2³¹ < 0.012 for this corpus: everything would pass);
+    // the second round wraps the modulus and spreads. Exact BIGINT
+    // arithmetic bounded under 2⁶³ in EITHER engine (DuckDB errors on
+    // BIGINT overflow where Spark wraps, so md5-hex→int conversions
+    // and 64-bit multiply-mixers are out), divided once to double; the
+    // quality expression is txt_quality's, already hash-parity-proven.
+    // Per-row filter: zero shuffle at any corpus size.
+    Q("txt_sample_weighted",
+      s"""SELECT doc_id,
+         |       0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         |         + 0.3 * least(1.0, n_tokens / 100.0)
+         |         + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         |         len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+         |         ${countInSql("t", Stop.flatMap(_._2))} AS n_stop
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+         |WHERE CAST((((doc_id * 48271 + 11) % 2147483647) * 48271)
+         |             % 2147483647 AS DOUBLE) / 2147483647.0
+         |      < 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         |        + 0.3 * least(1.0, n_tokens / 100.0)
+         |        + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        toks(col("text")).as("t"))
+      val m = base.select(
+        col("doc_id"), length(col("text")).as("n_chars"),
+        size(col("t")).as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;]")).as("n_punct"),
+        countIn(col("t"), Stop.flatMap(_._2)).as("n_stop"))
+      val quality =
+        lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+          lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+      val u = ((((col("doc_id") * 48271 + 11) % 2147483647L) * 48271)
+        % 2147483647L).cast("double") / lit(2147483647.0)
+      m.filter(u < quality)
+        .select(col("doc_id"), quality.as("quality"))
+        .orderBy("doc_id")
+    },
+
     // ── corpus vocabulary heavy hitters ────────────────────────────────
 
     // Top-100 terms by corpus frequency (vocab building / contamination

@@ -14,10 +14,17 @@ Usage:
   tools/bench_guard.py              # run Bench (REPEAT=3, sf0.1), then compare
   tools/bench_guard.py RESULT.json  # compare an existing Bench output file
 
-A query regresses when it is BOTH >2x its baseline AND >0.5s absolute
-over it (the absolute floor keeps 60ms queries from flagging on
-scheduler jitter). New queries (no baseline) are listed informationally
-and never fail the run. Exit 1 iff any regression is flagged.
+A query regresses when it is BOTH >2x its HOST-NORMALIZED baseline AND
+>0.5s absolute over it. Host normalization: the median cur/base ratio
+over all matched queries (>=0.2s baselines) estimates how loaded the
+machine is relative to when the baseline was recorded — a contended
+run slows EVERY query together (observed +35% fleet-wide on this box),
+and without the factor that reads as dozens of 1.3x "regressions" or,
+for cache-fast sub-second queries, spurious 2-3x ones. A real
+regression moves ONE query against the fleet. The absolute floor keeps
+60ms queries from flagging on scheduler jitter. New queries (no
+baseline) are listed informationally and never fail the run. Exit 1
+iff any regression is flagged.
 """
 import json
 import os
@@ -56,6 +63,12 @@ def main() -> int:
     )
     cur = result["queries"]
 
+    # host-speed factor: median cur/base ratio over stable baselines
+    ratios = sorted(
+        cur[n] / b for n, b in base.items()
+        if b >= 0.2 and cur.get(n, -1) >= 0)
+    factor = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+
     regressions, new = [], []
     for name, sec in sorted(cur.items()):
         if sec < 0:  # Bench records time-to-failure as negative
@@ -64,15 +77,17 @@ def main() -> int:
         b = base.get(name)
         if b is None:
             new.append((name, sec))
-        elif sec > b * RATIO and sec > b + ABS_FLOOR_SEC:
-            regressions.append((name, sec, b, f"{sec / b:.1f}x"))
+        elif sec > b * factor * RATIO and sec > b + ABS_FLOOR_SEC:
+            regressions.append(
+                (name, sec, b, f"{sec / b:.1f}x raw, {sec / (b * factor):.1f}x host-adjusted"))
 
     for name, sec in new:
         print(f"new     {name}: {sec:.2f}s (no baseline — re-record)")
     for name, sec, b, why in regressions:
         print(f"REGRESS {name}: {sec:.2f}s vs baseline {b:.2f}s ({why})")
     total = sum(s for s in cur.values() if s >= 0)
-    print(f"{len(cur)} queries, total {total:.1f}s — "
+    print(f"{len(cur)} queries, total {total:.1f}s, "
+          f"host factor {factor:.2f}x vs baseline — "
           f"{len(regressions)} regression(s), {len(new)} new")
     return 1 if regressions else 0
 
