@@ -109,7 +109,78 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_hash")
   }
 
+  /** Byte budget per training shard for [[packShards]] — small enough
+    * that the fixture packs several payloads per shard and closes many
+    * shards. */
+  val ShardBytes = 2048L
+
+  /** Greedy size-bounded shard assignment: payloads are ATOMIC (a JPEG
+    * cannot split across tar shards the way txt_pack splits token
+    * streams), so a shard closes when the NEXT payload would overflow
+    * the budget — a sequential dependency no window prefix-sum can
+    * express. Scale shape: hash-partition by source, sort within
+    * partitions on (source, doc_id), then ONE streaming pass per
+    * partition with O(1) state (running bytes + shard counter, reset at
+    * source boundaries) — no per-group materialization, any number of
+    * docs per source. Oversized single payloads get a shard to
+    * themselves (allowed to exceed, never dropped). */
+  def packShards(media: DataFrame, budget: Long = ShardBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("meta.source").as("source"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .as[(Long, String, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var src: String = null
+        var shard = 0L
+        var run = 0L
+        it.map { case (id, source, len) =>
+          if (source != src) { src = source; shard = 0L; run = 0L }
+          if (run > 0 && run + len > budget) { shard += 1; run = 0L }
+          val off = run
+          run += len
+          (id, source, len, shard, off)
+        }
+      }
+      .toDF("doc_id", "source", "byte_len", "shard_id", "shard_offset")
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // WebDataset-style shard packing for the media payloads — the write
+    // prep before training: size-bounded shards per source, atomic
+    // payloads, deterministic doc_id order. The oracle replays the
+    // same greedy scan as a per-source recursive CTE.
+    Q("mm_shard_pack",
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, source, octet_length(encode(text)) AS byte_len,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |           AS rn
+         |  FROM documents
+         |), rec(rn, source, doc_id, byte_len, shard_id, off, run) AS (
+         |  SELECT rn, source, doc_id, byte_len,
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(byte_len AS BIGINT)
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.rn, t.source, t.doc_id, t.byte_len,
+         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |              THEN rec.shard_id + 1 ELSE rec.shard_id END,
+         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |              THEN CAST(0 AS BIGINT) ELSE rec.run END,
+         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |              THEN CAST(t.byte_len AS BIGINT)
+         |              ELSE rec.run + t.byte_len END
+         |  FROM t JOIN rec ON t.source = rec.source AND t.rn = rec.rn + 1
+         |)
+         |SELECT doc_id, source, CAST(byte_len AS BIGINT) AS byte_len,
+         |       shard_id, off AS shard_offset
+         |FROM rec ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      packShards(mediaTable(s, d)).orderBy("source", "doc_id")
+    },
 
     // Typed metadata + payload byte accounting — pure column ops on the
     // binary payload, fully oracle-checkable.
