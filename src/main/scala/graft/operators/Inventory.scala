@@ -16,6 +16,51 @@ import org.apache.spark.sql.functions._
   */
 object Inventory {
 
+  /** Gap-30-min session spans per user — the win_sessionize kernel
+    * (lag-gap flags → running session id → one grouped aggregate),
+    * exposed for composition: join_interval_overlap consumes the spans
+    * as its interval relation. Returns
+    * (user_id, sid, start_us, end_us, n, total). */
+  private[graft] def sessionSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("ns",
+        when(lag(col("us"), 1).over(w).isNull
+          || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(wRun).cast("int"))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 4)))
+          .cast("double").as("total"))
+  }
+
+  /** SQL mirror of [[sessionSpans]] as a CTE chain ending in `sp`. */
+  private[graft] val sessionSpansSql: String =
+    """e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), g AS (
+      |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sid
+      |  FROM f
+      |), sp AS (
+      |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total
+      |  FROM g GROUP BY user_id, sid
+      |)""".stripMargin
+
   /** The FIXTURES.md §A5 grid as a REAL `.xlsx` workbook (sheet
     * "A4 Summary", date serial in B3 as the reference reads it,
     * /root/reference/src/parse.ts:63-64), written to a deterministic
@@ -300,41 +345,10 @@ object Inventory {
     // Sessionization, window-SQL form (gaps-and-islands): the batch twin
     // of streaming.Sessionize (flatMapGroupsWithState) — tests assert
     // kernel ≡ window ≡ stateful-stream. 30-minute gap over events.
-    Q("win_sessionize",
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
-        |  FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), g AS (
-        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sid
-        |  FROM f
-        |)
-        |SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
-        |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) {
-      (s, d) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        graft.Tables.events(s, d)
-          .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("us"), col("value"))
-          .withColumn("ns",
-            when(lag(col("us"), 1).over(w).isNull
-              || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
-              .otherwise(0))
-          .withColumn("sid", sum(col("ns")).over(wRun).cast("int"))
-          .groupBy("user_id", "sid")
-          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-            count(lit(1)).as("n"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(10, 4)))
-              .cast("double").as("total"))
-          .orderBy("user_id", "sid")
+    Q("win_sessionize", s"""WITH ${Inventory.sessionSpansSql}
+        |SELECT user_id, sid, start_us, end_us, n, total
+        |FROM sp ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+      Inventory.sessionSpans(s, d).orderBy("user_id", "sid")
     },
 
     // The SAME sessionization through Spark's NATIVE session_window —

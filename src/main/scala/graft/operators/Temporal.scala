@@ -272,6 +272,58 @@ object Temporal {
         .orderBy("user_id", "click_id", "error_id")
     },
 
+    // ── interval ⋈ interval overlap join ───────────────────────────────
+
+    // Which users were online AT THE SAME TIME, and how often — pairs
+    // of session intervals (from the win_sessionize kernel) that
+    // overlap: [s₁,e₁] ∩ [s₂,e₂] ≠ ∅ ⇔ s₁ ≤ e₂ ∧ s₂ ≤ e₁. The
+    // co-presence/collusion kernel, and the interval-interval member of
+    // the temporal-join family (asOf = point⋈point, join_range =
+    // interval⋈point). Scale shape: each interval explodes to the HOUR
+    // buckets it spans (bounded by duration, not corpus), candidates
+    // come from a bucket equi-join — never all session pairs — then
+    // DISTINCT per session pair (an overlap spanning k shared buckets
+    // must count once) and the exact overlap predicate re-filters.
+    Q("join_interval_overlap",
+      s"""WITH ${Inventory.sessionSpansSql},
+         |b AS (
+         |  SELECT user_id, sid, start_us, end_us,
+         |         unnest(range(start_us // 3600000000,
+         |                      end_us // 3600000000 + 1)) AS bk
+         |  FROM sp
+         |), cand AS (
+         |  SELECT DISTINCT
+         |         a.user_id AS user_a, a.sid AS sid_a,
+         |         a.start_us AS sa, a.end_us AS ea,
+         |         c.user_id AS user_b, c.sid AS sid_b,
+         |         c.start_us AS sb, c.end_us AS eb
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.user_id < c.user_id
+         |)
+         |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+         |FROM cand
+         |WHERE sa <= eb AND sb <= ea
+         |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
+      val sp = Inventory.sessionSpans(s, d)
+        .select(col("user_id"), col("sid"), col("start_us"), col("end_us"))
+      // integer div for the bucket key (double division truncation can
+      // disagree with the oracle's floor-div at the bucket boundary)
+      val b = sp.select(col("user_id"), col("sid"), col("start_us"),
+        col("end_us"),
+        explode(sequence(expr("start_us div 3600000000"),
+          expr("end_us div 3600000000"))).as("bk"))
+      val cand = b.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
+          col("start_us").as("sa"), col("end_us").as("ea"), col("bk"))
+        .join(b.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
+          col("start_us").as("sb"), col("end_us").as("eb"), col("bk")),
+          Seq("bk"))
+        .filter(col("user_a") < col("user_b"))
+        .drop("bk").distinct()
+      cand.filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    },
+
     // ── gap fill / resample: daily forward-filled state ────────────────
 
     // Regularize an irregular event series onto a per-user daily grid,
