@@ -102,6 +102,20 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("nearCloneClusters memoizes per (session, dir): same instance, " +
+      "persisted") {
+    val a = Graph.nearCloneClusters(spark, SparkSuite.Sf0001)
+    val b = Graph.nearCloneClusters(spark, SparkSuite.Sf0001)
+    assert(a eq b, "second call must return the memoized frame, not " +
+      "re-run the iterative CC job")
+    assert(a.storageLevel.useMemory, "memoized clusters must be persisted")
+    // different dir → a different memo entry (the documents corpus has
+    // the same 550 near-clone rows at every sf, so compare identity,
+    // not counts)
+    val c = Graph.nearCloneClusters(spark, SparkSuite.Sf001)
+    assert(!(c eq a))
+  }
+
   test("no edges: every vertex is its own cluster") {
     val got = cc(Seq(5L, 6L), Seq.empty)
     assert(got == Map(5L -> 5L, 6L -> 6L))
