@@ -212,11 +212,19 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), DataFrame]()
   private[graft] def nearCloneClusters(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // evict entries of STOPPED sessions before (possibly) inserting —
+    // without this, a long-lived JVM that recycles sessions (per-suite
+    // test sessions, notebook drivers) would keep every dead session's
+    // object graph reachable through the memo keys forever
+    ccMemo.keySet.removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
     ccMemo.computeIfAbsent((s, d), { _ =>
       val (vertices, edges) = dedupGraph(s, d)
       connectedComponents(vertices, edges).persist()
     })
+  }
 
   val queries: Seq[Q] = Seq(
 

@@ -106,7 +106,16 @@ object Inventory {
       files.foreach { case (n, b) => Files.write(tmp.resolve(n), b) }
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // other creator won
+        // the concurrent creator won the rename — Linux reports that as
+        // ENOTEMPTY (DirectoryNotEmptyException) for a non-empty target,
+        // other platforms as FileAlreadyExists; either way OUR staged
+        // copy is now redundant: drop it instead of leaking temp dirs
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.DirectoryNotEmptyException =>
+          val ls = Files.list(tmp)
+          try ls.forEach(p => Files.deleteIfExists(p))
+          finally ls.close()
+          Files.deleteIfExists(tmp)
       }
     }
     dir.toString

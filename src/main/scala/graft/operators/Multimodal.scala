@@ -167,11 +167,11 @@ object Multimodal {
          |  FROM t WHERE rn = 1
          |  UNION ALL
          |  SELECT t.rn, t.source, t.doc_id, t.byte_len,
-         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |         CASE WHEN rec.run > 0 AND rec.run + t.byte_len > $ShardBytes
          |              THEN rec.shard_id + 1 ELSE rec.shard_id END,
-         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |         CASE WHEN rec.run > 0 AND rec.run + t.byte_len > $ShardBytes
          |              THEN CAST(0 AS BIGINT) ELSE rec.run END,
-         |         CASE WHEN rec.run + t.byte_len > $ShardBytes
+         |         CASE WHEN rec.run > 0 AND rec.run + t.byte_len > $ShardBytes
          |              THEN CAST(t.byte_len AS BIGINT)
          |              ELSE rec.run + t.byte_len END
          |  FROM t JOIN rec ON t.source = rec.source AND t.rn = rec.rn + 1

@@ -175,9 +175,10 @@ object Vectors {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
   }
 
-  /** Fixed deterministic coarse-quantizer centroid component — same LCG
-    * family as [[plane]], offset past the hyperplane block so the two
-    * sets of literals never collide. A literal centroid table makes the
+  /** Fixed deterministic coarse-quantizer centroid component — the same
+    * mixed generator as [[plane]], with the key space offset past the
+    * hyperplane block so centroids and hyperplanes draw from disjoint
+    * keys. A literal centroid table makes the
     * IVF pipeline SHAPE (assign → probe → inverted-list scan → exact
     * re-rank) fully SQL-expressible, so the DuckDB oracle can check the
     * whole pipeline end-to-end; `sim_ivf_bucketed` keeps the KMeans fit

@@ -38,13 +38,28 @@ object StreamAnomaly {
   private val DayUs = 86400000000L
 
   /** The batch cast's exact image: CAST(double AS DECIMAL(10,4)) as a
-    * scale-4 long. valueOf (shortest decimal repr) + HALF_UP matches
-    * Spark's Double→Decimal route (NOTES rule 7: never the exact-binary
-    * BigDecimal constructor). */
-  private def v4(value: Double): Long =
-    java.math.BigDecimal.valueOf(value)
+    * scale-4 long, INCLUDING the cast's null semantics — NaN/Infinity
+    * and values beyond DECIMAL(10,4)'s 6 integer digits cast to NULL in
+    * the batch query and are skipped by its SUM, so the stream skips
+    * them too (None). Without this, one NaN event would kill the very
+    * monitor that should page on bad data, and an overflow value would
+    * silently break the pinned stream≡batch equivalence. valueOf
+    * (shortest decimal repr) + HALF_UP matches Spark's Double→Decimal
+    * route (NOTES rule 7: never the exact-binary BigDecimal
+    * constructor). Known asymmetry: a day whose EVERY event is
+    * null-valued appears in the batch query as a NULL-total row but
+    * never opens in the stream — both outputs are garbage-in
+    * sentinels there, not statistics. */
+  private def v4(value: Double): Option[Long] = {
+    if (java.lang.Double.isNaN(value) || java.lang.Double.isInfinite(value))
+      return None
+    val scaled = java.math.BigDecimal.valueOf(value)
       .setScale(4, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    // DECIMAL(10,4) holds 10 digits total → |unscaled| < 10^10
+    if (scaled.unscaledValue().abs()
+        .compareTo(java.math.BigInteger.TEN.pow(10)) >= 0) None
+    else Some(scaled.unscaledValue().longValueExact())
+  }
 
   private def mkFlag(key: String, ring: List[(Long, Long)]): Flag = {
     val (day, tot4) = ring.last
@@ -74,8 +89,10 @@ object StreamAnomaly {
           var st = state.getOption.getOrElse(St(Map.empty, Nil))
           it.foreach { e =>
             val d = Math.floorDiv(e.us, DayUs)
-            st = st.copy(open =
-              st.open.updated(d, st.open.getOrElse(d, 0L) + v4(e.value)))
+            v4(e.value).foreach { v =>
+              st = st.copy(open =
+                st.open.updated(d, st.open.getOrElse(d, 0L) + v))
+            }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) =

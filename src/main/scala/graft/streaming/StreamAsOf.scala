@@ -35,7 +35,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Same precondition as the batch operator: updates unique per
   * (key, ts). Violations no longer depend on arrival order: equal-ts
   * updates resolve DETERMINISTICALLY to the max value (updates sort by
-  * (ts, value), mirroring batch asOf's documented tie-break), and
+  * (ts, value) — a tie-break the batch operator does NOT define: batch
+  * duplicates stay a data bug, guarded by assertUniqueRight), and
   * `assertUniqueUpdates = true` — the streaming twin of batch asOf's
   * `assertUniqueRight` — raises instead, naming the offending
   * (key, ts). The check sees the buffered updates of each batch; an

@@ -47,6 +47,32 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("packShards: zero-byte payloads never open a shard; oversized " +
+      "payloads get their own") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Multimodal
+    // sizes per doc: 0, 0, 3000 (> budget), 1000, 1500 — the zero-byte
+    // docs must NOT trigger the overflow branch (an empty shard absorbs
+    // even an oversized payload), then 1000+1500 overflows into shard 2
+    val media = Seq(
+      (1L, 0), (2L, 0), (3L, 3000), (4L, 1000), (5L, 1500)
+    ).toDF("doc_id", "n")
+      .select(col("doc_id"),
+        expr("CAST(repeat('x', n) AS BINARY)").as("payload"),
+        struct(lit("s").as("source")).as("meta"))
+    val got = Multimodal.packShards(media, budget = 2048L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L), // zero bytes, shard 0 offset 0
+      (2L, 0L, 0L), // still offset 0 (zero bytes added nothing)
+      (3L, 0L, 0L), // oversized but shard 0 is EMPTY → stays, overfills
+      (4L, 1L, 0L), // 3000 + 1000 > 2048 → shard closes
+      (5L, 2L, 0L)  // 1000 + 1500 = 2500 > 2048 → closes again
+    ), s"got $got")
+  }
+
   test("frame-sample stub emits every-Nth deterministic frames") {
     val f1 = Multimodal.frameSampleStub(
       Multimodal.mediaTable(spark, Sf001), everyN = 3)

@@ -76,9 +76,11 @@ class StreamAnomalySpec extends SparkSuite {
     // Run 1: days 1..7 at value 10, day 8 at 100 (the spike), plus an
     // event on day 9 that leaves day 8 CLOSED (wm = day-9 00:00) but
     // day 9 open. Ring needs 7 closed days before the first emission,
-    // so days 1..6 emit nothing; day 7 is the first stats row.
+    // so days 1..6 emit nothing; day 7 is the first stats row. The NaN
+    // event on day 3 must neither kill the query nor move day 3's
+    // total (batch CASTs it to NULL and SUM skips it).
     write("b1", (1 to 7).map(d => (d, 12, 10.0)) :+ ((8, 12, 100.0))
-      :+ ((9, 0, 10.0)))
+      :+ ((9, 0, 10.0)) :+ ((3, 13, Double.NaN)))
     val r1 = runOnce()
     assert(r1.map(_._1) == Seq("2024-01-07", "2024-01-08"), s"got $r1")
     assert(!r1.head._3, "constant window flagged anomalous")

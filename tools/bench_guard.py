@@ -84,7 +84,8 @@ def main() -> int:
     for name, sec in new:
         print(f"new     {name}: {sec:.2f}s (no baseline — re-record)")
     for name, sec, b, why in regressions:
-        print(f"REGRESS {name}: {sec:.2f}s vs baseline {b:.2f}s ({why})")
+        base_s = f"{b:.2f}s" if b is not None else "none"
+        print(f"REGRESS {name}: {sec:.2f}s vs baseline {base_s} ({why})")
     total = sum(s for s in cur.values() if s >= 0)
     print(f"{len(cur)} queries, total {total:.1f}s, "
           f"host factor {factor:.2f}x vs baseline — "
