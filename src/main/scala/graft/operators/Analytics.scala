@@ -162,6 +162,71 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── winsorized statistics (outlier-robust feature prep) ────────────
+
+    // Mean after clamping to the per-group [p05, p95] band — the
+    // feature-engineering step before training on heavy-tailed money
+    // columns. The clamp bounds are EXACT order statistics at integer
+    // ranks ceil(0.05·n)/ceil(0.95·n) (no quantile interpolation — the
+    // interpolation formulas are engine-specific, rank positions are
+    // not). One partitioned rank window, a groups-sized bounds table
+    // broadcast back, exact decimal clamp+sum, ONE double division.
+    // Scale-4 money cast, NOT scale-2: casting a 2-decimal double at
+    // its own precision boundary rounds differently per engine (NOTES
+    // rule 2 — this query originally failed its oracle exactly there).
+    Q("agg_winsorized",
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(l_extendedprice AS DECIMAL(12,4)) AS x,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT flag,
+        |         MIN(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT)
+        |             THEN x END) AS lo,
+        |         MIN(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+        |             THEN x END) AS hi
+        |  FROM r GROUP BY flag
+        |)
+        |SELECT r.flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
+        |       -- CASE, not LEAST/GREATEST: DuckDB's least/greatest
+        |       -- promote DECIMAL args to DOUBLE (order-sensitive sum!);
+        |       -- the CASE clamp keeps DECIMAL so the sum stays exact
+        |       -- like Spark's decimal least/greatest
+        |       CAST(SUM(CASE WHEN r.x < b.lo THEN b.lo
+        |                     WHEN r.x > b.hi THEN b.hi
+        |                     ELSE r.x END) AS DOUBLE)
+        |         / COUNT(*) AS wins_mean
+        |FROM r JOIN b USING (flag)
+        |GROUP BY r.flag, b.lo, b.hi ORDER BY flag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("flag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      val wn = Window.partitionBy("flag")
+      val r = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("decimal(12,4)").as("x"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      val b = r.groupBy("flag").agg(
+        min(when(col("rk") === ceil(lit(0.05) * col("n")).cast("long"),
+          col("x"))).as("lo"),
+        min(when(col("rk") === ceil(lit(0.95) * col("n")).cast("long"),
+          col("x"))).as("hi"))
+      r.join(broadcast(b), Seq("flag"))
+        .groupBy("flag", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          (sum(least(greatest(col("x"), col("lo")), col("hi")))
+            .cast("double") / count(lit(1))).as("wins_mean"))
+        .select(col("flag"), col("n"),
+          col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
+          col("wins_mean"))
+        .orderBy("flag")
+    },
+
     // ── trailing-window anomaly detection ──────────────────────────────
 
     // Days whose total deviates more than 2σ from their trailing 7-day
