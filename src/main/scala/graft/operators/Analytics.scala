@@ -162,6 +162,56 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── DAU / WAU / stickiness ─────────────────────────────────────────
+
+    // Daily active users, trailing-7-day active users, and their ratio
+    // (stickiness) — the engagement triple every product dashboard
+    // opens with (MAU is the same shape with a 28-day contribution
+    // span; 7 keeps the month-long fixture's output dense). Rolling
+    // DISTINCT does not decompose over a window frame, so wau7 inverts
+    // the problem: each (user, day) activity row CONTRIBUTES to the 7
+    // days it stays inside the window (bounded ×7 explode of the
+    // deduped user-day table, NOT of raw events), then one
+    // count-distinct per day. Days whose window reaches before the
+    // data start are excluded (their wau would undercount). At 100 TB
+    // the exact explode gives way to one HLL sketch per day merged
+    // over the window — the sketch_kmv_distinct machinery — same plan
+    // shape, bounded state.
+    Q("evt_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        |), contrib AS (
+        |  SELECT ud.user_id, ud.day + CAST(i AS INTEGER) AS day
+        |  FROM ud, range(0, 7) r(i)
+        |), wau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM contrib GROUP BY day
+        |)
+        |SELECT d.day, d.dau, w.wau7,
+        |       CAST(d.dau AS DOUBLE) / w.wau7 AS stickiness
+        |FROM dau d JOIN wau w ON w.day = d.day
+        |WHERE d.day >= (SELECT MIN(day) FROM ud) + 6
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val contrib = ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"),
+        col("day").as("d0"))
+        .select(col("user_id"), expr("date_add(d0, i)").as("day"))
+      val wau = contrib.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("wau7"))
+      val minDay = ud.agg(min("day").as("min_day"))
+      dau.join(wau, Seq("day"))
+        .join(broadcast(minDay))
+        .filter(col("day") >= expr("date_add(min_day, 6)"))
+        .select(col("day"), col("dau"), col("wau7"),
+          (col("dau").cast("double") / col("wau7")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // ── winsorized statistics (outlier-robust feature prep) ────────────
 
     // Mean after clamping to the per-group [p05, p95] band — the
