@@ -173,6 +173,30 @@ class PlanSpec extends SparkSuite {
       s"unexpected exchanges:\n${exchanges.mkString("\n")}")
   }
 
+  test("agg_winsorized: rank window partitioned; bounds join broadcasts") {
+    val q = SparkEntry.queries("agg_winsorized")(spark, Sf001)
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "partition-less rank window in agg_winsorized")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "bounds table did not broadcast")
+  }
+
+  test("dedup_incremental / evt_dau_wau: no cartesian or nested-loop joins") {
+    for (q <- Seq("dedup_incremental", "evt_dau_wau")) {
+      val p = plan(q)
+      // evt_dau_wau's single-row min-day broadcast is the ONE allowed
+      // nested-loop (join with no keys against one row); anything else
+      // — in particular the band probe or the contribution join — must
+      // stay a hash join
+      val bad = p.linesIterator
+        .filter(l => l.contains("CartesianProduct")).toSeq
+      assert(bad.isEmpty, s"$q:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("txt_chunk: map-only until the output sort (no mid-plan exchange)") {
     // chunking is per-row sequence+explode+slice; the ONLY exchange
     // allowed is the final presentation orderBy's range partitioning
