@@ -147,21 +147,63 @@ object Temporal {
                       maxBucketsPerInterval: Int = 2): DataFrame = {
     val lo = expr(s"$start div ${bucketWidth}L")
     val hi = expr(s"($end - 1) div ${bucketWidth}L")
-    val guardedHi = when(hi - lo >= maxBucketsPerInterval,
-      raise_error(concat(
-        lit(s"pointInInterval: interval length exceeds the bucket " +
-          s"contract (bucketWidth=$bucketWidth, " +
-          s"maxBucketsPerInterval=$maxBucketsPerInterval; interval "),
-        col(start).cast("string"), lit(".."), col(end).cast("string"),
-        lit(" spans "), (hi - lo + 1).cast("string"),
-        lit(" buckets) — widen bucketWidth or raise " +
-          "maxBucketsPerInterval"))).cast("long"))
-      .otherwise(hi)
+    val guardedHi = widthGuard("pointInInterval", lo, hi, bucketWidth,
+      maxBucketsPerInterval, col(start), col(end))
     val iv = intervals.withColumn("__bucket", explode(sequence(lo, guardedHi)))
     val p = points.withColumn("__bucket", expr(s"$pt div ${bucketWidth}L"))
     iv.join(p, keys :+ "__bucket")
       .filter(col(pt) >= col(start) && col(pt) < col(end))
       .drop("__bucket")
+  }
+
+  /** The in-plan bucket-width contract shared by every bucket-explode
+    * operator: an interval covering ≥ `maxBuckets` buckets raises
+    * instead of silently exploding — a pathological interval
+    * (end − start ≫ bucketWidth) would otherwise materialize a huge
+    * per-row `sequence` array and can OOM an executor long before the
+    * join runs. Returns the guarded upper bucket bound. */
+  private def widthGuard(op: String, lo: Column, hi: Column,
+      bucketWidth: Long, maxBuckets: Int,
+      start: Column, end: Column): Column =
+    when(hi - lo >= maxBuckets,
+      raise_error(concat(
+        lit(s"$op: interval length exceeds the bucket " +
+          s"contract (bucketWidth=$bucketWidth, " +
+          s"maxBucketsPerInterval=$maxBuckets; interval "),
+        start.cast("string"), lit(".."), end.cast("string"),
+        lit(" spans "), (hi - lo + 1).cast("string"),
+        lit(" buckets) — widen bucketWidth or raise " +
+          "maxBucketsPerInterval"))).cast("long"))
+      .otherwise(hi)
+
+  /** Interval ⋈ interval overlap kernel: DISTINCT pairs of intervals
+    * (closed-interval overlap: sa ≤ eb ∧ sb ≤ ea) from `sp`
+    * (user_id, sid, start_us, end_us), paired across DIFFERENT users
+    * (user_a < user_b). Each interval explodes to the `bucketWidth`
+    * buckets it spans (bounded by duration via [[widthGuard]], not by
+    * corpus size), candidates come from a bucket equi-join — never all
+    * interval pairs — and the exact overlap predicate rides the join
+    * stage so only true overlaps reach the per-pair DISTINCT (an
+    * overlap spanning k shared buckets must count once). Filtering
+    * BEFORE the distinct is the same lesson as dedup_simhash_pairs:
+    * the codegen'd comparison is free in the join stage, the distinct
+    * is a shuffle — shuffle survivors only. */
+  private[graft] def intervalOverlapPairs(sp: DataFrame, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 168): DataFrame = {
+    val lo = expr(s"start_us div ${bucketWidth}L")
+    val hi = expr(s"end_us div ${bucketWidth}L")
+    val guardedHi = widthGuard("intervalOverlapPairs", lo, hi, bucketWidth,
+      maxBucketsPerInterval, col("start_us"), col("end_us"))
+    val b = sp.select(col("user_id"), col("sid"), col("start_us"),
+      col("end_us"), explode(sequence(lo, guardedHi)).as("bk"))
+    b.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
+        col("start_us").as("sa"), col("end_us").as("ea"), col("bk"))
+      .join(b.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
+        col("start_us").as("sb"), col("end_us").as("eb"), col("bk")),
+        Seq("bk"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .drop("bk").distinct()
   }
 
   private val DayUs = 86400000000L
@@ -279,11 +321,12 @@ object Temporal {
     // overlap: [s₁,e₁] ∩ [s₂,e₂] ≠ ∅ ⇔ s₁ ≤ e₂ ∧ s₂ ≤ e₁. The
     // co-presence/collusion kernel, and the interval-interval member of
     // the temporal-join family (asOf = point⋈point, join_range =
-    // interval⋈point). Scale shape: each interval explodes to the HOUR
-    // buckets it spans (bounded by duration, not corpus), candidates
-    // come from a bucket equi-join — never all session pairs — then
-    // DISTINCT per session pair (an overlap spanning k shared buckets
-    // must count once) and the exact overlap predicate re-filters.
+    // interval⋈point). Scale shape: [[intervalOverlapPairs]] — hour
+    // buckets (width-guarded, bounded by duration, not corpus),
+    // candidates from a bucket equi-join with the exact overlap
+    // predicate riding the join stage, per-pair DISTINCT over the
+    // survivors only. IntervalScaleSpec pins the candidate-growth law
+    // (co-occupancy, not sessions²).
     Q("join_interval_overlap",
       s"""WITH ${Inventory.sessionSpansSql},
          |b AS (
@@ -307,18 +350,7 @@ object Temporal {
         .select(col("user_id"), col("sid"), col("start_us"), col("end_us"))
       // integer div for the bucket key (double division truncation can
       // disagree with the oracle's floor-div at the bucket boundary)
-      val b = sp.select(col("user_id"), col("sid"), col("start_us"),
-        col("end_us"),
-        explode(sequence(expr("start_us div 3600000000"),
-          expr("end_us div 3600000000"))).as("bk"))
-      val cand = b.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
-          col("start_us").as("sa"), col("end_us").as("ea"), col("bk"))
-        .join(b.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
-          col("start_us").as("sb"), col("end_us").as("eb"), col("bk")),
-          Seq("bk"))
-        .filter(col("user_a") < col("user_b"))
-        .drop("bk").distinct()
-      cand.filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      intervalOverlapPairs(sp, 3600000000L)
         .groupBy("user_a", "user_b")
         .agg(count(lit(1)).as("n_overlaps"))
         .orderBy("user_a", "user_b")

@@ -197,6 +197,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("join_interval_overlap: overlap predicate rides the join, " +
+      "before the per-pair distinct") {
+    // only true overlaps may reach the distinct shuffle — a Filter
+    // sitting ABOVE the distinct Aggregate means the full bucket-join
+    // candidate stream shuffled first (VERDICT r5 nit #1)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    val q = SparkEntry.queries("join_interval_overlap")(spark, Sf001)
+    // the pair-distinct is the Aggregate ABOVE the bucket Join (the
+    // session-span aggregates sit below it); no Filter may sit above it
+    val postDistinct = q.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.find {
+        case a: Aggregate => a.find(_.isInstanceOf[Join]).isDefined
+        case _ => false
+      }.isDefined => f
+    }
+    assert(postDistinct.isEmpty,
+      "overlap filter shuffled candidates before filtering:\n" +
+        postDistinct.mkString("\n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("txt_chunk: map-only until the output sort (no mid-plan exchange)") {
     // chunking is per-row sequence+explode+slice; the ONLY exchange
     // allowed is the final presentation orderBy's range partitioning
