@@ -43,3 +43,40 @@ object KmvSketch extends Aggregator[String, List[String], Double] {
     Encoders.kryo[List[String]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** The same KMV sketch with the STATE as the output — the partial-
+  * aggregate form for two-stage rollups (per-day sketches that later
+  * merge across a window, the `evt_wau_sketch` shape). Mergeability is
+  * the sketch's defining law: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+  * bottom-k(B)), so a union of per-day states IS the state of the
+  * union — SketchSpec pins the whole pipeline bit-equal to the
+  * window-form SQL twin. */
+object KmvState extends Aggregator[String, List[String], List[String]] {
+  override def zero: List[String] = Nil
+  override def reduce(b: List[String], a: String): List[String] =
+    BottomK.insert(b, BottomK.md5hex(a), KmvSketch.K)(identity)
+  override def merge(b1: List[String], b2: List[String]): List[String] =
+    b2.foldLeft(b1)((acc, h) => BottomK.insert(acc, h, KmvSketch.K)(identity))
+  override def finish(b: List[String]): List[String] = b
+  override def bufferEncoder: Encoder[List[String]] =
+    Encoders.kryo[List[String]]
+  override def outputEncoder: Encoder[List[String]] =
+    Encoders.kryo[List[String]]
+}
+
+/** Merge of pre-built [[KmvState]] sketches into one estimate — stage
+  * two of the rollup. Input is already-hashed bottom-k lists; the
+  * estimate math is [[KmvSketch]]'s, so the exact-below-k path and the
+  * (k−1)/u_k branch cannot drift between the one-shot and the
+  * two-stage forms. */
+object KmvUnion extends Aggregator[List[String], List[String], Double] {
+  override def zero: List[String] = Nil
+  override def reduce(b: List[String], a: List[String]): List[String] =
+    a.foldLeft(b)((acc, h) => BottomK.insert(acc, h, KmvSketch.K)(identity))
+  override def merge(b1: List[String], b2: List[String]): List[String] =
+    reduce(b1, b2)
+  override def finish(b: List[String]): Double = KmvSketch.finish(b)
+  override def bufferEncoder: Encoder[List[String]] =
+    Encoders.kryo[List[String]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

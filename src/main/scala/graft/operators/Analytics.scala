@@ -174,9 +174,10 @@ object Analytics {
     // deduped user-day table, NOT of raw events), then one
     // count-distinct per day. Days whose window reaches before the
     // data start are excluded (their wau would undercount). At 100 TB
-    // the exact explode gives way to one HLL sketch per day merged
-    // over the window — the sketch_kmv_distinct machinery — same plan
-    // shape, bounded state.
+    // the exact explode gives way to one bounded sketch per day merged
+    // over the window — EXECUTABLE as evt_wau_sketch (Sketches.scala):
+    // same plan shape, O(k) state per day, SketchSpec pins its error
+    // against this exact form.
     Q("evt_dau_wau",
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

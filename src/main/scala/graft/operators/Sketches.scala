@@ -70,6 +70,80 @@ object Sketches {
         .orderBy("event_type")
     },
 
+    // ── sketch-backed WAU (mergeable engagement rollup) ────────────────
+
+    // Trailing-7-day active users from ONE bounded sketch per day — the
+    // 100 TB form evt_dau_wau's comment promises: rolling DISTINCT does
+    // not decompose over a window frame, but a KMV sketch does (bottom-k
+    // of a union = bottom-k of the per-day bottom-k's), so each day
+    // keeps k=32 hashes, each day's sketch CONTRIBUTES to the 7 windows
+    // it falls inside (the same bounded ×7 explode as the exact query —
+    // but of ≤k rows per day, not of the user-day table), and one
+    // per-day merge re-ranks the ≤7k union. State per day is O(k)
+    // regardless of corpus; the shuffle carries sketches, not users.
+    // KMV (not HLL) keeps it deterministic: the estimate is a pure
+    // function of the md5 values, so DuckDB computes the IDENTICAL
+    // number and this is hash-oracled exactly, while SketchSpec pins
+    // the typed two-stage aggregator (KmvState → KmvUnion, the
+    // map-side-combinable production form) bit-equal to this window
+    // twin AND the estimate's relative error against the exact
+    // evt_dau_wau. Days whose window reaches before the data start are
+    // excluded, mirroring evt_dau_wau.
+    Q("evt_wau_sketch",
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         |), hh AS (
+         |  SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ud
+         |), sk AS (
+         |  SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |    FROM hh) x
+         |  WHERE rn <= $K
+         |), contrib AS (
+         |  SELECT DISTINCT sk.day + CAST(i AS INTEGER) AS day, h
+         |  FROM sk, range(0, 7) r(i)
+         |), m AS (
+         |  SELECT day, h,
+         |         row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |         COUNT(*) OVER (PARTITION BY day) AS n_union
+         |  FROM contrib
+         |)
+         |SELECT m.day, n_union,
+         |       CASE WHEN n_union < $K THEN CAST(n_union AS DOUBLE)
+         |            ELSE ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
+         |                               / 4503599627370496.0) END AS wau_sketch
+         |FROM m
+         |JOIN (SELECT DISTINCT day FROM ud) ad ON ad.day = m.day
+         |WHERE rn = least($K, n_union)
+         |  AND m.day >= (SELECT MIN(day) FROM ud) + 6
+         |ORDER BY m.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val hh = ud.select(col("day"),
+        md5(col("user_id").cast("string")).as("h"))
+      val wDay = Window.partitionBy("day").orderBy("h")
+      val sk = hh.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= K).drop("rn")
+      val contrib = sk
+        .select(col("day").as("d0"), col("h"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(expr("date_add(d0, i)").as("day"), col("h")).distinct()
+      val m = contrib
+        .withColumn("rn", row_number().over(Window.partitionBy("day").orderBy("h")))
+        .withColumn("n_union", count(lit(1)).over(Window.partitionBy("day")))
+      val minDay = ud.agg(min("day").as("min_day"))
+      m.filter(col("rn") === least(lit(K), col("n_union")))
+        .join(ud.select("day").distinct(), Seq("day"))
+        .join(broadcast(minDay))
+        .filter(col("day") >= expr("date_add(min_day, 6)"))
+        .select(col("day"), col("n_union"),
+          when(col("n_union") < K, col("n_union").cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
+                / lit(Norm))).as("wau_sketch"))
+        .orderBy("day")
+    },
+
     // ── bottom-k quantile sketch ───────────────────────────────────────
 
     // p50/p90 of `value` per event type, exact AND estimated from the

@@ -29,6 +29,57 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("two-stage KmvState → KmvUnion rollup ≡ the evt_wau_sketch " +
+      "window twin, fed raw duplicated events") {
+    import graft.functions.{KmvState, KmvUnion}
+    val sp = spark
+    import sp.implicits._
+    // stage 1: one bounded sketch per day from RAW user ids
+    val daily = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        col("user_id").cast("string").as("u"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(KmvState.toColumn.name("sk"))
+    // stage 2: each day's sketch contributes to the 7 trailing windows
+    // it falls inside; one merge per output day
+    val est = daily.flatMap { case (day, sk) =>
+        val d0 = java.time.LocalDate.parse(day)
+        (0 to 6).map(i => (d0.plusDays(i).toString, sk))
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(KmvUnion.toColumn.name("wau"))
+      .collect().toMap
+    val q = SparkEntry.queries("evt_wau_sketch")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    assert(q.nonEmpty)
+    q.foreach { case (day, v) =>
+      assert(est(day) == v, s"$day: aggregator ${est(day)} != query $v")
+    }
+  }
+
+  test("sketch WAU tracks the exact evt_dau_wau within KMV error") {
+    // k=32 ⇒ expected relative error ≈ 1/√30 ≈ 18%; deterministic on
+    // the fixture (no random seed anywhere), so pin both the mean and
+    // a generous per-day worst case
+    val exact = SparkEntry.queries("evt_dau_wau")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val est = SparkEntry.queries("evt_wau_sketch")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet,
+      s"day sets diverge: ${est.keySet.diff(exact.keySet)} / " +
+        s"${exact.keySet.diff(est.keySet)}")
+    val relErrs = exact.map { case (day, w) =>
+      math.abs(est(day) - w) / w.toDouble
+    }
+    assert(relErrs.max < 0.6,
+      s"worst-day relative error ${relErrs.max} exceeds the KMV band")
+    assert(relErrs.sum / relErrs.size < 0.25,
+      s"mean relative error ${relErrs.sum / relErrs.size} exceeds the KMV band")
+  }
+
   test("below k distinct values the sketch is exact") {
     val vals = (1 to 10).map(i => s"v$i")
     val buf = vals.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
