@@ -49,16 +49,16 @@ object Bench {
     // and dedup_pipeline the same way the charge views are shared by the
     // rollup family.
     try {
-      Tables.charge(spark, sfDir).persist().count()
-      Tables.tillTotals(spark, sfDir).persist().count()
-      Tables.deptSales(spark, sfDir).persist().count()
-      operators.TextOps.nearCloneShingles(spark, sfDir).persist().count()
-      operators.TextOps.minhashSig(spark, sfDir).persist().count()
+      Caches.shared(Tables.charge(spark, sfDir)).count()
+      Caches.shared(Tables.tillTotals(spark, sfDir)).count()
+      Caches.shared(Tables.deptSales(spark, sfDir)).count()
+      Caches.shared(operators.TextOps.nearCloneShingles(spark, sfDir)).count()
+      Caches.shared(operators.TextOps.minhashSig(spark, sfDir)).count()
       // SimHash mirror of the MinHash pair above: the exploded-token
       // stage and the 60-bit signature aggregate are the ingest-shaped
       // stages dedup_simhash_pairs starts from
-      operators.TextOps.simhashTokens(spark, sfDir).persist().count()
-      operators.TextOps.simhashSig60(spark, sfDir).persist().count()
+      Caches.shared(operators.TextOps.simhashTokens(spark, sfDir)).count()
+      Caches.shared(operators.TextOps.simhashSig60(spark, sfDir)).count()
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY
@@ -90,6 +90,10 @@ object Bench {
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     catch { case _: Throwable => () }
+    // batch done — release every session-shared persisted stage
+    // (Caches scaladoc: releasing between repeats would defeat the
+    // steady-state sharing, so the release lives HERE, not per query)
+    Caches.releaseAll()
     // Stop Spark BEFORE printing so no shutdown log lines land between
     // the JSON and process exit; then emit the full JSON followed by a
     // short greppable total — the driver's tail capture truncated the

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Explicit owner for session-shared persisted stages (VERDICT r5 #3).
+  *
+  * Several queries materialize an expensive shared subplan (tokenize →
+  * explode → distinct shingles, banded candidates) with `.persist()` so
+  * that (a) the multi-consumer self-joins inside ONE query run the
+  * stage once, and (b) Spark's CacheManager substitutes the cached plan
+  * into every LATER query embedding the same canonicalized subplan —
+  * the cross-query sharing Bench's steady-state numbers rely on. That
+  * sharing is exactly why a `try/finally unpersist` inside the query
+  * closure would be wrong (it would evict the stage other queries are
+  * about to reuse), but a bare `.persist()` with NO release path
+  * accumulates storage for the life of the session.
+  *
+  * This registry is the middle ground: every shared persist goes
+  * through [[shared]], and the session's driver (Bench, Verify, a
+  * notebook) calls [[releaseAll]] when the query batch is done.
+  * Re-persisting an already-cached plan is a CacheManager no-op, so
+  * repeated query runs just re-register the same entry.
+  */
+object Caches {
+  private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` and register it for batch-end release. */
+  def shared(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    reg += p
+    p
+  }
+
+  /** Unpersist every registered stage (async) and clear the registry.
+    * Call at batch end — between Bench repeats would defeat the
+    * steady-state sharing. */
+  def releaseAll(): Unit = synchronized {
+    reg.foreach(_.unpersist(blocking = false))
+    reg.clear()
+  }
+
+  private[graft] def registered: Int = synchronized(reg.size)
+}

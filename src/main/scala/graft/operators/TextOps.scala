@@ -374,11 +374,13 @@ object TextOps {
       // the set sizes and intersection counts are identical to the
       // string form (collision odds ~n²/2⁶⁴), but distinct/join keys
       // are 8-byte longs instead of ~40-byte strings. Materialized ONCE
-      // (persist) — the self-join + two size joins would otherwise
-      // re-run the scan→tokenize→explode→distinct pipeline four times.
-      val e = t.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("s"))
-        .distinct().persist()
+      // (Caches.shared — the self-join + two size joins would otherwise
+      // re-run the scan→tokenize→explode→distinct pipeline four times;
+      // the registry gives the session driver the release path).
+      val e = graft.Caches.shared(
+        t.select(col("doc_id"), explode(col("sh")).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("s"))
+          .distinct())
       val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ea = e.select(col("doc_id").as("a_id"), col("s"))
       val eb = e.select(col("doc_id").as("b_id"), col("s"))
@@ -738,15 +740,15 @@ object TextOps {
          |JOIN tot ta ON ta.source = s.source_a
          |JOIN tot tb ON tb.source = s.source_b
          |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
-      // persisted: the distinct (source, shingle-hash) set feeds BOTH
-      // join sides and the totals — without the cache the tokenize +
-      // explode + distinct subplan runs three times (same pattern as
-      // dedup_pipeline's shingle persist)
-      val sh = Tables.documents(s, d)
+      // persisted (Caches.shared): the distinct (source, shingle-hash)
+      // set feeds BOTH join sides and the totals — without the cache
+      // the tokenize + explode + distinct subplan runs three times
+      // (same pattern as dedup_pipeline's shingle persist)
+      val sh = graft.Caches.shared(Tables.documents(s, d)
         .select(col("source"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("source"), explode(bigrams(col("t"))).as("sx"))
-        .select(col("source"), md5(col("sx")).as("h")).distinct().persist()
+        .select(col("source"), md5(col("sx")).as("h")).distinct())
       val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = sh.select(col("source").as("source_a"), col("h"))
         .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
@@ -886,15 +888,15 @@ object TextOps {
       // exploded shingles feed BOTH the signature stage and the exact
       // re-rank — materialize the interpreted tokenize/explode once
       // (no-op when Bench already session-persisted the same subplan)
-      val sh = nearCloneShingles(s, d).persist()
-      val cand = minhashCandidates(s, d).persist()
+      val sh = graft.Caches.shared(nearCloneShingles(s, d))
+      val cand = graft.Caches.shared(minhashCandidates(s, d))
       val ids = cand.select(col("a_id").as("doc_id"))
         .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
       // exact kernel inputs restricted to candidate docs (semi join),
       // shingles as xxhash64 longs, materialized once
-      val e = sh.join(ids, Seq("doc_id"), "left_semi")
+      val e = graft.Caches.shared(sh.join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), xxhash64(col("sx")).as("s"))
-        .distinct().persist()
+        .distinct())
       val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(e.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
