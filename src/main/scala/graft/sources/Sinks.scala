@@ -64,11 +64,19 @@ object Sinks {
     * order — `None` = accepted, `Some(msg)` = that element's validation
     * error (a transport returning the wrong number of outcomes fails
     * loudly). Returns the outcome rows
-    * `(element, partition, batch, ok, error)`, MATERIALIZED exactly once
+    * `(element, partition, batch, ok, error)`, MATERIALIZED once
     * (persist + count) before returning so downstream counting/logging
-    * never re-fires the posts; callers unpersist when done. Same
+    * does not re-fire the posts; callers unpersist when done. Same
     * executor contract as [[batchedPush]]: `post` must be serializable
-    * and idempotent under task retry. */
+    * and idempotent under task retry — and that idempotence is load-
+    * bearing beyond retries: the persist is at the default storage
+    * level, so a lost executor or an evicted partition RECOMPUTES the
+    * mapPartitions (re-firing that partition's posts) when a later
+    * action touches the lost block. "Fires once" therefore holds only
+    * absent partition loss; a deployment that needs strict once-per-run
+    * accounting must either post through an idempotency key (the REST
+    * analog of IdempotentSink) or persist to a replicated/disk level
+    * before counting. */
   def batchedPushValidated(df: DataFrame, batchSize: Int)(
       post: Seq[String] => Seq[Option[String]]): DataFrame = {
     val spark = df.sparkSession

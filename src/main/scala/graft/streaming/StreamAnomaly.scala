@@ -48,8 +48,16 @@ object StreamAnomaly {
     * route (NOTES rule 7: never the exact-binary BigDecimal
     * constructor). Known asymmetry: a day whose EVERY event is
     * null-valued appears in the batch query as a NULL-total row but
-    * never opens in the stream — both outputs are garbage-in
-    * sentinels there, not statistics. */
+    * never opens in the stream — and the divergence does NOT stop at
+    * that sentinel day: the batch window is ROWS-framed, so the
+    * NULL-total row occupies one of the next six windows' 7 slots
+    * (COUNT(*) counts it, SUM skips it), shifting which day each
+    * window starts at and thus mean7/sd7 for the SIX subsequent batch
+    * rows, while the stream's ring never saw the day at all. On such
+    * data the stream≡batch bit-equality contract is void for that day
+    * plus six; both outputs are garbage-in sentinels there, not
+    * statistics (an all-null day is a collapsed source — exactly what
+    * this monitor exists to page on). */
   private def v4(value: Double): Option[Long] = {
     if (java.lang.Double.isNaN(value) || java.lang.Double.isInfinite(value))
       return None

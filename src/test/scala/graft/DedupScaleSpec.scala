@@ -56,6 +56,21 @@ class DedupScaleSpec extends SparkSuite {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Wall-clock growth checks are WARN-ONLY by default (ADVICE r5: a
+    * GC pause during the small-corpus timing shrinks the big corpus's
+    * budget on a contended host — NOTES records ±35% fleet swings on
+    * this box). The count-based candidate/bucket-work assertions above
+    * them catch quadratic blowups deterministically; set
+    * SPARK_GRAFT_TIMING_ASSERTS=1 to enforce the timings too. */
+  private val enforceTimings =
+    sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1")
+  private def timeCheck(ok: Boolean, msg: => String): Unit =
+    if (!ok) {
+      if (enforceTimings) fail(msg)
+      else info(s"TIMING warn-only (SPARK_GRAFT_TIMING_ASSERTS=1 " +
+        s"enforces): $msg")
+    }
+
   /** Enumerated in-bucket pair work of the 4×15-bit SimHash bands:
     * Σ n·(n−1)/2 over (band, key) buckets — the join's actual row
     * production, BEFORE the Hamming filter hides it. */
@@ -98,9 +113,9 @@ class DedupScaleSpec extends SparkSuite {
     // here long before wall time does)
     assert(bw2 <= bw1 * k * 3, s"simhash bucket work superlinear: $bw1 -> $bw2")
     // wall time: generous 3× slack over linear; a quadratic kernel
-    // would be ~×${k*k} (noise-tolerant: only catches blowups)
-    assert(tMh2 <= tMh1 * k * 3 + 1.0, s"minhash time superlinear: $tMh1 -> $tMh2")
-    assert(tSh2 <= tSh1 * k * 3 + 1.0, s"simhash time superlinear: $tSh1 -> $tSh2")
+    // would be ~×${k*k} (warn-only — see timeCheck)
+    timeCheck(tMh2 <= tMh1 * k * 3 + 1.0, s"minhash time superlinear: $tMh1 -> $tMh2")
+    timeCheck(tSh2 <= tSh1 * k * 3 + 1.0, s"simhash time superlinear: $tSh1 -> $tSh2")
   }
 
   test("SemDeDup in-cell pair work stays near-linear when cells scale " +
@@ -132,7 +147,7 @@ class DedupScaleSpec extends SparkSuite {
       assert(p2 >= p1 * k / 2, s"semantic pairs vanished: $p1 -> $p2")
       assert(w2 <= w1 * k * 3, s"in-cell pair work superlinear: $w1 -> $w2 " +
         "(cells no longer bound the kernel)")
-      assert(t2 <= t1 * k * 3 + 1.0, s"pair kernel time superlinear: $t1 -> $t2")
+      timeCheck(t2 <= t1 * k * 3 + 1.0, s"pair kernel time superlinear: $t1 -> $t2")
     } finally { a1.unpersist(); a2.unpersist() }
   }
 }

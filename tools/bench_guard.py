@@ -68,6 +68,16 @@ def main() -> int:
         cur[n] / b for n, b in base.items()
         if b >= 0.2 and cur.get(n, -1) >= 0)
     factor = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    if factor > 1.5:
+        # a genuine fleet-wide regression (e.g. a global Spark config
+        # change slowing everything) is indistinguishable from host
+        # load here — the median ratio absorbs it and would report
+        # zero regressions. Don't trust the normalized verdict blind.
+        print(f"WARNING: host factor {factor:.2f}x exceeds the 1.5x "
+              "sanity bound — either this machine is heavily loaded or "
+              "EVERY query regressed together (a global config/plan "
+              "change). Confirm host load externally before trusting "
+              "the normalized verdict.")
 
     regressions, new = [], []
     for name, sec in sorted(cur.items()):
