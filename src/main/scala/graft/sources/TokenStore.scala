@@ -89,13 +89,59 @@ object TokenStore {
     }
   }
 
-  /** The consent URL of the initial-authorization flow (auth.ts:20-28). */
+  /** The consent URL of the initial-authorization flow (auth.ts:20-28).
+    * `state` is the CSRF nonce echoed back on the callback; pass one
+    * and verify it in [[parseCallback]] (an attacker-forged callback
+    * URL pasted into the bootstrap would otherwise bind someone
+    * else's authorization code to this store). */
   def consentUrl(clientId: String, redirectUri: String,
-      scopes: Seq[String]): String = {
+      scopes: Seq[String], state: Option[String] = None): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     "https://login.xero.com/identity/connect/authorize" +
       s"?response_type=code&client_id=${enc(clientId)}" +
-      s"&redirect_uri=${enc(redirectUri)}&scope=${enc(scopes.mkString(" "))}"
+      s"&redirect_uri=${enc(redirectUri)}&scope=${enc(scopes.mkString(" "))}" +
+      state.map(s => s"&state=${enc(s)}").getOrElse("")
+  }
+
+  /** Capture the consent callback — the auth.ts readline step: the
+    * user opens [[consentUrl]] in a browser, authorizes, and pastes
+    * the full redirect URL back; this extracts the authorization code.
+    * A provider `error` parameter (denied consent, bad scope) and a
+    * `state` mismatch both fail loudly — a silent empty code would
+    * surface later as an opaque token-endpoint 400. */
+  def parseCallback(callbackUrl: String,
+      expectedState: Option[String] = None): String = {
+    def param(k: String): Option[String] =
+      ("[?&]" + k + "=([^&#]*)").r.findFirstMatchIn(callbackUrl)
+        .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+    param("error").foreach { e =>
+      throw new InvalidTokenSetException(
+        s"consent callback carries error=$e" +
+          param("error_description").fold("")(d => s" ($d)"))
+    }
+    expectedState.foreach { want =>
+      val got = param("state")
+      if (!got.contains(want))
+        throw new InvalidTokenSetException(
+          s"consent callback state mismatch: expected $want, " +
+            s"got ${got.getOrElse("<absent>")} — possible CSRF, discard")
+    }
+    param("code").filter(_.nonEmpty).getOrElse(
+      throw new InvalidTokenSetException(
+        "consent callback has no authorization code"))
+  }
+
+  /** The whole initial-consent bootstrap in one call — auth.ts's
+    * newAuth end-to-end minus the interactive pause: parse the pasted
+    * callback, redeem the code, persist the generation-1 set. Returns
+    * the set [[loadFresh]] will pick up from `path` from here on. */
+  def bootstrap(server: AuthServer, callbackUrl: String,
+      redirectUri: String, path: String, nowEpochSec: Long,
+      expectedState: Option[String] = None): TokenSet = {
+    val t = redeemCode(server, parseCallback(callbackUrl, expectedState),
+      redirectUri, nowEpochSec)
+    persist(t, path)
+    t
   }
 
   // ── token-endpoint transport (canned fixture, RestSource-style) ──────

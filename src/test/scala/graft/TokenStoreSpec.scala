@@ -60,27 +60,61 @@ class TokenStoreSpec extends AnyFunSuite {
     assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == good)
   }
 
-  test("consent url carries client, redirect, and joined scopes") {
+  test("consent url carries client, redirect, joined scopes, and state") {
     val u = TokenStore.consentUrl("cid", "https://cb/x",
-      Seq("accounting.transactions", "offline_access"))
+      Seq("accounting.transactions", "offline_access"), Some("xyz z"))
     assert(u.contains("client_id=cid"))
     assert(u.contains("redirect_uri=https%3A%2F%2Fcb%2Fx"))
     assert(u.contains("scope=accounting.transactions+offline_access"))
+    assert(u.contains("state=xyz+z"))
+    // state omitted -> no dangling parameter
+    assert(!TokenStore.consentUrl("cid", "https://cb/x", Seq("s"))
+      .contains("state="))
+  }
+
+  test("parseCallback: code extracted, decoded, and guarded") {
+    // happy path: code + state, URL-encoded code decodes
+    assert(TokenStore.parseCallback(
+      "https://cb/x?code=ab%2Fcd&state=n1", Some("n1")) == "ab/cd")
+    // code in any parameter position
+    assert(TokenStore.parseCallback(
+      "https://cb/x?state=n1&code=k9", Some("n1")) == "k9")
+    // state mismatch and absent state both refuse
+    for (url <- Seq("https://cb?code=k&state=evil", "https://cb?code=k")) {
+      val e = intercept[TokenStore.InvalidTokenSetException] {
+        TokenStore.parseCallback(url, Some("n1"))
+      }
+      assert(e.getMessage.contains("state mismatch"))
+    }
+    // provider error parameter surfaces with its description
+    val e = intercept[TokenStore.InvalidTokenSetException] {
+      TokenStore.parseCallback(
+        "https://cb?error=access_denied&error_description=user%20said%20no")
+    }
+    assert(e.getMessage.contains("access_denied"))
+    assert(e.getMessage.contains("user said no"))
+    // no code at all
+    intercept[TokenStore.InvalidTokenSetException] {
+      TokenStore.parseCallback("https://cb?state=n1", Some("n1"))
+    }
   }
 
   test("full lifecycle e2e: consent redemption -> persist -> expiry -> " +
       "refresh -> persisted rotation") {
     val p = Files.createTempFile("tok-e2e", ".json").toString
 
-    // initial consent: URL built, code redeemed through the canned
-    // transport (auth.ts:13-38), generation-1 set persisted
-    assert(TokenStore.consentUrl("cid", "https://cb", Seq("s"))
-      .contains("response_type=code"))
-    val t1 = TokenStore.redeemCode(TokenStore.cannedAuthServer,
-      code = "consent-code", redirectUri = "https://cb", nowEpochSec = 1000L)
+    // initial consent: URL built (with CSRF state), the user "pastes"
+    // the canned callback, bootstrap parses + redeems through the
+    // canned transport (auth.ts:13-38) and persists generation 1
+    assert(TokenStore.consentUrl("cid", "https://cb", Seq("s"),
+      state = Some("n0nce")).contains("response_type=code"))
+    val t1 = TokenStore.bootstrap(TokenStore.cannedAuthServer,
+      callbackUrl = "https://cb?code=consent-code&state=n0nce",
+      redirectUri = "https://cb", path = p, nowEpochSec = 1000L,
+      expectedState = Some("n0nce"))
     assert(t1.accessToken == "acc-1" && t1.refreshToken == "ref-1")
     assert(t1.expiresAt == 1000L + 1800L) // expires_in -> absolute
-    TokenStore.persist(t1, p)
+    assert(TokenStore.fromJson(Files.readString(Paths.get(p))) == t1)
 
     // before expiry: load returns the same set, no token-endpoint call
     val live = TokenStore.loadFresh(p, nowEpochSec = 2000L,
