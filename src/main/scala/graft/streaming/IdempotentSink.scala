@@ -47,7 +47,14 @@ object IdempotentSink {
 
   /** foreachBatch → caller-supplied `write`, executed only for batch
     * ids above the committed watermark, then the watermark advances via
-    * atomic rename (write temp + move). A replayed batch is a no-op. */
+    * atomic rename (write temp + move). A replayed batch skips the
+    * EXTERNAL write but still runs one no-op pass over every partition:
+    * stateful operators upstream (dedup, windowed aggs) commit their
+    * state in that pass, which keeps state versions in step with the
+    * offset log on replay — and is what Spark's per-batch state-store
+    * commit validation demands of every foreachBatch invocation. A
+    * skip that touches nothing would strand the replayed batch's state
+    * at the pre-crash version. */
   def transactional(stream: DataFrame, markerDir: String)(
       write: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     Files.createDirectories(Paths.get(markerDir))
@@ -60,6 +67,12 @@ object IdempotentSink {
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         ()
+      } else {
+        // DRAIN each partition's iterator (stateful operators commit
+        // on iterator completion — a pass that never consumes rows
+        // leaves every state store uncommitted)
+        batch.foreachPartition(
+          (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
       }
     }
   }

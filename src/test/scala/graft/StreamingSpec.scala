@@ -2,7 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import graft.SparkSuite.Sf001
-import graft.streaming.DropDir
+import graft.streaming.{DropDir, IdempotentSink, StreamDedup}
+import org.apache.spark.sql.functions._
 
 /** Drop-dir Structured Streaming pipeline ≡ its batch twin (SURVEY
   * §2.10): stage events.parquet into a temp drop dir, run
@@ -28,5 +29,75 @@ class StreamingSpec extends SparkSuite {
     val b = batch.collect().map(_.toSeq).toSeq
     assert(a.nonEmpty)
     assert(a == b)
+  }
+
+  test("kafka-shaped exactly-once ingest: redelivered records + a crash " +
+      "mid-stream leave the sink with exactly one copy of every record") {
+    // The at-least-once replay demo NOTES called for: a file drop-dir
+    // plays the topic (maxFilesPerTrigger=1 → one micro-batch per
+    // file), the producer REDELIVERS records across files and within a
+    // file, StreamDedup collapses them inside the watermark horizon,
+    // and IdempotentSink.transactional guards a plain APPEND sink (the
+    // non-idempotent kind) against batch replay. The crash is the real
+    // failure window: the checkpoint's commit record for the last
+    // batch is deleted after the run — exactly the state a crash
+    // between sink write and checkpoint commit leaves behind — so the
+    // restart REPLAYS that batch with the same data and the marker
+    // must absorb it.
+    import spark.implicits._
+    val in = Files.createTempDirectory("eo_in").toString
+    val out = Files.createTempDirectory("eo_out").toString + "/data"
+    val marker = Files.createTempDirectory("eo_marker").toString
+    val ck = Files.createTempDirectory("eo_ck").toString
+    val log = Paths.get(marker, "writes.log")
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+
+    def writeFile(name: String, ids: Seq[Int]): Unit =
+      ids.map(i => (i.toLong, t0)).toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+
+    // at-least-once producer: in-file dups AND cross-file redeliveries
+    writeFile("f1", (0 until 20) ++ (0 until 5))
+    writeFile("f2", (20 until 40) ++ (10 until 20))
+
+    def pipeline() = {
+      val schema = spark.read.parquet(s"$in/f1").schema
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/f*")
+      IdempotentSink.transactional(StreamDedup.dedup(raw), marker) {
+        (batch, id) =>
+          batch.write.mode("append").parquet(out) // NOT idempotent alone
+          val line = s"$id:${spark.read.parquet(out).count()}\n"
+          Files.writeString(log,
+            (if (Files.exists(log)) Files.readString(log) else "") + line)
+      }
+    }
+
+    IdempotentSink.drain(pipeline(), ck)
+    assert(IdempotentSink.lastCommitted(marker) == 1L)
+    assert(spark.read.parquet(out).select("event_id").distinct().count() == 40)
+
+    // crash: the sink wrote and committed batch 1, but the checkpoint
+    // commit was lost — Spark will re-offer batch 1 (same offsets,
+    // same data) on restart
+    Files.delete(Paths.get(ck, "commits", "1"))
+    // the local ChecksumFileSystem shadows every file with a .crc twin;
+    // a leftover twin makes the commit REWRITE fail FileAlreadyExists
+    // (a real crash loses both — delete both)
+    Files.deleteIfExists(Paths.get(ck, "commits", ".1.crc"))
+    // meanwhile the producer ships more data, redelivering ids 0-9 yet
+    // again (now from three batches ago — still inside the watermark)
+    writeFile("f3", (40 until 50) ++ (0 until 10))
+
+    IdempotentSink.drain(pipeline(), ck)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 50, "a replayed batch or redelivered record " +
+      s"duplicated the sink: ${rows.count()} rows for 50 distinct ids")
+    assert(rows.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(rows.select("event_id").distinct().count() == 50)
+    // the append sink fired once per batch id despite the replay
+    assert(Files.readString(log) == "0:20\n1:40\n2:50\n")
+    assert(IdempotentSink.lastCommitted(marker) == 2L)
   }
 }
