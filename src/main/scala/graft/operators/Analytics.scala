@@ -25,6 +25,76 @@ import graft.{Q, Tables}
   */
 object Analytics {
 
+  /** Oracle for BOTH winsorized forms (the window kernel and the
+    * distributed-rank kernel produce identical rows). */
+  private val winsorizedSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_extendedprice AS DECIMAL(12,4)) AS x,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+      |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT flag,
+      |         MIN(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT)
+      |             THEN x END) AS lo,
+      |         MIN(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+      |             THEN x END) AS hi
+      |  FROM r GROUP BY flag
+      |)
+      |SELECT r.flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
+      |       -- CASE, not LEAST/GREATEST: DuckDB's least/greatest
+      |       -- promote DECIMAL args to DOUBLE (order-sensitive sum!);
+      |       -- the CASE clamp keeps DECIMAL so the sum stays exact
+      |       -- like Spark's decimal least/greatest
+      |       CAST(SUM(CASE WHEN r.x < b.lo THEN b.lo
+      |                     WHEN r.x > b.hi THEN b.hi
+      |                     ELSE r.x END) AS DOUBLE)
+      |         / COUNT(*) AS wins_mean
+      |FROM r JOIN b USING (flag)
+      |GROUP BY r.flag, b.lo, b.hi ORDER BY flag""".stripMargin
+
+  /** Winsorized mean via DISTRIBUTED ranks instead of a per-group rank
+    * window — the form that survives a corpus-scale group. The window
+    * kernel partitions by l_returnflag: 3 groups is its skew ceiling
+    * (at 100 TB one task would sort a third of the corpus). Here the
+    * per-group rank is recovered from a GLOBAL rank over the composite
+    * (flag, value, tiebreak) key — Ranking.globalRowNumber's
+    * range-partition + zipWithIndex, bounded at corpus/numPartitions
+    * rows per task regardless of group cardinality — minus each
+    * group's first global rank (a groups-sized broadcast). No Window
+    * node anywhere in the plan; ScaleSpec pins the single-giant-group
+    * case against a local exact computation. */
+  private[graft] def winsorizedDistributed(
+      li: org.apache.spark.sql.DataFrame, parts: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val r0 = li.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast("decimal(12,4)").as("x"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val g = Ranking.globalRowNumber(r0,
+      Seq("flag", "l_extendedprice", "l_orderkey", "l_linenumber"), parts)
+    val off = g.groupBy("flag")
+      .agg(min(col("row_num")).as("off"), count(lit(1)).as("n"))
+    val r = g.join(broadcast(off), Seq("flag"))
+      .withColumn("rk", col("row_num") - col("off") + lit(1L))
+    val b = r.groupBy("flag").agg(
+      min(when(col("rk") === ceil(lit(0.05) * col("n")).cast("long"),
+        col("x"))).as("lo"),
+      min(when(col("rk") === ceil(lit(0.95) * col("n")).cast("long"),
+        col("x"))).as("hi"))
+    r.join(broadcast(b), Seq("flag"))
+      .groupBy("flag", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        (sum(least(greatest(col("x"), col("lo")), col("hi")))
+          .cast("double") / count(lit(1))).as("wins_mean"))
+      .select(col("flag"), col("n"),
+        col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
+        col("wins_mean"))
+      .orderBy("flag")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── conversion funnel: view → click → purchase ─────────────────────
@@ -225,34 +295,11 @@ object Analytics {
     // Scale-4 money cast, NOT scale-2: casting a 2-decimal double at
     // its own precision boundary rounds differently per engine (NOTES
     // rule 2 — this query originally failed its oracle exactly there).
-    Q("agg_winsorized",
-      """WITH r AS (
-        |  SELECT l_returnflag AS flag,
-        |         CAST(l_extendedprice AS DECIMAL(12,4)) AS x,
-        |         row_number() OVER (PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
-        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem
-        |), b AS (
-        |  SELECT flag,
-        |         MIN(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT)
-        |             THEN x END) AS lo,
-        |         MIN(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
-        |             THEN x END) AS hi
-        |  FROM r GROUP BY flag
-        |)
-        |SELECT r.flag, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
-        |       -- CASE, not LEAST/GREATEST: DuckDB's least/greatest
-        |       -- promote DECIMAL args to DOUBLE (order-sensitive sum!);
-        |       -- the CASE clamp keeps DECIMAL so the sum stays exact
-        |       -- like Spark's decimal least/greatest
-        |       CAST(SUM(CASE WHEN r.x < b.lo THEN b.lo
-        |                     WHEN r.x > b.hi THEN b.hi
-        |                     ELSE r.x END) AS DOUBLE)
-        |         / COUNT(*) AS wins_mean
-        |FROM r JOIN b USING (flag)
-        |GROUP BY r.flag, b.lo, b.hi ORDER BY flag""".stripMargin) { (s, d) =>
+    // Skew ceiling: the rank window partitions by l_returnflag, so 3
+    // groups = 3 tasks — when a group is corpus-scale, use the
+    // agg_winsorized_dist twin below (distributed global ranks, no
+    // window), which produces identical rows against the same oracle.
+    Q("agg_winsorized", winsorizedSql) { (s, d) =>
       val w = Window.partitionBy("flag")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
       val wn = Window.partitionBy("flag")
@@ -276,6 +323,13 @@ object Analytics {
           col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
           col("wins_mean"))
         .orderBy("flag")
+    },
+
+    // The distributed-rank twin (see [[winsorizedDistributed]]): same
+    // rows, same oracle, zero Window nodes — exact order statistics
+    // that survive one corpus-scale group.
+    Q("agg_winsorized_dist", winsorizedSql) { (s, d) =>
+      winsorizedDistributed(Tables.lineitem(s, d), 32)
     },
 
     // ── trailing-window anomaly detection ──────────────────────────────
@@ -657,7 +711,10 @@ object Analytics {
     // arbitrary-decimal columns would need the sufficient-statistics
     // route instead. Exact medians need the per-group sort; the
     // approximate-at-scale path is sketch_quantile's bounded-state
-    // bottom-k sample.
+    // bottom-k sample. Same 3-group skew ceiling as agg_winsorized's
+    // rank window — a corpus-scale group takes the distributed-rank
+    // route winsorizedDistributed demonstrates (global ranks, no
+    // window).
     Q("agg_median",
       """SELECT l_returnflag, median(CAST(l_quantity AS DOUBLE)) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {

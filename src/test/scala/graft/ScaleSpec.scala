@@ -60,6 +60,50 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("winsorized: distributed-rank twin ≡ window form on the fixture") {
+    val a = SparkEntry.queries("agg_winsorized")(spark, Sf001)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("agg_winsorized_dist")(spark, Sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // the scale claim: the distributed form has NO Window node — the
+    // per-group rank window (and its 3-partition skew ceiling) is gone
+    val wins = SparkEntry.queries("agg_winsorized_dist")(spark, Sf001)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.isEmpty, "distributed winsorized still plans a Window")
+  }
+
+  test("winsorized: ONE corpus-scale group (the window form's skew " +
+      "ceiling) matches a local exact computation") {
+    val n = 200000
+    // deterministic 2-decimal values with heavy ties — duplicates make
+    // the (value, orderkey) tiebreak load-bearing
+    def v(id: Long): Double = ((id * 31 + 7) % 100003) / 100.0
+    val one = spark.range(n.toLong).select(
+      lit("X").as("l_returnflag"),
+      udf((id: Long) => v(id)).apply(col("id")).as("l_extendedprice"),
+      col("id").as("l_orderkey"), lit(1).as("l_linenumber"))
+    val out = graft.operators.Analytics.winsorizedDistributed(one, 16)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == n.toLong)
+
+    // local exact mirror: sort by (value, id), pick integer-rank
+    // bounds, clamp in scale-4 BigDecimal, one double division
+    val sorted = (0L until n.toLong).map(id => (v(id), id)).sortBy(identity)
+    def d4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+    val lo = d4(sorted(math.ceil(0.05 * n).toInt - 1)._1)
+    val hi = d4(sorted(math.ceil(0.95 * n).toInt - 1)._1)
+    val sum = sorted.map(_._1).map(d4)
+      .map(x => if (x.compareTo(lo) < 0) lo else if (x.compareTo(hi) > 0) hi else x)
+      .reduce(_ add _)
+    assert(out.head.getDouble(2) == lo.doubleValue())
+    assert(out.head.getDouble(3) == hi.doubleValue())
+    assert(out.head.getDouble(4) == sum.doubleValue() / n)
+  }
+
   test("sessionize: kernel ≡ window-SQL query ≡ stateful form (batch)") {
     val evs = Tables.events(spark, Sf0001)
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
