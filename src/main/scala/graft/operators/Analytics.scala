@@ -73,8 +73,12 @@ object Analytics {
     val r0 = li.select(col("l_returnflag").as("flag"),
       col("l_extendedprice").cast("decimal(12,4)").as("x"),
       col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val g = Ranking.globalRowNumber(r0,
-      Seq("flag", "l_extendedprice", "l_orderkey", "l_linenumber"), parts)
+    // the ranked stage feeds THREE consumers (group offsets, the rank
+    // join, the bounds) and its RDD lineage (range sort + zipWithIndex)
+    // would otherwise re-sort per consumer — materialize once via the
+    // registry (at 100 TB: a disk-backed level or a checkpoint table)
+    val g = graft.Caches.shared(Ranking.globalRowNumber(r0,
+      Seq("flag", "l_extendedprice", "l_orderkey", "l_linenumber"), parts))
     val off = g.groupBy("flag")
       .agg(min(col("row_num")).as("off"), count(lit(1)).as("n"))
     val r = g.join(broadcast(off), Seq("flag"))

@@ -494,6 +494,37 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // EXACT-k deterministic stratified sample — the fixed-size
+    // eval/dev-set primitive the threshold sample above cannot give:
+    // that filter yields an EXPECTED rate per stratum, but held-out
+    // sets need "exactly 64 docs per language, stable across reruns
+    // AND engines". Sample = the k smallest salted md5 draws per
+    // stratum (pure function of the ids — no RNG state, engine-
+    // identical, and ADDING documents only evicts from the boundary).
+    // One rank window partitioned by stratum; strata are few and
+    // bounded here — when ONE stratum is corpus-scale, the bounded
+    // O(k)-state bottom-k aggregator shape (functions/BottomKSample,
+    // map-side-combinable) replaces the per-stratum sort with the
+    // identical answer, the same window→aggregator trade pinned for
+    // quantiles in SketchSpec.
+    Q("txt_sample_exact_k",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           md5(concat('graft-k#', CAST(doc_id AS VARCHAR)))) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 64
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("graft-k#"), col("doc_id").cast("string"))))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 64)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // ── corpus vocabulary heavy hitters ────────────────────────────────
 
     // Top-100 terms by corpus frequency (vocab building / contamination

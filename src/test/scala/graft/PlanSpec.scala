@@ -150,9 +150,10 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
-  test("sim_knn_label / dedup_keep_longest / ts_anomaly: ranking and " +
-      "frame windows all partitioned") {
-    for (q <- Seq("sim_knn_label", "dedup_keep_longest", "ts_anomaly")) {
+  test("sim_knn_label / dedup_keep_longest / ts_anomaly / evt_wau_sketch" +
+      " / txt_sample_exact_k: ranking and frame windows all partitioned") {
+    for (q <- Seq("sim_knn_label", "dedup_keep_longest", "ts_anomaly",
+        "evt_wau_sketch", "txt_sample_exact_k")) {
       val wins = SparkEntry.queries(q)(spark, Sf001)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
