@@ -1,11 +1,11 @@
 package graft.functions
 
 /** Shared kernel of the hash-ordered bounded sketches ([[KmvSketch]],
-  * [[BottomKSample]]): one md5 definition and one keep-k-smallest-
-  * distinct-sorted insert, so the two aggregators cannot drift apart
-  * from each other or from the Sketches SQL twins that mirror the same
-  * hash. */
-private[functions] object BottomK {
+  * [[BottomKSample]], streaming.StreamWau): one md5 definition and one
+  * keep-k-smallest-distinct-sorted insert, so the aggregators and the
+  * streaming state cannot drift apart from each other or from the
+  * Sketches SQL twins that mirror the same hash. */
+private[graft] object BottomK {
 
   def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
