@@ -80,4 +80,43 @@ class TemporalPropertySpec extends SparkSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture produced no overlaps — widen the ranges")
   }
+
+  test("intervalOverlapPairs ≡ brute force on random intervals " +
+      "(zero-length, exact-touch, and bucket-boundary cases included)") {
+    val sp = spark
+    import sp.implicits._
+    // small timestamp range over bucket width 10 → intervals routinely
+    // start/end ON bucket boundaries, touch exactly (ea == sb, the
+    // closed-interval overlap's equality edge), and zero-length
+    // (start == end) sessions appear by construction
+    val spanGen = for {
+      u <- Gen.choose(1L, 6L)
+      lo <- Gen.choose(0L, 50L)
+      len <- Gen.frequency((2, Gen.const(0L)), (8, Gen.choose(0L, 19L)))
+    } yield (u, lo, lo + len)
+    val rows = SparkSuite.samples(spanGen, 120).distinct
+      .zipWithIndex.map { case ((u, lo, hi), i) => (u, i, lo, hi) }
+
+    val got = Temporal.intervalOverlapPairs(
+      rows.toDF("user_id", "sid", "start_us", "end_us"),
+      bucketWidth = 10L, maxBucketsPerInterval = 3)
+      .select("user_a", "sid_a", "user_b", "sid_b").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val expected = (for {
+      (ua, ia, sa, ea) <- rows
+      (ub, ib, sb, eb) <- rows
+      if ua < ub && sa <= eb && sb <= ea
+    } yield (ua, ia, ub, ib)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no overlaps")
+    // the edge cases must actually occur in the sample
+    assert(rows.exists { case (_, _, lo, hi) => lo == hi },
+      "no zero-length interval in the sample")
+    assert(expected.exists { case (ua, ia, ub, ib) =>
+      val a = rows.find(r => r._1 == ua && r._2 == ia).get
+      val b = rows.find(r => r._1 == ub && r._2 == ib).get
+      a._4 == b._3 || b._4 == a._3
+    }, "no exact-touch overlap in the sample")
+  }
 }
