@@ -104,6 +104,34 @@ class ScaleSpec extends SparkSuite {
     assert(out.head.getDouble(4) == sum.doubleValue() / n)
   }
 
+  test("winsorized distributed kernel: degenerate group sizes (1-row, " +
+      "2-row) take sane bounds") {
+    // ceil(0.05·1)=ceil(0.95·1)=1 → lo=hi=x for a singleton group;
+    // a 2-row group clamps to [row1, row2]. Groups deliberately skewed:
+    // one singleton, one pair, one 1000-row group in the same frame.
+    val rows =
+      Seq(("A", 42.0, 1L)) ++
+      Seq(("B", 10.0, 2L), ("B", 90.0, 3L)) ++
+      (0 until 1000).map(i => ("C", (i % 97).toDouble, 100L + i))
+    val df = rows.toDF("l_returnflag", "l_extendedprice", "l_orderkey")
+      .withColumn("l_linenumber", lit(1))
+    val out = graft.operators.Analytics.winsorizedDistributed(df, 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(("A", 1L), ("B", 2L), ("C", 1000L)))
+    val a = out(0); val b = out(1)
+    assert(a._3 == 42.0 && a._4 == 42.0 && a._5 == 42.0)
+    assert(b._3 == 10.0 && b._4 == 90.0 && b._5 == 50.0)
+    // C: values 0..96 cycling; local mirror of the exact clamp
+    val sortedC = (0 until 1000).map(i => ((i % 97).toDouble, 100L + i))
+      .sortBy(identity).map(_._1)
+    val lo = sortedC(math.ceil(0.05 * 1000).toInt - 1)
+    val hi = sortedC(math.ceil(0.95 * 1000).toInt - 1)
+    val c = out(2)
+    assert(c._3 == lo && c._4 == hi)
+    assert(c._5 == sortedC.map(x => math.max(lo, math.min(hi, x))).sum / 1000)
+  }
+
   test("sessionize: kernel ≡ window-SQL query ≡ stateful form (batch)") {
     val evs = Tables.events(spark, Sf0001)
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
