@@ -359,6 +359,69 @@ object Graph {
         .unionByName(tri.select(col("c").as("p")))
         .groupBy("p").agg(count(lit(1)).as("n_tri"))
         .orderBy("p")
+    },
+
+    // ── PageRank over the near-dup candidate graph ─────────────────────
+
+    // Centrality on the dedup graph: a doc many near-dup candidates
+    // point at is a template/boilerplate hub — rank-weighted sampling
+    // and cluster triage both want this signal. Five damped power
+    // iterations in EXACT INTEGER arithmetic: ranks are scale-10¹²
+    // BIGINTs, a node's contribution is rank div degree (floor), and
+    // damping is (85·Σ) div 100 + 15%·10¹² base. Floor loss makes this
+    // a deterministic VARIANT of float PageRank (mass shrinks a little
+    // per hop) — deliberately: BIGINT sums are associative where float
+    // accumulation is not, so Spark and DuckDB produce IDENTICAL ranks
+    // and the query hash-oracles exactly, which no float PageRank can.
+    // Scale shape: per iteration ONE shuffle join keyed on src (sym
+    // and deg share the key), one hash agg on dst, one broadcast-free
+    // left join back to vertices; lazy localCheckpoints cut the
+    // 5-iteration lineage exactly like the CC loop. Singletons take
+    // the base rank every round and skip all joins' matched paths.
+    Q("graph_pagerank", {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT v.id,
+           |         150000000000 + (85 * COALESCE(SUM(p.r // dg.deg), 0)) // 100 AS r
+           |  FROM v
+           |  LEFT JOIN sym ON sym.dst = v.id
+           |  LEFT JOIN r${i - 1} p ON p.id = sym.src
+           |  LEFT JOIN deg dg ON dg.id = sym.src
+           |  GROUP BY v.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${TextOps.minhashCandSql},
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |),
+         |v AS (SELECT doc_id AS id FROM docs),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM v),
+         |$iters
+         |SELECT id, CAST(r AS BIGINT) AS pr FROM r5 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val (vertices, edges) = dedupGraph(s, d)
+      val sym = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = false)
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "did")
+        .localCheckpoint(eager = false)
+      var r = vertices.select(col("id"), lit(1000000000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = sym.join(r, sym("src") === r("id"))
+          .join(deg, sym("src") === col("did"))
+          .select(sym("dst").as("id"), expr("r div deg").as("c"))
+        r = vertices.select(col("id"))
+          .join(contrib.groupBy("id").agg(sum(col("c")).as("sc")),
+            Seq("id"), "left")
+          .select(col("id"), (lit(150000000000L) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+          .localCheckpoint(eager = false)
+      }
+      r.select(col("id"), col("r").as("pr")).orderBy("id")
     }
   )
 }
