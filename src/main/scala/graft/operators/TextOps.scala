@@ -172,7 +172,16 @@ object TextOps {
     * token count; beyond that a lane would overflow into its neighbor
     * and corrupt the signature SILENTLY — refuse loudly instead (chunk
     * such docs upstream; the synthetic corpus is ~30 tokens/doc). */
-  def simhashSig60(s: SparkSession, d: String): DataFrame = {
+  def simhashSig60(s: SparkSession, d: String): DataFrame =
+    sig60From(simhashTokens(s, d))
+
+  /** The packed-lane 60-bit majority-vote signature over ANY
+    * (doc_id, h[60-bit long]) hash stream — the reusable SimHash
+    * kernel behind [[simhashSig60]]. (A frame-level media pHash was
+    * prototyped on this kernel and rejected with measurements — see
+    * Multimodal `mm_dedup_frames` — but the kernel stays generic:
+    * any weighted-feature hash stream packs the same way.) */
+  private[operators] def sig60From(hashes: DataFrame): DataFrame = {
     // hex digit j (0-based from the LEFT) sits at bits 4*(14-j)
     val packAggs = (0 until 15).map { j =>
       val base = 4 * (14 - j)
@@ -180,7 +189,7 @@ object TextOps {
         shiftright(col("h"), base + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
       }.reduce(_ + _)).as(s"p$j")
     } :+ count(lit(1)).as("n")
-    val sg = simhashTokens(s, d).groupBy("doc_id")
+    val sg = hashes.groupBy("doc_id")
       .agg(packAggs.head, packAggs.tail: _*)
     val sim = (0 until 60).map { i =>
       val ones = shiftright(col(s"p${i / 4}"), 16 * (i % 4))
@@ -194,6 +203,55 @@ object TextOps {
       .otherwise(sim)
     sg.select(col("doc_id"), guarded.as("sim"))
   }
+
+  /** 4×15-bit banded candidate pairs from a (doc_id, sim) signature
+    * table, Hamming-filtered BEFORE the distinct (the filter rides the
+    * band join; only survivors shuffle — the measured
+    * dedup_simhash_pairs lesson). Output (a_id, b_id, hamming). */
+  private[operators] def bandedHammingPairs(sig: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
+        shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key"))
+    }.reduce(_ unionByName _)
+    bands
+      .select(col("doc_id").as("a_id"), col("sim").as("sa"), col("b"), col("key"))
+      .join(bands.select(col("doc_id").as("b_id"), col("sim").as("sb"),
+        col("b"), col("key")), Seq("b", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** SQL mirror of [[sig60From]] + [[bandedHammingPairs]] as a CTE
+    * chain: input CTE `$in` must provide (doc_id, m) with m = a full
+    * md5 hex string per hash draw. Ends in a SELECT of
+    * (a_id, b_id, hamming) ordered by (a_id, b_id). */
+  private[operators] def simhash60PairsSql(in: String,
+      maxHamming: Int): String =
+    s"""sg AS (
+       |  SELECT doc_id,
+       |${(0 until 60).map(i => s"         SUM((((strpos('0123456789abcdef', substr(m, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) * 2 - 1) AS v$i").mkString(",\n")}
+       |  FROM $in GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |         ${(0 until 60).map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS sim
+       |  FROM sg
+       |), bands AS (
+       |${(0 until 4).map(b => s"  SELECT doc_id, sim, $b AS b, (sim >> ${15 * b}) & 32767 AS key FROM sig").mkString("\n  UNION ALL\n")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.sim AS sa, b.sim AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id,
+       |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -1007,51 +1065,13 @@ object TextOps {
          |ex AS (
          |  SELECT doc_id, md5(x) AS m
          |  FROM (SELECT doc_id, unnest($toksSql) AS x FROM docs) t
-         |), sg AS (
-         |  SELECT doc_id,
-         |${(0 until 60).map(i => s"         SUM((((strpos('0123456789abcdef', substr(m, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) * 2 - 1) AS v$i").mkString(",\n")}
-         |  FROM ex GROUP BY doc_id
-         |), sig AS (
-         |  SELECT doc_id,
-         |         ${(0 until 60).map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS sim
-         |  FROM sg
-         |), bands AS (
-         |${(0 until 4).map(b => s"  SELECT doc_id, sim, $b AS b, (sim >> ${15 * b}) & 32767 AS key FROM sig").mkString("\n  UNION ALL\n")}
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         a.sim AS sa, b.sim AS sb
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-         |)
-         |SELECT a_id, b_id,
-         |       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(sa, sb)) <= 6
-         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+         |), ${simhash60PairsSql("ex", 6)}""".stripMargin) { (s, d) =>
       // signature pipeline lives in simhashTokens/simhashSig60 (shared
-      // with Bench's session-persist block, like the MinHash stages)
-      val sig = simhashSig60(s, d)
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"), col("sim"), lit(b).as("b"),
-          shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767)).as("key"))
-      }.reduce(_ unionByName _)
-      // Hamming filter BEFORE the distinct: the band join enumerates
-      // every in-bucket pair (hot buckets make that 100-1000× the
-      // survivor count — measured 327k pre-filter vs ~300 survivors at
-      // sf0.1), and bit_count is a codegen'd integer op that rides the
-      // join stage for free, so distinct() then shuffles only survivors
-      // instead of the full pre-filter pair stream. Same rows: hamming
-      // is a pure function of the pair, so dedup before/after the
-      // threshold is equivalent.
-      bands
-        .select(col("doc_id").as("a_id"), col("sim").as("sa"), col("b"), col("key"))
-        .join(bands.select(col("doc_id").as("b_id"), col("sim").as("sb"),
-          col("b"), col("key")), Seq("b", "key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
+      // with Bench's session-persist block, like the MinHash stages);
+      // banding + the filter-BEFORE-distinct Hamming re-rank live in
+      // bandedHammingPairs (measured 327k pre-filter pairs vs ~300
+      // survivors at sf0.1 — only survivors shuffle)
+      bandedHammingPairs(simhashSig60(s, d), maxHamming = 6)
         .orderBy("a_id", "b_id")
     },
 

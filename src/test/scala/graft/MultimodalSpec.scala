@@ -73,6 +73,38 @@ class MultimodalSpec extends SparkSuite {
     ), s"got $got")
   }
 
+  test("mm_dedup_frames: planted clones caught at banded recall; " +
+      "every pair passes the exact-Jaccard gate") {
+    val pairs = SparkEntry.queries("mm_dedup_frames")(spark, Sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(pairs.nonEmpty)
+    // the exact verify gate holds for every emitted pair, and jaccard
+    // is consistent with the intersection/union counts it's derived from
+    pairs.foreach { case (a, b, nInter, nA, nB, j) =>
+      assert(a < b)
+      assert(nInter <= math.min(nA, nB))
+      assert(math.abs(j - nInter.toDouble / (nA + nB - nInter)) < 1e-12)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    // planted clones (doc_id+10000, 8 chars appended → last frame
+    // perturbed): band recall is deterministic (md5) but < 1 by design
+    // (~0.87 for J≈0.8 under 2×2 bands) — require the bulk caught, and
+    // every caught clone strictly below J=1 (the appended tail really
+    // does change the frame set)
+    val clonePairs = pairs.filter { case (a, b, _, _, _, _) => b == a + 10000 }
+    val planted = Tables.documents(spark, Sf001)
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0).count()
+    assert(clonePairs.length >= (planted * 0.7).toInt,
+      s"caught ${clonePairs.length} of $planted planted clones")
+    assert(clonePairs.forall(_._6 < 1.0))
+    // the corpus's own generator-planted near-dups surface too (pairs
+    // NOT of the +10000 clone shape) — frame-set dedup is not just
+    // finding our fixture
+    assert(pairs.length > clonePairs.length)
+  }
+
   test("frame-sample stub emits every-Nth deterministic frames") {
     val f1 = Multimodal.frameSampleStub(
       Multimodal.mediaTable(spark, Sf001), everyN = 3)
