@@ -333,6 +333,70 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── Zipf-rank / out-of-vocabulary quality signal ───────────────────
+
+    // The LM-scoring quality signal in exact integer space: rank the
+    // corpus token dictionary by frequency (Zipf rank, ties by term), fix
+    // a top-K reference vocabulary, and score each document by its OOV
+    // share and the mean rank of its in-vocabulary occurrences. A real
+    // pipeline scores with an n-gram LM's log-probability; ln() is
+    // libm-dependent (parity rule 3), so — like txt_tfidf's rational
+    // idf — the engine keeps every step integer-exact (counts, ranks,
+    // integer sums) with ONE final division per output column. Low mean
+    // rank = common-token text; high oov_ratio = rare-vocab text: the
+    // same axes a perplexity filter thresholds. K = 20 keeps an OOV
+    // tail on the 31-term synthetic fixture; production K is 10^5-ish.
+    //
+    // Scale shape: the dictionary agg is map-side combined; the Zipf
+    // rank comes from the distributed range-partition + zipWithIndex
+    // ranker (no partition-less window even when the dictionary has
+    // millions of terms); the K-row vocabulary broadcasts into the
+    // token stream; one doc_id hash-agg ends the plan.
+    Q("txt_zipf_rank",
+      s"""WITH wc AS (
+         |  SELECT x AS term, COUNT(*) AS n
+         |  FROM (SELECT unnest($toksSql) AS x FROM documents) t GROUP BY 1
+         |), vocab AS (
+         |  SELECT term, rank FROM (
+         |    SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+         |    FROM wc) r WHERE rank <= 20
+         |), tok AS (
+         |  SELECT doc_id, x AS term
+         |  FROM (SELECT doc_id, unnest($toksSql) AS x FROM documents) t
+         |)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       COUNT(CASE WHEN v.rank IS NULL THEN 1 END) AS n_oov,
+         |       CAST(COUNT(CASE WHEN v.rank IS NULL THEN 1 END) AS DOUBLE)
+         |         / COUNT(*) AS oov_ratio,
+         |       CASE WHEN COUNT(*) > COUNT(CASE WHEN v.rank IS NULL THEN 1 END)
+         |            THEN CAST(SUM(v.rank) AS DOUBLE)
+         |                 / (COUNT(*) - COUNT(CASE WHEN v.rank IS NULL THEN 1 END))
+         |       END AS mean_rank
+         |FROM tok LEFT JOIN vocab v USING (term)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val vocab = Ranking.globalRowNumber(
+          wc.withColumn("neg_n", -col("n")), Seq("neg_n", "term"), 8)
+        .filter(col("row_num") <= 20)
+        .select(col("term"), col("row_num").as("rank"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("rank").isNull, 1)).as("n_oov"),
+          sum(col("rank")).as("rank_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_ratio"),
+          when(col("n_tokens") > col("n_oov"),
+            col("rank_sum").cast("double") / (col("n_tokens") - col("n_oov")))
+            .as("mean_rank"))
+        .orderBy("doc_id")
+    },
+
     // ── document fingerprinting ────────────────────────────────────────
 
     // Order-insensitive content fingerprint: md5 of the sorted distinct

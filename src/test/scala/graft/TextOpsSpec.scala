@@ -45,6 +45,27 @@ class TextOpsSpec extends SparkSuite {
     assert(a.forall { case (_, h) => h >= 0 && h < (1 << 16) })
   }
 
+  test("txt_zipf_rank: ranks bounded by K, ratios internally consistent, " +
+      "vocab broadcasts") {
+    val df = SparkEntry.queries("txt_zipf_rank")(spark, Sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(ratio == oov.toDouble / n)
+      if (n > oov) {
+        val mean = r.getDouble(4)
+        // in-vocab mean rank lives in [1, K]
+        assert(mean >= 1.0 && mean <= 20.0, s"mean_rank $mean")
+      } else assert(r.isNullAt(4))
+    }
+    // the 31-term fixture vs K=20 leaves a real OOV tail
+    assert(rows.exists(_.getLong(2) > 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("txt_langid picks argmax with deterministic tie-break") {
     val rows = SparkEntry.queries("txt_langid")(spark, Sf001).collect()
     rows.foreach { r =>
