@@ -166,6 +166,52 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // Marketing attribution: every purchase credited to the user's
+    // FIRST preceding click (first-touch) and MOST RECENT preceding
+    // click (last-touch) — the two standard single-touch attribution
+    // models, in one pass. Running conditional MIN/MAX over a
+    // `ROWS … 1 PRECEDING` frame (strictly-earlier rows under the
+    // deterministic (us, event_id) order, so a click sharing the
+    // purchase's timestamp attributes iff its event_id is smaller —
+    // pinned identically in both engines). Scale shape: ONE user_id
+    // window shuffle — the same partitioning evt_funnel rides; no
+    // self-join per touch model, no per-purchase scan-back.
+    Q("evt_attribution",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         MIN(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER w AS first_touch_us,
+        |         MAX(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER w AS last_touch_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id AS purchase_id, us AS p_us,
+        |       first_touch_us, last_touch_us,
+        |       CAST(us - last_touch_us AS BIGINT) AS last_lag_us
+        |FROM r WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e
+        .withColumn("first_touch_us",
+          min(when(col("event_type") === "click", col("us"))).over(w))
+        .withColumn("last_touch_us",
+          max(when(col("event_type") === "click", col("us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"), col("first_touch_us"), col("last_touch_us"),
+          (col("us") - col("last_touch_us")).cast("long").as("last_lag_us"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     // ── cohort retention ───────────────────────────────────────────────
 
     // Cohort = each user's first active day; cell (cohort_day,

@@ -422,6 +422,78 @@ object Graph {
           .localCheckpoint(eager = false)
       }
       r.select(col("id"), col("r").as("pr")).orderBy("id")
+    },
+
+    // ── neighborhood-Jaccard link prediction ───────────────────────────
+
+    // "Which parts share a co-purchase neighborhood?" — for every part
+    // pair with ≥1 common neighbor, the Jaccard similarity of their
+    // neighbor SETS (Liben-Nowell & Kleinberg's common-neighbors /
+    // Jaccard link-prediction kernel; also the substitute-product
+    // signal). Exact integer form: `common`, both degrees, and
+    // j_pct = (100·common) div |Γ(a) ∪ Γ(b)| — no float division, so
+    // the hash oracle is engine-exact. `is_edge` marks pairs already
+    // connected (link prediction scores the is_edge = 0 rows; the
+    // is_edge = 1 rows are the embedding-strength signal). Scale
+    // shape: the 2-path equi-join is the triangle kernel's first
+    // stage — work is Σ_m deg(m)², bounded by the degree
+    // distribution, never pairs²; the same degree-orientation note as
+    // graph_triangles applies when hubs appear. One hash agg per
+    // stage, degree joins keyed on the pair columns.
+    Q("graph_jaccard_neighbors",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |), sym AS (
+        |  SELECT p1 AS src, p2 AS dst FROM e
+        |  UNION ALL
+        |  SELECT p2 AS src, p1 AS dst FROM e
+        |), deg AS (
+        |  SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src
+        |), cn AS (
+        |  SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS common
+        |  FROM sym s1 JOIN sym s2
+        |    ON s1.src = s2.src AND s1.dst < s2.dst
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+        |       CAST(da.deg AS BIGINT) AS deg_a,
+        |       CAST(db.deg AS BIGINT) AS deg_b,
+        |       CAST((100 * cn.common) // (da.deg + db.deg - cn.common)
+        |            AS BIGINT) AS j_pct,
+        |       CAST(CASE WHEN ex.p1 IS NOT NULL THEN 1 ELSE 0 END
+        |            AS INTEGER) AS is_edge
+        |FROM cn
+        |JOIN deg da ON da.id = cn.a
+        |JOIN deg db ON db.id = cn.b
+        |LEFT JOIN e ex ON ex.p1 = cn.a AND ex.p2 = cn.b
+        |ORDER BY cn.a, cn.b""".stripMargin) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+        .localCheckpoint(eager = false) // e feeds 3 branches: cut lineage once
+      val sym = e.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val cn = sym.select(col("src"), col("dst").as("a"))
+        .join(sym.select(col("src"), col("dst").as("b")), Seq("src"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      cn
+        .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), Seq("b"))
+        .join(e.select(col("p1").as("a"), col("p2").as("b"),
+          lit(1).as("__e")), Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("common"),
+          col("deg_a"), col("deg_b"),
+          expr("(100 * common) div (deg_a + deg_b - common)").as("j_pct"),
+          when(col("__e").isNotNull, 1).otherwise(0).cast("int").as("is_edge"))
+        .orderBy("a", "b")
     }
   )
 }

@@ -141,4 +141,31 @@ class GraphSpec extends SparkSuite {
     assert(joined * 100 >= cloned.size * 80,
       s"only $joined/${cloned.size} near-clones clustered with their source")
   }
+
+  test("graph_jaccard_neighbors ≡ brute-force neighbor sets on sf0.001") {
+    val out = SparkEntry.queries("graph_jaccard_neighbors")(
+      spark, SparkSuite.Sf0001).collect()
+    assert(out.nonEmpty)
+    // independent in-JVM reference: materialize the co-purchase edge
+    // set, build adjacency maps, enumerate common-neighbor pairs
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- adj.toSeq; (b, nb) <- adj.toSeq if a < b
+      common = (na & nb).size if common > 0
+    } yield (a, b) -> (common.toLong, na.size.toLong, nb.size.toLong,
+      100L * common / (na.size + nb.size - common),
+      if (edges((a, b))) 1 else 0)).toMap
+    val got = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
 }
