@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,4 +40,65 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  val queries: Seq[Q] = Seq(
+
+    // Salted hot-key join, end to end: events.event_type has a handful
+    // of distinct values, so EVERY key is pathologically hot — the
+    // exact shape where a plain shuffle join serializes each key into
+    // one task. [[saltedJoin]] spreads each hot key across 8 salt
+    // lanes (big side salted, dim side replicated ×8, join on
+    // (key, salt)); the enriched rows then roll up to a per-user
+    // rarity score Σ (total div type_count) in exact BIGINT integer
+    // division, so the hash oracle is engine-exact. At this dim size
+    // AQE would broadcast and sidestep the skew anyway — the query
+    // pins the salted plan's CORRECTNESS (ScaleSpec pins ≡ plain join
+    // on hand data); the shape earns its keep when the dim is too big
+    // to broadcast but the fact keys are hot.
+    Q("join_skew_salt",
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        |d AS (SELECT event_type, COUNT(*) AS cnt FROM e GROUP BY event_type),
+        |t AS (SELECT COUNT(*) AS total FROM e)
+        |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(t.total // d.cnt) AS BIGINT) AS rarity
+        |FROM e JOIN d USING (event_type) CROSS JOIN t
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "event_type")
+      val dim = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val total = e.agg(count(lit(1)).as("total"))
+      saltedJoin(e, dim, "event_type", 8)
+        .crossJoin(broadcast(total)) // one-row broadcast probe
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("total div cnt")).as("rarity"))
+        .orderBy("user_id")
+    },
+
+    // Exact count-distinct under group-key skew: a hot group key makes
+    // `COUNT(DISTINCT user)` build one giant per-key distinct set.
+    // Salting by HASH OF THE DISTINCT KEY (not round-robin — the same
+    // user must land in the same lane or lanes would double-count)
+    // splits each group's distinct set across 8 lanes whose partial
+    // distinct counts are disjoint, so the final per-key SUM is exact.
+    // This is the two-phase exact form of the problem HLL sketches
+    // solve approximately (evt_wau_sketch); same plan shape at any
+    // lane count. Oracle: DuckDB's plain COUNT(DISTINCT).
+    Q("agg_skew_distinct",
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_type", "user_id")
+      e.withColumn("__salt", pmod(hash(col("user_id")), lit(8)))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count_distinct(col("user_id")).as("__pd"),
+          count(lit(1)).as("__pn"))
+        .groupBy("event_type")
+        .agg(sum(col("__pd")).as("n_users"), sum(col("__pn")).as("n_events"))
+        .orderBy("event_type")
+    }
+  )
 }

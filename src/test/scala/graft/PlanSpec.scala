@@ -230,4 +230,25 @@ class PlanSpec extends SparkSuite {
       s"chunking must not shuffle before the output sort:\n" +
         exchanges.mkString("\n"))
   }
+
+  test("join_skew_salt: the join keys on (event_type, __salt)") {
+    // the salt must be part of the join key — a refactor that joins on
+    // event_type alone re-serializes every hot key into one task AND
+    // duplicates rows against the ×8-replicated dim
+    val p = plan("join_skew_salt")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("__salt")).getOrElse("")
+    assert(joinLine.contains("event_type") && joinLine.contains("__salt"),
+      s"salted join key missing:\n${p.take(1500)}")
+  }
+
+  test("agg_skew_distinct: distinct splits into per-salt partials") {
+    // the (event_type, __salt) partial aggregate must exist below the
+    // final per-type sum — that split is the whole point of the salt
+    val p = plan("agg_skew_distinct")
+    assert(p.contains("__salt"), p.take(1200))
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(l => l.contains("event_type") && l.contains("__salt")),
+      s"no per-salt partial aggregate:\n${aggs.mkString("\n")}")
+  }
 }
