@@ -517,6 +517,78 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── near-superset detection (Broder containment) ───────────────────
+
+    // Jaccard misses the asymmetric dup: a short doc wrapped in
+    // boilerplate (quote-inclusion, template framing) has low UNION
+    // similarity but near-total CONTAINMENT C(A→B) = |S(A)∩S(B)| / |S(A)|.
+    // Directed pairs with C ≥ 0.8 over the near-clone corpus (each
+    // source doc is genuinely contained in its tail-padded clone).
+    // Scale shape — candidates come from the SAME session-cached
+    // MinHash banding the whole dedup family shares (shingle → salted
+    // min-hash → 2×2 bands → bucket equi-join; the oracle mirrors it
+    // term for term, the dedup_minhash precedent), then the exact
+    // directed gate 5·I ≥ 4·|A| re-proves every surviving pair in
+    // both directions from ONE symmetric intersection count. The
+    // banding's recall envelope is Jaccard-shaped — fine here (a
+    // tail-padded clone pair has J ≈ 0.95 → band hit ≈ 1−(1−J²)² ≈
+    // 0.995) and for every near-mutual-containment case; a SHORT doc
+    // inside a much longer one has low J at high C, and the scale
+    // answer there is size-partitioned banding (LSH Ensemble,
+    // VLDB'16) — same plan shape per size band, J bounded below
+    // within a band. Two designs measured and rejected on this
+    // corpus's degenerate 963-bigram vocabulary (median posting 312):
+    // share-≥1-rare-shingle candidates (150 s at sf0.1) and the
+    // lossless counted-prefix pigeonhole filter (24 s — right design
+    // under a realistic Zipf vocabulary, where rare postings are
+    // short; ~35M probe-join rows here because NO shingle is rare).
+    // Exact integer gate and cont_pct in BIGINT div — no float
+    // thresholds. TextOpsSpec pins source→clone recall in-JVM.
+    Q("dedup_containment",
+      s"""WITH ${minhashCandSql},
+         |e AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN e ea ON ea.doc_id = c.a_id
+         |  JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+         |  GROUP BY 1, 2
+         |), both_dir AS (
+         |  SELECT a_id, b_id, n_inter FROM inter
+         |  UNION ALL
+         |  SELECT b_id AS a_id, a_id AS b_id, n_inter FROM inter
+         |)
+         |SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+         |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |       CAST((100 * n_inter) // sa.n AS BIGINT) AS cont_pct
+         |FROM both_dir
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE 5 * n_inter >= 4 * sa.n
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val e = graft.Caches.shared(nearCloneShingles(s, d)
+        .select(col("doc_id"), xxhash64(col("sx")).as("s")).distinct())
+      val cand = graft.Caches.shared(minhashCandidates(s, d))
+      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(e.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+        .join(e.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      // one symmetric count serves both directed gates
+      val bothDir = inter.unionByName(inter.select(
+        col("b_id").as("a_id"), col("a_id").as("b_id"), col("n_inter")))
+      bothDir
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")), Seq("b_id"))
+        .filter(expr("5 * n_inter >= 4 * n_a"))
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"), col("n_b"),
+          expr("(100 * n_inter) div n_a").as("cont_pct"))
+        .orderBy("a_id", "b_id")
+    },
+
     // ── MinHash + LSH banding ──────────────────────────────────────────
 
     // 4 salted min-hashes over bigram shingles (lexicographic min of

@@ -121,4 +121,45 @@ class TextOpsSpec extends SparkSuite {
       assert(math.abs(norm - 1.0) < 1e-9)
     }
   }
+
+  test("dedup_containment: sound vs brute-force sets; clone recall pinned") {
+    val out = SparkEntry.queries("dedup_containment")(
+      spark, SparkSuite.Sf0001).collect()
+    assert(out.nonEmpty)
+    // independent reference: bigram shingle sets in plain Scala over
+    // the same near-clone corpus. The query's candidates are MinHash-
+    // banded, so its output is a SUBSET of all C ≥ 0.8 pairs — every
+    // reported pair must be exactly right (soundness), and the seeded
+    // source→clone near-supersets (J ≈ 0.95 → band hit ≈ 1) must all
+    // be present (recall pin).
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }
+    val sets = corpus.flatMap { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 2) None
+      else Some(id -> t.sliding(2).map(_.mkString(" ")).toSet)
+    }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      inter = (sa & sb).size if 5 * inter >= 4 * sa.size
+    } yield (a, b) -> (inter.toLong, sa.size.toLong, sb.size.toLong,
+      100L * inter / sa.size)).toMap
+    val got = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    got.foreach { case (pair, v) =>
+      assert(want.contains(pair), s"false positive $pair")
+      assert(want(pair) == v, s"$pair: got $v want ${want(pair)}")
+    }
+    // every source is contained in its tail-padded clone — all such
+    // directed pairs must be reported
+    val clonePairs = sets.keys.filter(_ >= 10000L)
+      .map(c => (c - 10000L, c)).filter(want.contains).toSeq
+    assert(clonePairs.nonEmpty, "fixture produced no clone pairs")
+    clonePairs.foreach { p =>
+      assert(got.contains(p), s"missed source→clone containment $p")
+    }
+  }
 }
