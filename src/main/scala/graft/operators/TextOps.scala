@@ -589,6 +589,87 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── exact substring dedup (duplicated-span removal) ────────────────
+
+    // Doc-level dedup keeps one copy of a near-clone PAIR; exact
+    // substring dedup (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", ACL'22) removes the duplicated SPANS
+    // themselves — the memorization-prone repeated passages that
+    // survive doc-level dedup because their host docs differ. Suffix
+    // arrays don't distribute; the Spark form: every 8-token gram with
+    // ≥ 2 corpus-wide occurrences marks its [i, i+7] token span, and
+    // overlapping marks merge per doc into removal spans. Output =
+    // (doc, span_start, span_end, span_tokens), all exact integers.
+    // Scale shape: grams are built INSIDE one per-row transform (the
+    // token array never rides an exploded row), count via one
+    // map-side-combined hash agg, occurrences via one gram-keyed
+    // equi-join, merge via two doc-partitioned windows — partitions
+    // are doc-sized, never corpus-sized. The near-clone corpus plants
+    // true full-doc duplicate spans; random 8-gram repeats are
+    // vanishingly rare (vocab³⁰ ≫ corpus grams), so spans ≈ the
+    // planted clones — TextOpsSpec replays the whole pipeline in-JVM.
+    Q("dedup_substring",
+      s"""WITH $withNearClonesSql,
+         |t AS (
+         |  SELECT doc_id, $toksSql AS t FROM docs
+         |), g AS (
+         |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM t, UNNEST(range(1, len(t) - 6)) AS r(i)
+         |  WHERE len(t) >= 8
+         |), dup AS (
+         |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+         |), occ AS (
+         |  SELECT g.doc_id, g.i AS s, g.i + 7 AS e
+         |  FROM g JOIN dup USING (gram)
+         |), m AS (
+         |  SELECT doc_id, s, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND 1 PRECEDING) AS pmax
+         |  FROM occ
+         |), grp AS (
+         |  SELECT doc_id, s, e,
+         |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS gid
+         |  FROM m
+         |)
+         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+         |       CAST(MAX(e) AS BIGINT) AS span_end,
+         |       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+         |FROM grp GROUP BY doc_id, gid
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("s")
+      val g = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => struct(i.as("i"),
+            xxhash64(concat_ws(" ", slice(col("t"), i, lit(8))))
+              .as("gram")))).as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+      val dup = g.groupBy("gram").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("gram")
+      val occ = g.join(dup, Seq("gram"))
+        .select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e"))
+      occ
+        .withColumn("pmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("gid", sum(
+          when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "gid")
+        .agg(min("s").cast("long").as("span_start"),
+          max("e").cast("long").as("span_end"),
+          (max("e") - min("s") + 1).cast("long").as("span_tokens"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    },
+
     // ── MinHash + LSH banding ──────────────────────────────────────────
 
     // 4 salted min-hashes over bigram shingles (lexicographic min of

@@ -162,4 +162,47 @@ class TextOpsSpec extends SparkSuite {
       assert(got.contains(p), s"missed source→clone containment $p")
     }
   }
+
+  test("dedup_substring ≡ in-JVM replay on sf0.001; clones marked whole") {
+    val out = SparkEntry.queries("dedup_substring")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }
+    val grams = corpus.flatMap { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 8) Nil
+      else t.sliding(8).zipWithIndex.map { case (g, i0) =>
+        (id, i0 + 1, g.mkString(" ")) }.toSeq
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val want = grams.filter(g => dup(g._3))
+      .groupBy(_._1).toSeq.flatMap { case (id, occ) =>
+        // merge overlapping [i, i+7] spans in start order
+        val spans = occ.map(_._2).sorted.map(i => (i.toLong, i + 7L))
+        spans.tail.foldLeft(List(spans.head)) { case (acc, (s, e)) =>
+          val (cs, ce) = acc.head
+          if (s > ce) (s, e) :: acc else (cs, math.max(ce, e)) :: acc.tail
+        }.reverse.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == want,
+      s"got ${out.length} spans, want ${want.length}")
+    // a cloned source doc is duplicated end to end: its merged span
+    // must cover every gram position (1 .. n-7 start, so end = n)
+    val lens = corpus.toMap.map { case (id, t) =>
+      id -> t.split(" ").count(_.nonEmpty) }
+    val cloneIds = corpus.map(_._1).filter(_ >= 10000L)
+      .map(_ - 10000L).filter(lens(_) >= 8)
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { id =>
+      val spans = out.filter(_._1 == id)
+      assert(spans.length == 1 && spans.head._2 == 1L &&
+        spans.head._3 == lens(id).toLong,
+        s"doc $id not marked whole: ${spans.mkString(",")}")
+    }
+  }
 }
