@@ -282,6 +282,71 @@ object Analytics {
         .orderBy("event_type", "day")
     },
 
+    // ── seasonal-naive forecast backtest ───────────────────────────────
+
+    // The forecasting baseline every pipeline needs before it earns a
+    // model: ŷ(d) = y(d − 7 CALENDAR days), backtested over the whole
+    // series. Calendar alignment via an equi-join on (type, day−7) —
+    // a ROWS-frame lag would silently misalign on gapped series (the
+    // ts_moving_avg_range lesson). Errors accumulate in exact decimal,
+    // one final DOUBLE cast per column (oracle parity rule). Scale
+    // shape: daily totals pre-aggregate map-side; the self-join keys
+    // on (type, day) — the same partitioning both sides already have.
+    Q("ts_forecast_snaive",
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, CAST(d.day AS DATE) AS day,
+        |       CAST(d.total AS DOUBLE) AS actual,
+        |       CAST(p.total AS DOUBLE) AS forecast,
+        |       CAST(abs(d.total - p.total) AS DOUBLE) AS abs_err
+        |FROM dly d JOIN dly p
+        |  ON p.event_type = d.event_type AND p.day = d.day - 7
+        |ORDER BY d.event_type, day""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+      val p = dly.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("total").as("ftotal"))
+      dly.join(p, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          col("total").cast("double").as("actual"),
+          col("ftotal").cast("double").as("forecast"),
+          abs(col("total") - col("ftotal")).cast("double").as("abs_err"))
+        .orderBy("event_type", "day")
+    },
+
+    // ── k-anonymity / l-diversity audit ────────────────────────────────
+
+    // Privacy governance before a table ships into a training set:
+    // every quasi-identifier combination (nation × market segment)
+    // with fewer than k = 5 members re-identifies its members, and a
+    // group whose sensitive attribute (account-balance sign) takes
+    // only one value leaks it even at k ≥ 5 (l-diversity < 2). One
+    // map-side-combined hash aggregate over the quasi-identifier key;
+    // the sensitive-value distinct is bounded (2 signs), so no
+    // count-distinct blowup at any group size.
+    Q("chk_k_anon",
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT c_acctbal < 0) AS BIGINT) AS l_div,
+        |       COUNT(*) < 5 AS k_violation,
+        |       COUNT(DISTINCT c_acctbal < 0) < 2 AS l_violation
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("c_acctbal") < 0).as("l_div"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n_rows"), col("l_div"),
+          (col("n_rows") < 5).as("k_violation"),
+          (col("l_div") < 2).as("l_violation"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ── DAU / WAU / stickiness ─────────────────────────────────────────
 
     // Daily active users, trailing-7-day active users, and their ratio
