@@ -150,4 +150,28 @@ class DedupScaleSpec extends SparkSuite {
       timeCheck(t2 <= t1 * k * 3 + 1.0, s"pair kernel time superlinear: $t1 -> $t2")
     } finally { a1.unpersist(); a2.unpersist() }
   }
+
+  test("substring-dedup span output and removal mass grow near-linearly") {
+    // replica-salted tokens mean grams never collide ACROSS replicas,
+    // so duplicated-gram mass (the planted clones) must scale ×k — a
+    // hot shared gram (the containment corpus's failure mode) would
+    // inflate the occurrence join superlinearly and show up here
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    def run(d: String): (Long, Long) = {
+      val spans = SparkEntry.queries("dedup_substring")(spark, d)
+      val r = spans.agg(count(lit(1)).as("n"),
+        sum("span_tokens").as("mass")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    run(d1) // warm
+    val ((n1, m1), t1) = timed(run(d1))
+    val ((n2, m2), t2) = timed(run(d2))
+    val k = Reps2.toDouble / Reps1
+    assert(n1 > 0 && m1 > 0, s"degenerate base: spans=$n1 mass=$m1")
+    assert(n2 <= n1 * k * 2, s"spans superlinear: $n1 -> $n2")
+    assert(n2 >= n1 * k / 2, s"spans vanished: $n1 -> $n2")
+    assert(m2 <= m1 * k * 2, s"removal mass superlinear: $m1 -> $m2")
+    timeCheck(t2 <= t1 * k * 3 + 1.0, s"substring time superlinear: $t1 -> $t2")
+  }
 }

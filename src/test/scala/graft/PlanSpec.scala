@@ -151,9 +151,11 @@ class PlanSpec extends SparkSuite {
   }
 
   test("sim_knn_label / dedup_keep_longest / ts_anomaly / evt_wau_sketch" +
-      " / txt_sample_exact_k: ranking and frame windows all partitioned") {
+      " / txt_sample_exact_k / evt_attribution / dedup_substring:" +
+      " ranking and frame windows all partitioned") {
     for (q <- Seq("sim_knn_label", "dedup_keep_longest", "ts_anomaly",
-        "evt_wau_sketch", "txt_sample_exact_k")) {
+        "evt_wau_sketch", "txt_sample_exact_k", "evt_attribution",
+        "dedup_substring")) {
       val wins = SparkEntry.queries(q)(spark, Sf001)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
