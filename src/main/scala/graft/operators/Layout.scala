@@ -60,6 +60,92 @@ object Layout {
         .select(col("o_orderkey"), col("cust16"), col("day16"),
           zkey(col("cust16"), col("day16")).as("zkey"))
         .orderBy("o_orderkey")
+    },
+
+    // The PAYOFF of fn_zorder, measured as data: lay the orders table
+    // out in 256-row blocks under two clustering keys — the z-curve
+    // vs a single-dimension (customer) sort — collect per-block
+    // min/max stats (exactly what parquet row groups / lakehouse
+    // manifests store), and count how many blocks each of two probes
+    // (a customer range, a date range) must scan under min/max
+    // pruning. The z-layout bounds BOTH dimensions per block, so both
+    // probes prune; the customer sort prunes only its own dimension —
+    // the day probe degenerates to a full scan. Block ranks come from
+    // Ranking.globalRowNumber (range-partition + zipWithIndex — no
+    // partition-less window, the win_pctrank discipline); stats are
+    // one hash agg per layout; the final 4-row matrix is exact
+    // integers. The oracle replays both layouts with window
+    // row_numbers — engine-identical because the (key, o_orderkey)
+    // order tuple is unique.
+    Q("layout_zorder_prune", {
+      val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |         (o_custkey & 65535) AS cust16,
+         |         ($day & 65535) AS day16,
+         |         ${zkeySql("(o_custkey & 65535)", s"($day & 65535)")} AS zkey
+         |  FROM orders
+         |), lz AS (
+         |  SELECT cust16, day16,
+         |         (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // 256
+         |           AS blk
+         |  FROM base
+         |), lc AS (
+         |  SELECT cust16, day16,
+         |         (row_number() OVER (ORDER BY cust16, o_orderkey) - 1) // 256
+         |           AS blk
+         |  FROM base
+         |), stats AS (
+         |  SELECT 'zorder' AS layout, blk, MIN(cust16) AS c_lo,
+         |         MAX(cust16) AS c_hi, MIN(day16) AS d_lo, MAX(day16) AS d_hi
+         |  FROM lz GROUP BY blk
+         |  UNION ALL
+         |  SELECT 'cust_sort' AS layout, blk, MIN(cust16), MAX(cust16),
+         |         MIN(day16), MAX(day16)
+         |  FROM lc GROUP BY blk
+         |), probes AS (
+         |  SELECT layout, 'cust_100_160' AS probe,
+         |         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |         CAST(SUM(CASE WHEN c_hi >= 100 AND c_lo <= 160
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned
+         |  FROM stats GROUP BY layout
+         |  UNION ALL
+         |  SELECT layout, 'day_300_400',
+         |         CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN d_hi >= 300 AND d_lo <= 400
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM stats GROUP BY layout
+         |)
+         |SELECT layout, probe, n_blocks, blocks_scanned
+         |FROM probes ORDER BY layout, probe""".stripMargin }) { (s, d) =>
+      val day = datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1995-01-01")))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(65535L)).as("cust16"),
+          day.cast("long").bitwiseAND(lit(65535L)).as("day16"))
+        .withColumn("zkey", zkey(col("cust16"), col("day16")))
+      def blocks(keys: Seq[String], layout: String) =
+        Ranking.globalRowNumber(base, keys :+ "o_orderkey", 32)
+          .select(lit(layout).as("layout"),
+            expr("(row_num - 1) div 256").as("blk"),
+            col("cust16"), col("day16"))
+      val stats = blocks(Seq("zkey"), "zorder")
+        .unionByName(blocks(Seq("cust16"), "cust_sort"))
+        .groupBy("layout", "blk")
+        .agg(min("cust16").as("c_lo"), max("cust16").as("c_hi"),
+          min("day16").as("d_lo"), max("day16").as("d_hi"))
+      def probe(name: String, scanned: Column) =
+        stats.groupBy("layout")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(scanned, 1).otherwise(0)).as("blocks_scanned"))
+          .withColumn("probe", lit(name))
+      probe("cust_100_160", col("c_hi") >= 100 && col("c_lo") <= 160)
+        .unionByName(probe("day_300_400",
+          col("d_hi") >= 300 && col("d_lo") <= 400))
+        .select(col("layout"), col("probe"), col("n_blocks"),
+          col("blocks_scanned"))
+        .orderBy("layout", "probe")
     }
   )
 }
