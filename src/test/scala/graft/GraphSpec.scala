@@ -142,6 +142,53 @@ class GraphSpec extends SparkSuite {
       s"only $joined/${cloned.size} near-clones clustered with their source")
   }
 
+  test("kcore: pendant chain peels recursively, clique survives intact") {
+    val sp = spark
+    import sp.implicits._
+    // 5-clique (ids 1-5, every degree 4) with a pendant chain 5-6-7-8:
+    // k=3 must peel 8, then 7, then 6 RECURSIVELY (each removal drops
+    // the next vertex below k — the cascade a one-shot degree filter
+    // misses) and leave the clique with its in-core degrees intact
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val got = Graph.kcore((clique ++ chain).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // an empty core converges cleanly (everything peels)
+    val empty = Graph.kcore(chain.toDF("src", "dst"), k = 3).collect()
+    assert(empty.isEmpty)
+    // under-budgeted peel refuses instead of returning a mid-peel state
+    val long = (1L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Graph.kcore(long.toDF("src", "dst"), k = 2, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("kcore"))
+  }
+
+  test("graph_kcore ≡ brute-force peel on sf0.001") {
+    val out = SparkEntry.queries("graph_kcore")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: sequential peel over the same co-purchase edge set
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    var adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val bad = adj.collect { case (v, nb) if nb.size < 16 => v }.toSet
+      changed = bad.nonEmpty
+      adj = adj.collect { case (v, nb) if !bad(v) => v -> (nb -- bad) }
+    }
+    val want = adj.map { case (v, nb) => v -> nb.size.toLong }
+    assert(out == want, s"got ${out.size} core nodes, want ${want.size}")
+  }
+
   test("graph_jaccard_neighbors ≡ brute-force neighbor sets on sf0.001") {
     val out = SparkEntry.queries("graph_jaccard_neighbors")(
       spark, SparkSuite.Sf0001).collect()
