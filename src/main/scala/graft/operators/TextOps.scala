@@ -50,6 +50,44 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "fr" -> Seq("le", "les", "une", "et", "est"))
 
+  /** The Gopher/MassiveText document-filter marker set (Rae et al.
+    * 2021 §A1.1): a doc must contain ≥ 2 DISTINCT members. */
+  private val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText repetition-free document rules (Rae et al.
+    * 2021, "Scaling Language Models", appendix A1.1) as EXACT integer
+    * comparisons over (doc_id, text) — every ratio threshold is
+    * cross-multiplied (10·n_sym < n_words instead of n_sym/n_words
+    * < 0.1) so the flags are bit-stable across engines with no float
+    * division anywhere. Pure per-row codegen: zero shuffle, rides the
+    * scan, the exact shape that filters 100 TB at line rate. Emits the
+    * measured counters alongside the flags (the audit form — a
+    * pipeline wants to know WHY a doc failed, and threshold sweeps
+    * reuse the counters without rescanning). */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val m = docs.select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_words"),
+      aggregate(toks(col("text")), lit(0), (a, x) => a + length(x))
+        .cast("long").as("tok_chars"),
+      regexp_count(col("text"), lit("[#…]")).cast("long").as("n_sym"),
+      size(filter(toks(col("text")), x => x.rlike("[a-z]")))
+        .cast("long").as("n_alpha"),
+      GopherStop.map(w => array_contains(toks(col("text")), w).cast("int"))
+        .reduce(_ + _).cast("long").as("n_stopset"))
+    m.select(col("doc_id"), col("n_words"), col("tok_chars"), col("n_sym"),
+        col("n_alpha"), col("n_stopset"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_words"),
+        (lit(3) * col("n_words") <= col("tok_chars") &&
+          col("tok_chars") <= lit(10) * col("n_words")).as("ok_mwl"),
+        (lit(10) * col("n_sym") < col("n_words")).as("ok_sym"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("ok_alpha"),
+        (col("n_stopset") >= 2).as("ok_stop"))
+      .withColumn("pass", col("ok_words") && col("ok_mwl") &&
+        col("ok_sym") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** documents ∪ exact clones (doc_id+10000 for doc_id%5=0) — the exact
     * dedup needs real duplicates to collapse. */
   private def withClones(s: SparkSession, d: String): DataFrame = {
@@ -944,6 +982,49 @@ object TextOps {
       m.select(col("doc_id"), col("lang"), quality.as("quality"))
         .withColumn("bin", ntile(4).over(w))
         .select("doc_id", "lang", "quality", "bin")
+        .orderBy("doc_id")
+    },
+
+    // ── Gopher/MassiveText document-filter rules ───────────────────────
+
+    // The published pretraining quality gate (Rae et al. 2021 §A1.1) as
+    // an exact flag matrix: word-count bounds [50, 100k], mean word
+    // length [3, 10], symbol-to-word ratio < 0.1 (#/…), ≥ 80% alphabetic
+    // words, ≥ 2 distinct stop-set members. Every threshold is an
+    // integer cross-multiplication — no float division, so the flags
+    // hash bit-equal across engines. On this clean synthetic fixture
+    // the word-count rule rejects 223/500 and the stop rule all 500
+    // (the vocabulary has only 'the' from the marker set); the
+    // line-shape rules (bullets/ellipsis) need multi-line docs and live
+    // in the spec's synthetic corpus, which violates each rule in turn
+    // (TextOpsSpec). Scale: pure per-row codegen over the scan — the
+    // whole gate is one WholeStageCodegen span, no shuffle.
+    Q("txt_gopher_rules",
+      s"""SELECT doc_id, n_words, tok_chars, n_sym, n_alpha, n_stopset,
+         |       (n_words BETWEEN 50 AND 100000) AS ok_words,
+         |       (3*n_words <= tok_chars AND tok_chars <= 10*n_words) AS ok_mwl,
+         |       (10*n_sym < n_words) AS ok_sym,
+         |       (5*n_alpha >= 4*n_words) AS ok_alpha,
+         |       (n_stopset >= 2) AS ok_stop,
+         |       ((n_words BETWEEN 50 AND 100000)
+         |        AND 3*n_words <= tok_chars AND tok_chars <= 10*n_words
+         |        AND 10*n_sym < n_words AND 5*n_alpha >= 4*n_words
+         |        AND n_stopset >= 2) AS pass
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS BIGINT) AS n_words,
+         |         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+         |           AS tok_chars,
+         |         CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT)
+         |           AS n_sym,
+         |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |           AS BIGINT) AS n_alpha,
+         |         CAST(${GopherStop.map(w =>
+               s"(CASE WHEN list_contains(t,'$w') THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS n_stopset
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      gopherRules(Tables.documents(s, d).select("doc_id", "text"))
         .orderBy("doc_id")
     },
 

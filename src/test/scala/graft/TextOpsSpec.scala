@@ -205,4 +205,44 @@ class TextOpsSpec extends SparkSuite {
         s"doc $id not marked whole: ${spans.mkString(",")}")
     }
   }
+
+  test("gopherRules: each rule rejects exactly its planted violation") {
+    val sp = spark
+    import sp.implicits._
+    // one clean doc plus one violator per rule, orthogonal by design:
+    // every violator satisfies the four OTHER rules
+    def words(n: Int, w: String) = (Seq("the", "of") ++ Seq.fill(n - 2)(w))
+      .mkString(" ")
+    val corpus = Seq(
+      1L -> words(60, "quality"),                  // clean: all pass
+      2L -> words(10, "quality"),                  // too short (wc)
+      3L -> words(60, "qual#ity"),                 // 58 '#' ≥ 60/10 (sym)
+      4L -> (Seq("the", "of") ++ Seq.fill(58)("a")).mkString(" "), // mwl<3
+      5L -> words(60, "12345"),                    // digits: alpha < 80%
+      6L -> Seq.fill(60)("table").mkString(" "))   // no stop markers
+    val got = graft.operators.TextOps.gopherRules(
+      corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    // (ok_words, ok_mwl, ok_sym, ok_alpha, ok_stop, pass)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, true, false)))
+    assert(got(3L) == ((true, true, false, true, true, false)))
+    assert(got(4L) == ((true, false, true, true, true, false)))
+    assert(got(5L) == ((true, true, true, false, true, false)))
+    assert(got(6L) == ((true, true, true, true, false, false)))
+  }
+
+  test("txt_gopher_rules: fixture rejection profile is the recorded one") {
+    val rows = SparkEntry.queries("txt_gopher_rules")(spark, Sf001).collect()
+    assert(rows.length == 500)
+    // clean word-salad fixture: wc rule rejects some, stop rule rejects
+    // all (vocab has only 'the' from the marker set), rest pass
+    assert(rows.count(!_.getBoolean(6)) > 0, "wc rule never fired")
+    assert(rows.forall(!_.getBoolean(10)), "stop rule should reject all")
+    assert(rows.forall(r => r.getBoolean(7) && r.getBoolean(8) &&
+      r.getBoolean(9)), "mwl/sym/alpha must pass on the clean fixture")
+    assert(rows.forall(!_.getBoolean(11)))
+  }
 }
