@@ -281,6 +281,47 @@ object Temporal {
         .orderBy("user_id", "event_id")
     },
 
+    // Tolerance-bounded as-of: the feature-store freshness contract —
+    // a feature older than the staleness budget is NO feature (serving
+    // a week-old click as "last state" silently trains on leakage-free
+    // but stale signal). Same one-shuffle union+window kernel; the
+    // bound is a codegen'd null-out on the carried columns, free in
+    // the window stage. 1-day budget splits the fixture's gap
+    // distribution (median ≈ 1.4 days), so both outcomes are
+    // populated. Oracle: DuckDB's native ASOF JOIN with the staleness
+    // CASE applied on top — independent engine, same contract.
+    Q("join_asof_tol",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), errors AS (
+        |  SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+        |)
+        |SELECT user_id, event_id, us,
+        |       CASE WHEN fresh THEN m_us END AS asof_us,
+        |       CASE WHEN fresh THEN m_value END AS asof_value
+        |FROM (
+        |  SELECT e.user_id, e.event_id, e.us, c.us AS m_us, c.value AS m_value,
+        |         c.us IS NOT NULL AND e.us - c.us <= 86400000000 AS fresh
+        |  FROM errors e ASOF LEFT JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.us >= c.us) x
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "us")
+        .agg(max(struct(col("event_id"), col("value"))).getField("value")
+          .as("value"))
+      asOf(errors, clicks, Seq("user_id"), "us", Seq("value"),
+        tolerance = Some(DayUs))
+        .orderBy("user_id", "event_id")
+    },
+
     // ── range join: errors inside the day after each click ─────────────
 
     // Interval-overlap join ([click, click+1d) × error points per user).

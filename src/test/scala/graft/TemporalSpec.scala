@@ -50,6 +50,28 @@ class TemporalSpec extends SparkSuite {
       out(1).isNullAt(4))
   }
 
+  test("join_asof_tol: 1-day budget populates both outcomes, and every " +
+      "null-out agrees with the unbounded twin") {
+    val tol = SparkEntry.queries("join_asof_tol")(spark, SparkSuite.Sf0001)
+      .collect()
+    val unb = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf0001)
+      .collect()
+    assert(tol.length == unb.length)
+    val fresh = tol.count(!_.isNullAt(3))
+    assert(fresh > 0 && fresh < tol.length,
+      s"tolerance does not discriminate: $fresh/${tol.length} fresh")
+    // row-aligned (same total order): a kept match is bit-identical to
+    // the unbounded join's; a nulled one was a match OLDER than 1 day
+    // (or no match at all) there
+    tol.zip(unb).foreach { case (t, u) =>
+      assert(t.getLong(1) == u.getLong(1))
+      if (!t.isNullAt(3)) assert(t.getLong(3) == u.getLong(3) &&
+        t.getLong(2) - t.getLong(3) <= 86400000000L)
+      else assert(u.isNullAt(3) ||
+        u.getLong(2) - u.getLong(3) > 86400000000L)
+    }
+  }
+
   test("asOfForward: earliest at-or-after, inclusive, tolerance-bounded") {
     val sp = spark
     import sp.implicits._
