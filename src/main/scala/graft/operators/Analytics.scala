@@ -398,6 +398,47 @@ object Analytics {
         .orderBy("day")
     },
 
+    // ── user growth curve (new / cumulative users per day) ─────────────
+
+    // The acquisition dashboard: per day, active users, FIRST-seen
+    // users, and the cumulative user base. New-user attribution is one
+    // per-user min (map-side combinable); the running sum's window
+    // input is the DAYS dimension — already aggregated,
+    // calendar-bounded (3.7k rows per decade) — so the partition-less
+    // frame is scale-safe by construction: corpus size changes the
+    // numbers in each row, never the row count the window sorts.
+    // (Contrast win_pctrank, whose global-rank input IS the corpus —
+    // there the house rule bans exactly this frame.)
+    Q("evt_cum_users",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id
+        |), newu AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        |)
+        |SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
+        |       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM dau d LEFT JOIN newu n ON n.day = d.day
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("day"))
+      val newu = first.groupBy("day").agg(count(lit(1)).as("new_users"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(newu, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day")
+    },
+
     // ── winsorized statistics (outlier-robust feature prep) ────────────
 
     // Mean after clamping to the per-group [p05, p95] band — the

@@ -38,4 +38,24 @@ class AnalyticsSpec extends SparkSuite {
       (r.getLong(2), opt(r, 3), opt(r, 4), opt(r, 5))).toMap
     assert(got == want, s"got ${got.size} purchases, want ${want.size}")
   }
+
+  test("evt_cum_users: growth-curve invariants hold on sf0.001") {
+    val rows = SparkEntry.queries("evt_cum_users")(spark, SparkSuite.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // cumulative = running Σ new_users, monotone non-decreasing,
+    // dau never exceeds the base seen so far, and the final value is
+    // the corpus-wide distinct-user count
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(2)
+      assert(r.getLong(3) == run, s"cum != running sum on ${r.getDate(0)}")
+      assert(r.getLong(1) <= run, "dau exceeds cumulative base")
+    }
+    val total = Tables.events(spark, SparkSuite.Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(3) == total)
+    // day 1: everyone active is new
+    assert(rows.head.getLong(1) == rows.head.getLong(2))
+  }
 }
