@@ -1028,6 +1028,52 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── bigram novelty (memorization / templating screen) ──────────────
+
+    // Per doc: how much of its bigram-type set is CORPUS-UNIQUE
+    // (df = 1)? The two tails are the signal — novel_pct near 100 is
+    // fresh-or-garbage text nothing else shares; near 0 is templated /
+    // duplicated boilerplate (the memorization-risk screen run before
+    // a corpus ships). Exact integer novel_pct ((100·unique) div
+    // types) and an exact-sum mean_df with ONE final double division.
+    // Scale shape: distinct (doc, bigram) → map-combinable df agg →
+    // bigram-keyed join back → one doc agg. Same plan family as
+    // txt_tfidf/txt_source_overlap; work scales with token count,
+    // never docs².
+    Q("txt_bigram_novelty",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS sx
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 2
+         |), df AS (
+         |  SELECT sx, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sx
+         |)
+         |SELECT s.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_types,
+         |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_unique,
+         |       CAST((100 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END))
+         |         // COUNT(*) AS BIGINT) AS novel_pct,
+         |       CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df
+         |FROM sh s JOIN df d ON d.sx = s.sx
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val sh = base.select(col("doc_id"),
+        explode(bigrams(col("t"))).as("sx")).distinct()
+      val df = sh.groupBy("sx").agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("sx"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_types"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(col("df")).as("sum_df"))
+        .select(col("doc_id"), col("n_types"), col("n_unique"),
+          expr("(100 * n_unique) div n_types").as("novel_pct"),
+          (col("sum_df").cast("double") / col("n_types")).as("mean_df"))
+        .orderBy("doc_id")
+    },
+
     // ── PII-shaped masking (numeric redaction) ─────────────────────────
 
     // Scrub digit runs from free-text payloads before they enter a

@@ -206,6 +206,29 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("txt_bigram_novelty ≡ in-JVM brute force on sf0.001") {
+    val out = SparkEntry.queries("txt_bigram_novelty")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq)
+    val types = docs.map { case (id, t) =>
+      id -> t.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet }.toMap
+    val df = types.values.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = types.collect { case (id, tp) if tp.nonEmpty =>
+      val uniq = tp.count(df(_) == 1).toLong
+      val sumDf = tp.toSeq.map(df).sum
+      id -> (tp.size.toLong, uniq, (100 * uniq) / tp.size,
+        sumDf.toDouble / tp.size)
+    }
+    assert(out == want, s"got ${out.size} docs, want ${want.size}")
+  }
+
   test("gopherRules: each rule rejects exactly its planted violation") {
     val sp = spark
     import sp.implicits._
