@@ -263,6 +263,56 @@ object Graph {
       .select(col("src").as("id"), col("deg"))
   }
 
+  /** Per-edge triangle support of a canonical (src < dst) edge list:
+    * triangles enumerated once in x<y<z orientation (2-path + closing
+    * edge, the graph_triangles kernel), then each triangle credits its
+    * 3 edges. */
+  private def support(e: DataFrame): DataFrame = {
+    val tri = e.select(col("src").as("x"), col("dst").as("y"))
+      .join(e.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      .join(e.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+    tri.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(tri.select(col("y").as("src"), col("z").as("dst")))
+      .unionByName(tri.select(col("x").as("src"), col("z").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss of a canonical undirected edge list: repeatedly delete
+    * edges in fewer than k−2 triangles (each deletion can strip its
+    * neighbors' triangles, so peel to a fixpoint). The cohesion
+    * screen one notch stronger than [[kcore]] — membership needs
+    * TRIANGLES through an edge, not mere degree, so loosely-attached
+    * hubs that survive a core peel fall out of the truss. Each round
+    * is one triangle enumeration (two equi-joins) + one support agg +
+    * one edge semi-filter; zero-support edges drop via the inner join
+    * (k ≥ 3 ⇒ threshold ≥ 1). Same convergence contract as kcore:
+    * refuses a mid-peel state. Returns surviving edges with in-truss
+    * support. At corpus scale the triangle join is the Σ deg² term —
+    * the degree-ordered orientation (graph_triangles' note) bounds it;
+    * the peel only shrinks the edge set, so round cost is monotone
+    * non-increasing. */
+  def ktruss(edges: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    var s = edges.select("src", "dst").distinct().localCheckpoint()
+    var n = s.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = s.join(support(s), Seq("src", "dst"))
+        .filter(col("sup") >= k - 2)
+        .select("src", "dst")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      s = next; n = m; iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ktruss(k=$k) did not converge in $maxIter rounds")
+    s.join(support(s), Seq("src", "dst"))
+      .select(col("src"), col("dst"), col("sup"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Cluster the MinHash-banded candidate pairs of the near-clone
@@ -511,6 +561,66 @@ object Graph {
         .filter(col("src") < col("dst"))
         .select("src", "dst").distinct()
       kcore(e, k = 16).orderBy("id")
+    },
+
+    // ── k-truss decomposition (5-truss of the co-purchase graph) ───────
+
+    // The cohesion screen one notch past graph_kcore: an edge stays
+    // only while ≥ k−2 triangles run through it INSIDE the survivor
+    // set, so loosely-attached hubs that pass a degree peel fall out
+    // (spam rings and scraped link farms fake degree easily, triangles
+    // expensively). k=5 makes the sf0.01 peel genuinely recursive —
+    // 6 rounds to fixpoint, 251 of 4 665 edges survive, where a
+    // one-shot support filter would keep 1 729. Oracle: 8 unrolled
+    // MATERIALIZED CTE rounds (the graph_kcore precedent — converged
+    // fixpoint makes trailing rounds no-ops), each round re-deriving
+    // triangles and support from the previous survivor set; GraphSpec
+    // brute-forces the peel in-JVM and pins the refusal contract.
+    Q("graph_ktruss", {
+      val rounds = (1 to 8).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT a.src AS x, a.dst AS y, c.dst AS z
+           |  FROM s${i - 1} a JOIN s${i - 1} b ON b.src = a.dst
+           |  JOIN s${i - 1} c ON c.src = a.src AND c.dst = b.dst
+           |), s$i AS MATERIALIZED (
+           |  SELECT s.src, s.dst FROM s${i - 1} s JOIN (
+           |    SELECT src, dst, COUNT(*) AS sup FROM (
+           |      SELECT x AS src, y AS dst FROM t$i
+           |      UNION ALL SELECT y, z FROM t$i
+           |      UNION ALL SELECT x, z FROM t$i) q
+           |    GROUP BY src, dst) u
+           |  ON u.src = s.src AND u.dst = s.dst AND u.sup >= 3
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+         |), s0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e),
+         |$rounds,
+         |tf AS MATERIALIZED (
+         |  SELECT a.src AS x, a.dst AS y, c.dst AS z
+         |  FROM s8 a JOIN s8 b ON b.src = a.dst
+         |  JOIN s8 c ON c.src = a.src AND c.dst = b.dst
+         |)
+         |SELECT s.src, s.dst, CAST(u.sup AS BIGINT) AS sup
+         |FROM s8 s JOIN (
+         |  SELECT src, dst, COUNT(*) AS sup FROM (
+         |    SELECT x AS src, y AS dst FROM tf
+         |    UNION ALL SELECT y, z FROM tf
+         |    UNION ALL SELECT x, z FROM tf) q
+         |  GROUP BY src, dst) u
+         |ON u.src = s.src AND u.dst = s.dst
+         |ORDER BY s.src, s.dst""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      ktruss(e, k = 5).orderBy("src", "dst")
     },
 
     // ── neighborhood-Jaccard link prediction ───────────────────────────

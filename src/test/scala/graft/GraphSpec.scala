@@ -189,6 +189,61 @@ class GraphSpec extends SparkSuite {
     assert(out == want, s"got ${out.size} core nodes, want ${want.size}")
   }
 
+  test("ktruss: support cascade peels the bridge edge, K5 survives") {
+    val sp = spark
+    import sp.implicits._
+    // K5 (ids 1-5, every edge in 3 triangles) + two triangles sharing
+    // edge (6,7): round 1 of k=4 peels the four sup-1 edges, which
+    // strips BOTH triangles off (6,7) — it only falls in round 2 (the
+    // cascade a one-shot support filter misses). K5 must survive with
+    // in-truss supports intact.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val tris = Seq((5L, 6L), (5L, 7L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val got = Graph.ktruss((k5 ++ tris).toDF("src", "dst"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == k5.map(_ -> 3L).toMap)
+    // a triangle-free remainder converges to the empty truss
+    val empty = Graph.ktruss(tris.toDF("src", "dst"), k = 5).collect()
+    assert(empty.isEmpty)
+    // under-budgeted peel refuses instead of returning a mid-peel state
+    val ladder = (1L to 10L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .filter(_._2 <= 12L)
+    val err = intercept[IllegalStateException] {
+      Graph.ktruss(ladder.toDF("src", "dst"), k = 4, maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("ktruss"))
+  }
+
+  test("graph_ktruss ≡ brute-force peel on sf0.001") {
+    val out = SparkEntry.queries("graph_ktruss")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    def sup(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      es.map(e => e ->
+        (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    var changed = true
+    while (changed) {
+      val s = sup(edges)
+      val next = edges.filter(s(_) >= 3L)
+      changed = next.size != edges.size
+      edges = next
+    }
+    val want = sup(edges)
+    assert(out == want, s"got ${out.size} edges, want ${want.size}")
+  }
+
   test("graph_jaccard_neighbors ≡ brute-force neighbor sets on sf0.001") {
     val out = SparkEntry.queries("graph_jaccard_neighbors")(
       spark, SparkSuite.Sf0001).collect()
