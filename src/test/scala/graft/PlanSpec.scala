@@ -253,4 +253,28 @@ class PlanSpec extends SparkSuite {
     assert(aggs.exists(l => l.contains("event_type") && l.contains("__salt")),
       s"no per-salt partial aggregate:\n${aggs.mkString("\n")}")
   }
+
+  test("txt_gopher_rules: the whole gate rides the scan (no mid-plan " +
+      "exchange, no join)") {
+    // the quality gate is per-row flag math — at 100 TB it must stream
+    // through the scan in one codegen span; the only exchange allowed
+    // is the final presentation orderBy's range partitioning
+    val p = plan("txt_gopher_rules")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"gate shuffles before the output sort:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Join"), "the per-row gate grew a join:\n" + p.take(800))
+  }
+
+  test("txt_bigram_novelty / join_asof_tol: no cartesian anywhere; the " +
+      "tolerance as-of keeps the kernel's zero-join shape") {
+    val nov = plan("txt_bigram_novelty")
+    assert(!nov.contains("CartesianProduct") &&
+      !nov.contains("BroadcastNestedLoopJoin"), nov.take(1200))
+    // the staleness bound is a null-out expression on the carried
+    // columns — it must not re-plan the as-of into a real join
+    val tol = plan("join_asof_tol")
+    assert(!tol.contains("SortMergeJoin") && !tol.contains("HashJoin"),
+      s"tolerance turned the as-of into a join:\n${tol.take(1200)}")
+  }
 }
