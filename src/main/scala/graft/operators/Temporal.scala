@@ -548,6 +548,141 @@ object Temporal {
           lead("us", 1).over(wVer).as("valid_to_us"))
         .withColumn("is_current", col("valid_to_us").isNull)
         .orderBy("user_id", "version")
+    },
+
+    // ── CDC apply: fold a changelog into the current snapshot ──────────
+
+    // The lakehouse MERGE staple: a key's current row is decided by the
+    // LAST changelog op — upserts ('U') replace the row, deletes ('D',
+    // here `event_type = 'error'`) remove the key. The oracle plays the
+    // warehouse's incremental form honestly: a base snapshot as of a
+    // cutoff, FULL OUTER JOIN with the post-cutoff changelog's latest
+    // op per key, CASE per merge branch. The Spark side is the form
+    // that actually scales when the full log is on hand: ONE window
+    // fold over the whole log (latest op wins, deletes filtered) — a
+    // per-batch MERGE loop would shuffle the snapshot once PER BATCH,
+    // the log-fold shuffles everything exactly once. (The incremental
+    // per-batch sink form is snk_merge; the streaming form is
+    // IdempotentSink.) Tie-break is the full serialized tuple (parity
+    // rule 8: event ids are not unique in this data).
+    Q("cdc_apply",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), base AS (
+        |  SELECT user_id, state, val, us FROM (
+        |    SELECT user_id, event_type AS state, value AS val, us,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us DESC, event_id DESC, event_type DESC,
+        |                      value DESC) AS rn
+        |    FROM ev WHERE us < 1706572800000000) x
+        |  WHERE rn = 1 AND state <> 'error'
+        |), chg AS (
+        |  SELECT user_id, state, val, us, op FROM (
+        |    SELECT user_id, event_type AS state, value AS val, us,
+        |           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us DESC, event_id DESC, event_type DESC,
+        |                      value DESC) AS rn
+        |    FROM ev WHERE us >= 1706572800000000) x
+        |  WHERE rn = 1
+        |)
+        |SELECT CASE WHEN c.user_id IS NOT NULL THEN c.user_id
+        |            ELSE b.user_id END AS user_id,
+        |       CASE WHEN c.user_id IS NOT NULL THEN c.state
+        |            ELSE b.state END AS state,
+        |       CASE WHEN c.user_id IS NOT NULL THEN c.val
+        |            ELSE b.val END AS val,
+        |       CASE WHEN c.user_id IS NOT NULL THEN c.us
+        |            ELSE b.us END AS updated_us,
+        |       c.user_id IS NOT NULL AS from_changelog
+        |FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+        |WHERE c.op IS NULL OR c.op = 'U'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val cut = 1706572800000000L // 2024-01-30T00:00:00Z — late cutoff: leaves base-only,
+      // deleted, re-inserted, and updated keys all populated (sf0.01:
+      // 17 / 27 / 21 / rest)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc,
+          col("event_type").desc, col("value").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("value").as("val"), col("us").as("updated_us"),
+          (col("us") >= cut).as("from_changelog"))
+        .orderBy("user_id")
+    },
+
+    // ── SCD2 point-in-time snapshot: state table at each day close ─────
+
+    // Reconstruct the daily snapshot a consumer would have read at the
+    // close of every day, from the scd2_history change points — the
+    // point-in-time feature-table read that makes offline training
+    // match online serving (no future leakage: the as-of match is
+    // backward-inclusive). Composition, not new machinery: the probe
+    // grid (user × day-end, bounded by span × keys like ts_gapfill)
+    // feeds the one-shuffle asOf kernel; the oracle is an independent
+    // interval-containment join against the lead-closed validity
+    // ranges. Same-timestamp change ties pre-aggregate to the version
+    // that scd2_history's (us, event_type) order publishes last, so
+    // snapshot ≡ "read the interval containing the probe" on that
+    // table, and the asOf right side is provably unique
+    // (assertUniqueRight raises in-plan otherwise).
+    Q("scd2_snapshot",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_type
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, us, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |              ORDER BY us, event_id, event_type) AS prev
+        |  FROM ev
+        |), chg AS (
+        |  SELECT user_id, us, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev
+        |), pts AS (
+        |  SELECT user_id, us, MAX(event_type) AS state
+        |  FROM chg GROUP BY user_id, us
+        |), r AS (
+        |  SELECT user_id, us, state,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us) AS to_us
+        |  FROM pts
+        |), grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(min(us // 86400000000),
+        |                                max(us // 86400000000))) AS day
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day, r.state, r.us AS since_us
+        |FROM grid g JOIN r ON g.user_id = r.user_id
+        |  AND r.us <= (g.day + 1) * 86400000000 - 1
+        |  AND ((g.day + 1) * 86400000000 - 1 < r.to_us OR r.to_us IS NULL)
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"), col("event_type"))
+      val pts = e
+        .withColumn("prev", lag("event_type", 1).over(wOrd))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        // same-us ties collapse to the row the scd2_history version
+        // order (us, event_type) sorts last — max is that argmax
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_type")).as("state"))
+      val grid = e
+        .groupBy("user_id")
+        .agg(min(expr(s"us div ${DayUs}L")).as("d0"),
+          max(expr(s"us div ${DayUs}L")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .withColumn("us", (col("day") + 1) * lit(DayUs) - 1)
+      asOf(grid, pts, Seq("user_id"), "us", Seq("state"),
+          assertUniqueRight = true)
+        .select(col("user_id"), col("day"),
+          col("asof_state").as("state"), col("asof_us").as("since_us"))
+        .orderBy("user_id", "day")
     }
   )
 }
