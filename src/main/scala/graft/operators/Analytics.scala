@@ -922,6 +922,116 @@ object Analytics {
             .otherwise("update").as("action"),
           coalesce(col("uprice"), col("tprice")).as("price"))
         .orderBy("k")
+    },
+
+    // ── categorical drift audit: train epoch vs serve epoch ────────────
+
+    // The data-drift monitor that gates a model retrain or a training-
+    // data refresh: per audited column, how far each category's share
+    // moved between two epochs. Everything stays in EXACT integer space
+    // — the per-category shift is |cnt_a·tot_b − cnt_b·tot_a| ppm,
+    // cross-multiplied so no float share division ever happens (the
+    // house rule from txt_zipf_rank: cross-multiply, don't divide), and
+    // integer `div` floors identically in both engines. Scale shape:
+    // ONE scan of the fact (the audited columns unpivot via a per-row
+    // explode bounded by the audit list, not a scan per column), counts
+    // map-side combine to |columns| × |vocab| rows, epoch totals join
+    // back as a broadcast. At 100 TB the only full-corpus work is the
+    // scan itself; everything after is vocabulary-sized. A spec pins
+    // TVD/2 reassembly from the matrix and the all-categories-sum
+    // invariant.
+    Q("chk_drift",
+      """WITH src AS (
+        |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS category,
+        |         o_orderdate < TIMESTAMP '1998-01-01' AS in_a
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus,
+        |         o_orderdate < TIMESTAMP '1998-01-01'
+        |  FROM orders
+        |), c AS (
+        |  SELECT col_name, category,
+        |         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+        |         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM src GROUP BY col_name, category
+        |), t AS (
+        |  SELECT col_name, SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b
+        |  FROM c GROUP BY col_name
+        |)
+        |SELECT c.col_name, c.category,
+        |       CAST(c.cnt_a AS BIGINT) AS cnt_a,
+        |       CAST(c.cnt_b AS BIGINT) AS cnt_b,
+        |       CAST(ABS(c.cnt_a * t.tot_b - c.cnt_b * t.tot_a) * 1000000
+        |            // (t.tot_a * t.tot_b) AS BIGINT) AS shift_ppm
+        |FROM c JOIN t USING (col_name)
+        |ORDER BY col_name, category""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val src = o.select(
+          (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .as("in_a"),
+          explode(array(
+            struct(lit("o_orderpriority").as("col_name"),
+              col("o_orderpriority").as("category")),
+            struct(lit("o_orderstatus").as("col_name"),
+              col("o_orderstatus").as("category")))).as("kv"))
+        .select(col("kv.col_name").as("col_name"),
+          col("kv.category").as("category"), col("in_a"))
+      val c = src.groupBy("col_name", "category")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
+      val t = c.groupBy("col_name")
+        .agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+      c.join(broadcast(t), "col_name")
+        .select(col("col_name"), col("category"), col("cnt_a"), col("cnt_b"),
+          expr("abs(cnt_a * tot_b - cnt_b * tot_a) * 1000000" +
+            " div (tot_a * tot_b)").as("shift_ppm"))
+        .orderBy("col_name", "category")
+    },
+
+    // ── 3-step path mining: the sequences users actually walk ──────────
+
+    // One order past evt_markov's transition matrix: counts of every
+    // CONSECUTIVE 3-step event-type path per user stream — the path
+    // analysis behind "how do users actually reach purchase?". Two
+    // leads in the SAME user window (one user_id shuffle, shared by
+    // both lead frames), then a map-side-combined count into a
+    // |types|³-bounded matrix; the probability normalization divides
+    // integer-fed doubles over the tiny aggregate (evt_markov parity
+    // precedent). Window order carries the full (us, event_id,
+    // event_type) tie-break — rule 8, ids are not unique.
+    Q("evt_path3",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id, event_type) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id, event_type) AS e3
+        |  FROM e
+        |), m AS (
+        |  SELECT e1, e2, e3, COUNT(*) AS n FROM b
+        |  WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+        |)
+        |SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
+        |       CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+        |FROM m ORDER BY e1, e2, e3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "event_type")
+      val m = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+      m.select(col("e1"), col("e2"), col("e3"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy())).as("share"))
+        .orderBy("e1", "e2", "e3")
     }
   )
 }

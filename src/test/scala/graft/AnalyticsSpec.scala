@@ -58,4 +58,61 @@ class AnalyticsSpec extends SparkSuite {
     // day 1: everyone active is new
     assert(rows.head.getLong(1) == rows.head.getLong(2))
   }
+
+  test("chk_drift: counts replay exactly, epochs balance, and the " +
+      "matrix reassembles a per-column TVD") {
+    val m = SparkEntry.queries("chk_drift")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.nonEmpty)
+    val orders = Tables.orders(spark, SparkSuite.Sf0001)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .as("in_a"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val byCol = m.groupBy(_._1)
+    assert(byCol.keySet == Set("o_orderpriority", "o_orderstatus"))
+    byCol.foreach { case (cn, rows) =>
+      val pick: ((String, String, Boolean)) => String =
+        if (cn == "o_orderpriority") _._1 else _._2
+      // counts replay exactly from the raw table
+      rows.foreach { case (_, cat, ca, cb, _) =>
+        assert(ca == orders.count(o => pick(o) == cat && o._3), s"$cn/$cat a")
+        assert(cb == orders.count(o => pick(o) == cat && !o._3), s"$cn/$cat b")
+      }
+      // every order lands in exactly one category per column
+      val (totA, totB) = (rows.map(_._3).sum, rows.map(_._4).sum)
+      assert(totA + totB == orders.length)
+      // matrix → TVD: Σ shift_ppm / 2, within the per-row floor error
+      val tvdPpm = rows.map { case (_, _, ca, cb, _) =>
+        math.abs(ca * totB - cb * totA) * 1000000.0 / (totA.toDouble * totB)
+      }.sum / 2
+      val fromMatrix = rows.map(_._5).sum / 2.0
+      assert(math.abs(fromMatrix - tvdPpm) <= rows.length,
+        s"$cn: TVD $fromMatrix vs exact $tvdPpm")
+    }
+  }
+
+  test("evt_path3: trigram counts replay the per-user streams and " +
+      "shares sum to one") {
+    val got = SparkEntry.queries("evt_path3")(spark, SparkSuite.Sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3, r._4)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(g => g._1 -> g._2).toMap == want)
+    // n-consistency: Σ n = Σ_user max(0, events − 2)
+    val expectTotal = ev.groupBy(_._1).values
+      .map(r => math.max(0, r.size - 2).toLong).sum
+    assert(got.map(_._2).sum == expectTotal)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+  }
 }
