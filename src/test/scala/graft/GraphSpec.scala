@@ -270,4 +270,46 @@ class GraphSpec extends SparkSuite {
       (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
+
+  test("graph_reach ≡ brute-force BFS on sf0.001, and adjacent " +
+      "distances never differ by more than one hop") {
+    val out = SparkEntry.queries("graph_reach")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    // independent reference: weighted co-purchase edges (≥ 2 distinct
+    // orders), then a queue BFS from the same seed set
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NOT `w.collect { case (e, n) if n >= 2 => e }.toSet`: collect on
+    // a Map whose result elements are pairs rebuilds a MAP, silently
+    // collapsing all edges that share a first endpoint
+    val edges: Set[(Long, Long)] = w.filter(_._2 >= 2).keySet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ < 20)
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)
+    var frontier = seeds
+    var hop = 0
+    while (frontier.nonEmpty && hop < 8) {
+      hop += 1
+      frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+      frontier.foreach(dist(_) = hop)
+    }
+    assert(out == dist.toMap, s"got ${out.size} nodes, want ${dist.size}")
+    // BFS distance is a metric on the reached set: across any edge the
+    // ring index moves by at most 1
+    edges.foreach { case (a, b) =>
+      (out.get(a), out.get(b)) match {
+        case (Some(da), Some(db)) => assert(math.abs(da - db) <= 1,
+          s"edge ($a,$b): dist $da vs $db")
+        case _ => ()
+      }
+    }
+  }
 }
