@@ -1032,6 +1032,92 @@ object Analytics {
           (col("n").cast("double") /
             sum(col("n")).over(Window.partitionBy())).as("share"))
         .orderBy("e1", "e2", "e3")
+    },
+
+    // ── robust anomaly flags: median/MAD instead of mean/σ ─────────────
+
+    // The robust twin of ts_anomaly: a day is anomalous when its daily
+    // total deviates from the per-type MEDIAN by more than 2 × 1.4826 ×
+    // MAD (the consistency-scaled median absolute deviation). Unlike
+    // the z-score, one genuinely broken day cannot drag the baseline
+    // toward itself — median and MAD have a 50% breakdown point, which
+    // is why data-quality monitors prefer them. Bit-exact across
+    // engines with NO decimal division anywhere: both medians are kept
+    // DOUBLED (med2 = lo+hi of the middle order stats; mad2 = the same
+    // over |2x − med2|, so mad2 = 4·MAD), and the flag cross-multiplies
+    // — dev > 2·1.4826·MAD ⇔ 10000·dev2 > 14826·mad2 — in exact
+    // decimal. Two rank windows partitioned by event_type over the
+    // DAILY aggregate (bounded by span × types, never event count);
+    // the same group-skew note as agg_median applies if types are few
+    // and the calendar is corpus-scale.
+    Q("evt_mad_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY x, day) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type,
+        |         SUM(x) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END) AS med2
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY event_type
+        |), d2 AS (
+        |  SELECT r1.event_type, r1.day, r1.x, m.med2,
+        |         ABS(2 * r1.x - m.med2) AS dev2
+        |  FROM r1 JOIN m USING (event_type)
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY dev2, day) AS rn2,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n2
+        |  FROM d2
+        |), mm AS (
+        |  SELECT event_type,
+        |         SUM(dev2) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END) AS mad2
+        |  FROM r2 WHERE rn2 = (n2 + 1) // 2 OR rn2 = (n2 + 2) // 2
+        |  GROUP BY event_type
+        |)
+        |SELECT d2.event_type, d2.day,
+        |       CAST(d2.x AS DOUBLE) AS v,
+        |       CAST(d2.med2 AS DOUBLE) / 2 AS med,
+        |       CAST(mm.mad2 AS DOUBLE) / 4 AS mad,
+        |       10000 * d2.dev2 > 14826 * mm.mad2 AS is_anomaly
+        |FROM d2 JOIN mm USING (event_type)
+        |ORDER BY d2.event_type, d2.day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value").cast(DecimalType(10, 4)).as("v"))
+        .groupBy("event_type", "day").agg(sum("v").as("x"))
+      def med2Of(df: org.apache.spark.sql.DataFrame, v: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val wRank = Window.partitionBy("event_type").orderBy(col(v), col("day"))
+        val wN = Window.partitionBy("event_type")
+        df.withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
+          .groupBy("event_type")
+          .agg((sum(col(v)) *
+            when(count(lit(1)) === 1, 2).otherwise(1)).as(out))
+      }
+      val d2 = daily
+        .join(broadcast(med2Of(daily, "x", "med2")), Seq("event_type"))
+        .withColumn("dev2", abs(lit(2) * col("x") - col("med2")))
+      val mm = med2Of(d2, "dev2", "mad2")
+      d2.join(broadcast(mm), Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          col("x").cast("double").as("v"),
+          (col("med2").cast("double") / 2).as("med"),
+          (col("mad2").cast("double") / 4).as("mad"),
+          (lit(10000) * col("dev2") > lit(14826) * col("mad2"))
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
     }
   )
 }

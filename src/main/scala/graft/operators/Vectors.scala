@@ -785,6 +785,67 @@ object Vectors {
         .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
           (col("x").cast("double") / col("nrm16")).as("v"))
         .orderBy("vec_id", "dim")
+    },
+
+    // ── embedding centroid drift: the vector twin of chk_drift ─────────
+
+    // Did the embedding distribution MOVE between two corpus epochs?
+    // Per (label, dimension): exact integer epoch sums of the
+    // milli-quantized coordinate (float→double widening is exact,
+    // ×1000 is one correctly-rounded op in both engines, floor is
+    // exact — so the BIGINT sums are association-order-free and
+    // hash-oracle-able, where a float centroid mean never is), plus
+    // the centroid shift |mean_a − mean_b| in milli-units via the
+    // cross-multiplied form. ABS before the integer division: Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, so a
+    // SIGNED quotient would disagree on negative shifts — magnitude
+    // divides, a separate sign column carries direction. One scan,
+    // one |labels|×|dims| map-side-combined aggregate; the epoch here
+    // is a deterministic vec_id parity split standing in for the
+    // time-window split a production monitor uses.
+    Q("vec_drift",
+      s"""WITH x AS (
+         |  SELECT label, vec_id % 2 = 0 AS in_a, i AS dim,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+         |              AS BIGINT) AS m
+         |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |), c AS (
+         |  SELECT label, dim,
+         |         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+         |         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b,
+         |         SUM(CASE WHEN in_a THEN m ELSE 0 END) AS sum_a,
+         |         SUM(CASE WHEN in_a THEN 0 ELSE m END) AS sum_b
+         |  FROM x GROUP BY label, dim
+         |)
+         |SELECT label, CAST(dim AS INTEGER) AS dim,
+         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CAST(sum_a AS BIGINT) AS sum_a,
+         |       CAST(sum_b AS BIGINT) AS sum_b,
+         |       CAST(ABS(sum_a * n_b - sum_b * n_a) // (n_a * n_b)
+         |            AS BIGINT) AS shift_milli,
+         |       CAST(CASE WHEN sum_a * n_b > sum_b * n_a THEN 1
+         |                 WHEN sum_a * n_b < sum_b * n_a THEN -1
+         |                 ELSE 0 END AS INTEGER) AS sign
+         |FROM c ORDER BY label, dim""".stripMargin) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("in_a"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("label"), col("in_a"),
+          (col("p") + 1).cast("int").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("m"))
+      x.groupBy("label", "dim")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"),
+          sum(when(col("in_a"), col("m")).otherwise(0L)).as("sum_a"),
+          sum(when(col("in_a"), 0L).otherwise(col("m"))).as("sum_b"))
+        .select(col("label"), col("dim"), col("n_a"), col("n_b"),
+          col("sum_a"), col("sum_b"),
+          expr("abs(sum_a * n_b - sum_b * n_a) div (n_a * n_b)")
+            .as("shift_milli"),
+          when(col("sum_a") * col("n_b") > col("sum_b") * col("n_a"), 1)
+            .when(col("sum_a") * col("n_b") < col("sum_b") * col("n_a"), -1)
+            .otherwise(0).cast("int").as("sign"))
+        .orderBy("label", "dim")
     }
   )
 }

@@ -115,4 +115,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.map(_._2).sum == expectTotal)
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
   }
+
+  test("evt_mad_anomaly: med/mad are the group's order statistics and " +
+      "flags match the 2×1.4826 cutoff") {
+    val out = SparkEntry.queries("evt_mad_anomaly")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    val eps = 1e-6
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        (s((s.length - 1) / 2) + s(s.length / 2)) / 2
+      }
+      val med = median(rows.map(_._3).toSeq)
+      val mad = median(rows.map(r => math.abs(r._3 - med)).toSeq)
+      // one med/mad per group, equal to the double recomputation
+      assert(rows.forall(r => math.abs(r._4 - med) < eps), s"$t median")
+      assert(rows.forall(r => math.abs(r._5 - mad) < eps), s"$t mad")
+      // flags agree with the cutoff away from the boundary
+      val cut = 2 * 1.4826 * mad
+      rows.foreach { case (_, day, v, _, _, flagged) =>
+        val dev = math.abs(v - med)
+        if (math.abs(dev - cut) > eps)
+          assert(flagged == (dev > cut), s"$t day $day: dev $dev cut $cut")
+      }
+      // robustness: the flagged tail is a small minority, never half
+      // the calendar (median/MAD have a 50% breakdown point)
+      assert(rows.count(_._6) * 2 < rows.length, s"$t over-flags")
+    }
+    // the fixture genuinely trips the detector somewhere
+    assert(out.exists(_._6))
+  }
 }

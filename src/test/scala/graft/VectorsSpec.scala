@@ -125,4 +125,29 @@ class VectorsSpec extends SparkSuite {
       assert(ds.sliding(2).forall(p => p(0) <= p(1)), "ADC not sorted")
     }
   }
+
+  test("vec_drift ≡ in-JVM milli-quantized epoch sums, every row") {
+    val got = SparkEntry.queries("vec_drift")(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toMap
+    assert(got.size == 10 * Vectors.Dim)
+    val raw = Tables.embeddings(spark, Sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    val want = raw.flatMap { case (id, lbl, emb) =>
+      emb.zipWithIndex.map { case (x, p) =>
+        ((lbl, p + 1), id % 2 == 0, math.floor(x.toDouble * 1000).toLong)
+      }
+    }.groupBy(_._1).map { case (k, rows) =>
+      val (a, b) = rows.partition(_._2)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val (sa, sb) = (a.map(_._3).sum, b.map(_._3).sum)
+      val diff = sa * nb - sb * na
+      k -> (na, nb, sa, sb, math.abs(diff) / (na * nb),
+        java.lang.Long.signum(diff))
+    }
+    assert(got == want)
+    // the parity split must be a real split everywhere
+    assert(got.values.forall(v => v._1 > 0 && v._2 > 0))
+  }
 }
