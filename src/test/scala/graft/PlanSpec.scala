@@ -277,4 +277,51 @@ class PlanSpec extends SparkSuite {
     assert(!tol.contains("SortMergeJoin") && !tol.contains("HashJoin"),
       s"tolerance turned the as-of into a join:\n${tol.take(1200)}")
   }
+
+  test("cdc_apply: one window fold, no join (the log-fold form)") {
+    val p = plan("cdc_apply")
+    assert(!p.contains("Join"),
+      "cdc_apply must fold the log in one window, not join snapshots:\n" +
+        p.take(800))
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("scd2_snapshot: asOf kernel keeps its zero-join shape under " +
+      "the probe-grid composition") {
+    // the grid explode + change-point pre-agg must not push Catalyst
+    // into planning the as-of as an inequality join
+    val p = plan("scd2_snapshot")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("chk_drift / evt_mad_anomaly: tiny group stats broadcast back " +
+      "into the matrix") {
+    // epoch totals (chk_drift) and med/mad (evt_mad_anomaly) are
+    // vocabulary-sized aggregates: re-joining them through a shuffle
+    // would serialize the whole fact through a 3-row exchange
+    for (q <- Seq("chk_drift", "evt_mad_anomaly")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(800))
+      assert(!p.contains("SortMergeJoin"), s"$q shuffle-joins its stats")
+    }
+  }
+
+  test("evt_path3: both leads share one user window; no self-join") {
+    val p = plan("evt_path3")
+    assert(!p.contains("Join"), "path mining must not self-join:\n" +
+      p.take(800))
+    // both lead frames ride ONE user-keyed Window node (the share
+    // normalization adds a second, over the 125-row aggregate)
+    assert(p.linesIterator.count(_.contains("lead(event_type")) == 1,
+      p.linesIterator.filter(_.contains("lead(")).mkString("\n"))
+  }
+
+  test("vec_drift: single map-side-combined aggregate, no shuffle " +
+      "before the label/dim matrix") {
+    val p = plan("vec_drift")
+    assert(!p.contains("Join"), p.take(800))
+    // one partial + one final hash aggregate pair over the explode
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
 }
