@@ -1499,6 +1499,147 @@ object TextOps {
             < col("thr"))
         .select(col("doc_id"), col("lang"), col("r").as("rate"))
         .orderBy("doc_id")
+    },
+
+    // ── LSH-Ensemble containment search: quote → host documents ────────
+
+    // The executable form of the scale note dedup_containment records:
+    // Jaccard-tuned banding cannot serve a SHORT query contained in a
+    // MUCH longer document (C ≈ 1 while J ≈ |q|/|d| is tiny), and the
+    // published answer is size-partitioned banding (LSH Ensemble,
+    // VLDB'16) — partition the corpus by set size, tune each
+    // partition's banding to the J lower bound containment implies
+    // THERE, and let every query probe every partition. Here: 30-token
+    // quote prefixes probe documents split into three shingle-count
+    // bands; the small-doc band (where the implied J is high) uses
+    // r=2 bands of 2 rows, the larger bands degrade to r=1 (4
+    // single-hash keys — more candidates, the price of a looser J
+    // bound), and the exact directed gate 5·I ≥ 4·|S(q)| re-proves
+    // every candidate. Same salted-min-md5 signature family and
+    // term-for-term oracle mirror as the MinHash dedup family; quote
+    // probes fan out ×(bands · keys) — a constant — and every join is
+    // a (band, key) equi-join, so the plan scales with candidate
+    // co-occupancy exactly like the Jaccard banding. The spec pins
+    // quote→own-document recall and candidate-set sanity.
+    Q("sim_containment_lsh", {
+      val sigsD = (0 until 4).map(k =>
+        s"min(md5(concat('es$k#', s))) AS h$k").mkString(", ")
+      s"""WITH td AS (
+         |  SELECT doc_id, ${bigramsSql("t")} AS sh
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 2
+         |), tq AS (
+         |  SELECT qid, ${bigramsSql("t")} AS sh
+         |  FROM (SELECT doc_id AS qid, ($toksSql)[1:30] AS t
+         |        FROM documents WHERE doc_id < 50) x
+         |  WHERE len(t) >= 2
+         |), ed AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM td
+         |), eq AS (
+         |  SELECT DISTINCT qid, unnest(sh) AS s FROM tq
+         |), szd AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM ed GROUP BY doc_id
+         |), szq AS (
+         |  SELECT qid, COUNT(*) AS n FROM eq GROUP BY qid
+         |), sigd AS (
+         |  SELECT ed.doc_id, $sigsD,
+         |         CASE WHEN MIN(szd.n) < 32 THEN 0
+         |              WHEN MIN(szd.n) < 64 THEN 1 ELSE 2 END AS band
+         |  FROM ed JOIN szd ON ed.doc_id = szd.doc_id
+         |  GROUP BY ed.doc_id
+         |), sigq AS (
+         |  SELECT qid, ${(0 until 4).map(k =>
+             s"min(md5(concat('es$k#', s))) AS h$k").mkString(", ")}
+         |  FROM eq GROUP BY qid
+         |), dkeys AS (
+         |  SELECT doc_id, band, concat('0:', h0, h1) AS key FROM sigd
+         |  WHERE band = 0
+         |  UNION ALL SELECT doc_id, band, concat('1:', h2, h3) FROM sigd
+         |  WHERE band = 0
+         |  UNION ALL SELECT doc_id, band, concat('0:', h0) FROM sigd
+         |  WHERE band >= 1
+         |  UNION ALL SELECT doc_id, band, concat('1:', h1) FROM sigd
+         |  WHERE band >= 1
+         |  UNION ALL SELECT doc_id, band, concat('2:', h2) FROM sigd
+         |  WHERE band >= 1
+         |  UNION ALL SELECT doc_id, band, concat('3:', h3) FROM sigd
+         |  WHERE band >= 1
+         |), qkeys AS (
+         |  SELECT qid, 0 AS band, concat('0:', h0, h1) AS key FROM sigq
+         |  UNION ALL SELECT qid, 0, concat('1:', h2, h3) FROM sigq
+         |  UNION ALL SELECT qid, b.band, concat('0:', h0)
+         |    FROM sigq, (VALUES (1), (2)) b(band)
+         |  UNION ALL SELECT qid, b.band, concat('1:', h1)
+         |    FROM sigq, (VALUES (1), (2)) b(band)
+         |  UNION ALL SELECT qid, b.band, concat('2:', h2)
+         |    FROM sigq, (VALUES (1), (2)) b(band)
+         |  UNION ALL SELECT qid, b.band, concat('3:', h3)
+         |    FROM sigq, (VALUES (1), (2)) b(band)
+         |), cand AS (
+         |  SELECT DISTINCT q.qid, d.doc_id
+         |  FROM qkeys q JOIN dkeys d ON q.band = d.band AND q.key = d.key
+         |), inter AS (
+         |  SELECT c.qid, c.doc_id, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN eq ON eq.qid = c.qid
+         |  JOIN ed ON ed.doc_id = c.doc_id AND ed.s = eq.s
+         |  GROUP BY c.qid, c.doc_id
+         |)
+         |SELECT qid, doc_id, CAST(n_inter AS BIGINT) AS n_inter,
+         |       CAST(szq.n AS BIGINT) AS n_q, CAST(szd.n AS BIGINT) AS n_d,
+         |       CAST((100 * n_inter) // szq.n AS BIGINT) AS cont_pct
+         |FROM inter JOIN szq USING (qid) JOIN szd USING (doc_id)
+         |WHERE 5 * n_inter >= 4 * szq.n
+         |ORDER BY qid, doc_id""".stripMargin
+    }) { (s, d) =>
+      def shingleSet(df: DataFrame, id: String): DataFrame =
+        df.filter(size(col("t")) >= 2)
+          .select(col(id), explode(bigrams(col("t"))).as("s"))
+          .distinct()
+      val docs = Tables.documents(s, d)
+      val ed = graft.Caches.shared(shingleSet(
+        docs.select(col("doc_id"), toks(col("text")).as("t")), "doc_id"))
+      val eq = shingleSet(docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("qid"),
+          slice(toks(col("text")), 1, 30).as("t")), "qid")
+      val szd = ed.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val szq = eq.groupBy("qid").agg(count(lit(1)).as("n"))
+      def sigs(e: DataFrame, id: String): DataFrame =
+        e.groupBy(id).agg(
+          (0 until 4).map(k =>
+            min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).head,
+          (0 until 4).map(k =>
+            min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).tail: _*)
+      val sigd = sigs(ed, "doc_id")
+        .join(szd, Seq("doc_id"))
+        .withColumn("band", when(col("n") < 32, 0)
+          .when(col("n") < 64, 1).otherwise(2))
+      def r2Keys = array(concat(lit("0:"), col("h0"), col("h1")),
+        concat(lit("1:"), col("h2"), col("h3")))
+      def r1Keys = array(concat(lit("0:"), col("h0")),
+        concat(lit("1:"), col("h1")), concat(lit("2:"), col("h2")),
+        concat(lit("3:"), col("h3")))
+      val dkeys = sigd.select(col("doc_id"), col("band"),
+        explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
+      // a query probes EVERY size band with that band's own key shape
+      val qkeys = sigs(eq, "qid")
+        .withColumn("band", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("qid"), col("band"),
+          explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
+      val cand = qkeys.join(dkeys, Seq("band", "key"))
+        .select("qid", "doc_id").distinct()
+      val inter = cand
+        .join(eq.select(col("qid"), col("s")), Seq("qid"))
+        .join(ed.select(col("doc_id"), col("s")), Seq("doc_id", "s"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(szq.select(col("qid"), col("n").as("n_q"))), Seq("qid"))
+        .join(broadcast(szd.select(col("doc_id"), col("n").as("n_d"))),
+          Seq("doc_id"))
+        .filter(expr("5 * n_inter >= 4 * n_q"))
+        .select(col("qid"), col("doc_id"), col("n_inter"), col("n_q"),
+          col("n_d"), expr("(100 * n_inter) div n_q").as("cont_pct"))
+        .orderBy("qid", "doc_id")
     }
   )
 

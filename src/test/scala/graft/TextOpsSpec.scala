@@ -268,4 +268,29 @@ class TextOpsSpec extends SparkSuite {
       r.getBoolean(9)), "mwl/sym/alpha must pass on the clean fixture")
     assert(rows.forall(!_.getBoolean(11)))
   }
+
+  test("sim_containment_lsh: quotes recall their host docs, the gate " +
+      "holds, and a genuine low-J/high-C hit exists") {
+    val rows = SparkEntry.queries("sim_containment_lsh")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // exact invariants on every surviving pair
+    rows.foreach { case (q, d, i, nq, nd, pct) =>
+      assert(i <= math.min(nq, nd), s"($q,$d): inter exceeds a set size")
+      assert(5 * i >= 4 * nq, s"($q,$d): gate violated")
+      assert(pct == 100 * i / nq, s"($q,$d): cont_pct mismatch")
+    }
+    // a quote's shingle set is a SUBSET of its own doc's, so every
+    // self-pair the banding recalls must be perfect containment...
+    val self = rows.filter(r => r._1 == r._2)
+    assert(self.forall(_._6 == 100), "self-pair below C=1.0")
+    // ...and recall is the banding's only loss: ≥ 90% of quotes find
+    // their host (2/50 missed on this fixture is the recorded trade)
+    assert(self.length >= 45, s"self recall ${self.length}/50")
+    // the case the ensemble EXISTS for: containment in a document much
+    // larger than the quote (low Jaccard, high containment)
+    assert(rows.exists(r => r._1 != r._2 && r._5 >= 2 * r._4 && r._6 >= 80),
+      "no low-J/high-C hit — the size-banded probe lost its point")
+  }
 }
