@@ -1118,6 +1118,67 @@ object Analytics {
           (lit(10000) * col("dev2") > lit(14826) * col("mad2"))
             .as("is_anomaly"))
         .orderBy("event_type", "day")
+    },
+
+    // ── growth accounting: the DAU ledger ──────────────────────────────
+
+    // Every active user-day classified against the user's PREVIOUS
+    // active day: first ever → new, yesterday → retained, a gap →
+    // resurrected; churned(d) is yesterday's actives minus today's
+    // retained (so new + retained + resurrected = DAU and the ledger
+    // balances day over day). The decomposition behind every growth
+    // chart — DAU alone can hide a leaky product behind strong
+    // acquisition; the ledger cannot. One user_id shuffle for the lag
+    // window over the DEDUPED user-day table, then a days-sized
+    // aggregate; yesterday's DAU joins back CALENDAR-shifted (day+1)
+    // and broadcast, so a calendar gap yields churned = everyone, not
+    // a silent last-observed-day comparison. All counts exact BIGINTs.
+    Q("evt_lifecycle",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM ud
+        |), byday AS (
+        |  SELECT day, COUNT(*) AS dau,
+        |         SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS new_users,
+        |         SUM(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END) AS retained,
+        |         SUM(CASE WHEN day - prev > 1 THEN 1 ELSE 0 END)
+        |           AS resurrected
+        |  FROM c GROUP BY day
+        |)
+        |SELECT b.day, CAST(b.dau AS BIGINT) AS dau,
+        |       CAST(b.new_users AS BIGINT) AS new_users,
+        |       CAST(b.retained AS BIGINT) AS retained,
+        |       CAST(b.resurrected AS BIGINT) AS resurrected,
+        |       CAST(COALESCE(p.dau, 0) - b.retained AS BIGINT) AS churned
+        |FROM byday b LEFT JOIN byday p ON b.day = p.day + 1
+        |ORDER BY b.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val byday = ud
+        .withColumn("prev", lag("day", 1).over(w))
+        .groupBy("day")
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("day") - col("prev") === 1, 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("day") - col("prev") > 1, 1L).otherwise(0L))
+            .as("resurrected"))
+      byday
+        .join(broadcast(byday.select((col("day") + 1).as("day"),
+          col("dau").as("dau_prev"))), Seq("day"), "left")
+        .select(col("day"), col("dau"), col("new_users"), col("retained"),
+          col("resurrected"),
+          (coalesce(col("dau_prev"), lit(0L)) - col("retained"))
+            .as("churned"))
+        .orderBy("day")
     }
   )
 }

@@ -147,4 +147,26 @@ class AnalyticsSpec extends SparkSuite {
     // the fixture genuinely trips the detector somewhere
     assert(out.exists(_._6))
   }
+
+  test("evt_lifecycle: the growth ledger balances every day") {
+    val rows = SparkEntry.queries("evt_lifecycle")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (day, dau, nw, ret, res, churn) =>
+      // the decomposition is exhaustive and disjoint
+      assert(nw + ret + res == dau, s"day $day: ledger does not balance")
+      // churn closes the ledger against the CALENDAR previous day
+      val prevDau = byDay.get(day - 1).map(_._2).getOrElse(0L)
+      assert(churn == prevDau - ret, s"day $day: churn mismatch")
+      assert(Seq(nw, ret, res, churn).forall(_ >= 0), s"day $day: negative")
+    }
+    // every user is new exactly once
+    val total = Tables.events(spark, SparkSuite.Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == total)
+    // day one: everyone is new, nobody churned yet
+    assert(rows.head._3 == rows.head._2 && rows.head._6 == 0)
+  }
 }
