@@ -1179,6 +1179,75 @@ object Analytics {
           (coalesce(col("dau_prev"), lit(0L)) - col("retained"))
             .as("churned"))
         .orderBy("day")
+    },
+
+    // ── CUSUM changepoint: where did the level shift? ──────────────────
+
+    // The max-type CUSUM statistic per series: the split k that
+    // maximizes |n·S_k − k·S_n| over the daily totals — the single
+    // most likely LEVEL-SHIFT boundary (a regime change in traffic or
+    // a data-feed cut), which spike detectors like ts_anomaly and
+    // evt_mad_anomaly are blind to because no single day deviates.
+    // The cross-multiplied form needs no mean, no division, no float:
+    // prefix sums accumulate in exact decimal inside one
+    // day-partitioned window, the deviation is exact decimal, and the
+    // argmax tie-breaks on the earliest day — so the located boundary
+    // is hash-oracle-able. Means before/after render as integer-fed
+    // double divisions only in the final projection. Scale: windows
+    // partition by series over the DAILY aggregate (span-bounded);
+    // the argmax is one more rank window on the same key.
+    Q("ts_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS x
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT event_type, day, x,
+        |         SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS sk,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS k,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |         SUM(x) OVER (PARTITION BY event_type) AS sn
+        |  FROM daily
+        |), c AS (
+        |  SELECT *, ABS(n * sk - k * sn) AS dev FROM o WHERE k < n
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY dev DESC, day) AS rr
+        |  FROM c
+        |)
+        |SELECT event_type, day AS cp_day,
+        |       CAST(n AS BIGINT) AS n_days,
+        |       CAST(dev AS DOUBLE) AS score,
+        |       CAST(sk AS DOUBLE) / k AS mean_before,
+        |       CAST(sn - sk AS DOUBLE) / (n - k) AS mean_after
+        |FROM r WHERE rr = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value").cast(DecimalType(10, 4)).as("v"))
+        .groupBy("event_type", "day").agg(sum("v").as("x"))
+      val wDay = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val c = daily
+        .withColumn("sk", sum("x").over(wDay))
+        .withColumn("k", row_number().over(wDay))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sn", sum("x").over(wAll))
+        .filter(col("k") < col("n"))
+        .withColumn("dev", abs(col("n") * col("sk") - col("k") * col("sn")))
+      c.withColumn("rr", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dev").desc, col("day"))))
+        .filter(col("rr") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("n").cast("long").as("n_days"),
+          col("dev").cast("double").as("score"),
+          (col("sk").cast("double") / col("k")).as("mean_before"),
+          ((col("sn") - col("sk")).cast("double") / (col("n") - col("k")))
+            .as("mean_after"))
+        .orderBy("event_type")
     }
   )
 }

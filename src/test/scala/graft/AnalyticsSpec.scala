@@ -169,4 +169,38 @@ class AnalyticsSpec extends SparkSuite {
     // day one: everyone is new, nobody churned yet
     assert(rows.head._3 == rows.head._2 && rows.head._6 == 0)
   }
+
+  test("ts_changepoint ≡ in-JVM exact CUSUM argmax per series") {
+    val got = SparkEntry.queries("ts_changepoint")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.size == 5)
+    // exact replay: decimal(10,4) daily sums as scaled longs, integer
+    // cross-multiplied deviation, argmax with (dev desc, day) order
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val daily = rows.groupBy(_._2).map { case (day, rs) =>
+        day -> rs.map(r => BigDecimal(r._3).setScale(4, BigDecimal
+          .RoundingMode.HALF_UP)).sum
+      }.toSeq.sortBy(_._1)
+      val n = daily.length
+      val sn = daily.map(_._2).sum
+      var sk = BigDecimal(0)
+      val devs = daily.take(n - 1).zipWithIndex.map { case ((day, x), i) =>
+        sk += x
+        (day, i + 1, sk, (n * sk - (i + 1) * sn).abs)
+      }
+      val (cpDay, k, skAt, dev) = devs.maxBy(d => (d._4, -d._1))
+      val (gd, gn, gs, gb, ga) = got(t)
+      assert(gd == cpDay && gn == n, s"$t: cp $gd vs $cpDay")
+      assert(math.abs(gs - dev.toDouble) < 1e-6, s"$t score")
+      assert(math.abs(gb - (skAt / k).toDouble) < 1e-9, s"$t before")
+      assert(math.abs(ga - ((sn - skAt) / (n - k)).toDouble) < 1e-9,
+        s"$t after")
+    }
+  }
 }
