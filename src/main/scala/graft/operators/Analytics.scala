@@ -1248,6 +1248,60 @@ object Analytics {
           ((col("sn") - col("sk")).cast("double") / (col("n") - col("k")))
             .as("mean_after"))
         .orderBy("event_type")
+    },
+
+    // ── daily categorical drift vs a frozen reference window ───────────
+
+    // chk_drift compares two epochs once; the MONITOR form compares
+    // every day against a frozen reference window (the first 15 days
+    // here — in production, the distribution the model was trained
+    // on), emitting per (day, category) the exact cross-multiplied
+    // share shift in ppm. Same integer discipline as chk_drift (no
+    // float share ever exists); categories unseen in the reference
+    // keep their rows via the left join with a zero reference count
+    // (a NEW category is maximal drift, not a dropped row). The
+    // streaming twin is StreamDrift — per-day keyed state, bit-equal
+    // on closed days (StreamDriftSpec) — so the same ledger serves
+    // the batch backfill and the live dashboard. All joins after the
+    // one fact scan are vocabulary- or calendar-sized broadcasts.
+    Q("evt_drift_daily",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events
+        |), ref AS (
+        |  SELECT event_type, COUNT(*) AS rn FROM e
+        |  WHERE day < 19738 GROUP BY event_type
+        |), rt AS (
+        |  SELECT SUM(rn) AS rtot FROM ref
+        |), dy AS (
+        |  SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY day, event_type
+        |), dt AS (
+        |  SELECT day, SUM(n) AS tot FROM dy GROUP BY day
+        |)
+        |SELECT dy.day, dy.event_type, CAST(dy.n AS BIGINT) AS n,
+        |       CAST(dt.tot AS BIGINT) AS day_total,
+        |       CAST(ABS(dy.n * rt.rtot - COALESCE(ref.rn, 0) * dt.tot)
+        |            * 1000000 // (rt.rtot * dt.tot) AS BIGINT) AS shift_ppm
+        |FROM dy JOIN dt USING (day)
+        |LEFT JOIN ref USING (event_type) CROSS JOIN rt
+        |ORDER BY dy.day, dy.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val ref = e.filter(col("day") < 19738)
+        .groupBy("event_type").agg(count(lit(1)).as("rn"))
+      val rt = ref.agg(sum("rn").as("rtot"))
+      val dy = e.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val dt = dy.groupBy("day").agg(sum("n").as("tot"))
+      dy.join(broadcast(dt), Seq("day"))
+        .join(broadcast(ref), Seq("event_type"), "left")
+        .crossJoin(broadcast(rt))
+        .select(col("day"), col("event_type"), col("n"),
+          col("tot").as("day_total"),
+          expr("abs(n * rtot - coalesce(rn, 0L) * tot) * 1000000" +
+            " div (rtot * tot)").as("shift_ppm"))
+        .orderBy("day", "event_type")
     }
   )
 }
