@@ -1302,6 +1302,50 @@ object Analytics {
           expr("abs(n * rtot - coalesce(rn, 0L) * tot) * 1000000" +
             " div (rtot * tot)").as("shift_ppm"))
         .orderBy("day", "event_type")
+    },
+
+    // ── engagement concentration: Gini per event type ──────────────────
+
+    // How concentrated is activity among users? Gini over per-user
+    // event counts via the exact rank identity
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n on the ascending sort — the
+    // whale-dependence number behind "1% of users generate half the
+    // traffic". Σ i·x accumulates in exact integers (the rank is a
+    // row_number over a (x, user_id)-total order; permuting tied x
+    // values cannot change the sum, so determinism is free), and the
+    // only float math is two integer-fed divisions with one pinned
+    // expression shape. One shuffle for the per-user counts, one
+    // type-partitioned rank window over the users-sized aggregate.
+    Q("evt_gini",
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY event_type, user_id
+        |), r AS (
+        |  SELECT event_type, x,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY x, user_id) AS i
+        |  FROM c
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(i * x) AS ix
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+        |       CAST(s AS BIGINT) AS total,
+        |       CAST(2 * ix AS DOUBLE) / (n * s)
+        |         - CAST(n + 1 AS DOUBLE) / n AS gini
+        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      val r = c.withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("x", "user_id")))
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("event_type"), col("n").as("n_users"),
+          col("s").as("total"),
+          ((lit(2) * col("ix")).cast("double") / (col("n") * col("s"))
+            - (col("n") + 1).cast("double") / col("n")).as("gini"))
+        .orderBy("event_type")
     }
   )
 }

@@ -683,6 +683,82 @@ object Temporal {
         .select(col("user_id"), col("day"),
           col("asof_state").as("state"), col("asof_us").as("since_us"))
         .orderBy("user_id", "day")
+    },
+
+    // ── nearest as-of: closest match in EITHER direction ───────────────
+
+    // pandas merge_asof(direction='nearest'): each error takes the
+    // click closest in time, before OR after, tie to the earlier one —
+    // the sensor-alignment shape (match each fault to the nearest
+    // telemetry sample when neither direction is privileged).
+    // Composed from the two existing one-shuffle kernels — backward
+    // pass, rename its carry, forward pass on the result, one CASE to
+    // pick the smaller distance — so every scale property of asOf
+    // carries over; no inequality join appears (PlanSpec-guarded via
+    // the family test). Oracle: DuckDB's native ASOF in both
+    // directions plus the same CASE — an independent implementation.
+    // `dir` records which side won ('b'/'f', null when no match).
+    Q("join_asof_near",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), errors AS (
+        |  SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+        |), b AS (
+        |  SELECT e.user_id, e.event_id, e.us,
+        |         c.us AS b_us, c.value AS b_v
+        |  FROM errors e ASOF LEFT JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.us >= c.us
+        |), f AS (
+        |  SELECT e.user_id, e.event_id, e.us,
+        |         c.us AS f_us, c.value AS f_v
+        |  FROM errors e ASOF LEFT JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.us <= c.us
+        |)
+        |SELECT b.user_id, b.event_id, b.us,
+        |       CASE WHEN b_us IS NULL THEN f_us
+        |            WHEN f_us IS NULL THEN b_us
+        |            WHEN b.us - b_us <= f_us - b.us THEN b_us
+        |            ELSE f_us END AS near_us,
+        |       CASE WHEN b_us IS NULL THEN f_v
+        |            WHEN f_us IS NULL THEN b_v
+        |            WHEN b.us - b_us <= f_us - b.us THEN b_v
+        |            ELSE f_v END AS near_v,
+        |       CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |            WHEN f_us IS NULL THEN 'b'
+        |            WHEN b_us IS NULL THEN 'f'
+        |            WHEN b.us - b_us <= f_us - b.us THEN 'b'
+        |            ELSE 'f' END AS dir
+        |FROM b JOIN f ON b.user_id = f.user_id
+        |  AND b.event_id = f.event_id AND b.us = f.us
+        |ORDER BY b.user_id, b.event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "us")
+        .agg(max(struct(col("event_id"), col("value"))).getField("value")
+          .as("value"))
+      val back = asOf(errors, clicks, Seq("user_id"), "us", Seq("value"))
+        .withColumnRenamed("asof_us", "b_us")
+        .withColumnRenamed("asof_value", "b_v")
+      val both = asOfForward(back, clicks, Seq("user_id"), "us",
+          Seq("value"))
+        .withColumnRenamed("asof_us", "f_us")
+        .withColumnRenamed("asof_value", "f_v")
+      val backWins = col("b_us").isNotNull && (col("f_us").isNull ||
+        col("us") - col("b_us") <= col("f_us") - col("us"))
+      both.select(col("user_id"), col("event_id"), col("us"),
+          when(backWins, col("b_us")).otherwise(col("f_us")).as("near_us"),
+          when(backWins, col("b_v")).otherwise(col("f_v")).as("near_v"),
+          when(col("b_us").isNull && col("f_us").isNull, lit(null)
+            .cast("string"))
+            .when(backWins, "b").otherwise("f").as("dir"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

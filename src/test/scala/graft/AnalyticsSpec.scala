@@ -203,4 +203,28 @@ class AnalyticsSpec extends SparkSuite {
         s"$t after")
     }
   }
+
+  test("evt_gini ≡ in-JVM rank identity, bounded by [0, 1 − 1/n]") {
+    val got = SparkEntry.queries("evt_gini")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.size == 5)
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.groupBy(_._2).toSeq
+        .map { case (u, rs) => (rs.size.toLong, u) }
+        .sortBy(identity)
+      val n = xs.length.toLong
+      val s = xs.map(_._1).sum
+      val ix = xs.zipWithIndex.map { case ((x, _), i) => (i + 1) * x }.sum
+      val gini = 2.0 * ix / (n * s) - (n + 1.0) / n
+      val (gn, gs, gg) = got(t)
+      assert(gn == n && gs == s, s"$t sizes")
+      assert(math.abs(gg - gini) < 1e-12, s"$t gini $gg vs $gini")
+      // Gini of counts (all ≥ 1) lives in [0, 1 − 1/n]
+      assert(gg >= 0.0 && gg <= 1.0 - 1.0 / n, s"$t gini out of range")
+    }
+  }
 }

@@ -255,6 +255,36 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("join_asof_near: every error takes its truly closest click, " +
+      "ties to the earlier side") {
+    val out = SparkEntry.queries("join_asof_near")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getString(5))))
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicksBy = ev.filter(_._2 == "click").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._3).sorted }
+    var sawB = 0; var sawF = 0
+    out.foreach { case (u, id, us, near, dir) =>
+      clicksBy.get(u) match {
+        case None => assert(near.isEmpty && dir.isEmpty, s"err $id: no clicks")
+        case Some(cs) =>
+          val best = cs.minBy(c => (math.abs(c - us), c))
+          // min distance with tie to the earlier click == the query's
+          // backward-wins-on-tie rule
+          assert(near.contains(best), s"err $id: ${near} vs $best")
+          val d = dir.get
+          if (d == "b") { sawB += 1; assert(best <= us) }
+          else { sawF += 1; assert(best > us) }
+      }
+    }
+    assert(sawB > 0 && sawF > 0, "fixture never exercised one direction")
+  }
+
   test("plans: asOf has no join at all; range join never nested-loops") {
     val asofPlan = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf001)
       .queryExecution.executedPlan.toString
