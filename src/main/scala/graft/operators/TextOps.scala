@@ -1592,42 +1592,9 @@ object TextOps {
          |WHERE 5 * n_inter >= 4 * szq.n
          |ORDER BY qid, doc_id""".stripMargin
     }) { (s, d) =>
-      def shingleSet(df: DataFrame, id: String): DataFrame =
-        df.filter(size(col("t")) >= 2)
-          .select(col(id), explode(bigrams(col("t"))).as("s"))
-          .distinct()
-      val docs = Tables.documents(s, d)
-      val ed = graft.Caches.shared(shingleSet(
-        docs.select(col("doc_id"), toks(col("text")).as("t")), "doc_id"))
-      val eq = shingleSet(docs.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("qid"),
-          slice(toks(col("text")), 1, 30).as("t")), "qid")
+      val (ed, eq, cand) = containmentStages(s, d)
       val szd = ed.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val szq = eq.groupBy("qid").agg(count(lit(1)).as("n"))
-      def sigs(e: DataFrame, id: String): DataFrame =
-        e.groupBy(id).agg(
-          (0 until 4).map(k =>
-            min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).head,
-          (0 until 4).map(k =>
-            min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).tail: _*)
-      val sigd = sigs(ed, "doc_id")
-        .join(szd, Seq("doc_id"))
-        .withColumn("band", when(col("n") < 32, 0)
-          .when(col("n") < 64, 1).otherwise(2))
-      def r2Keys = array(concat(lit("0:"), col("h0"), col("h1")),
-        concat(lit("1:"), col("h2"), col("h3")))
-      def r1Keys = array(concat(lit("0:"), col("h0")),
-        concat(lit("1:"), col("h1")), concat(lit("2:"), col("h2")),
-        concat(lit("3:"), col("h3")))
-      val dkeys = sigd.select(col("doc_id"), col("band"),
-        explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
-      // a query probes EVERY size band with that band's own key shape
-      val qkeys = sigs(eq, "qid")
-        .withColumn("band", explode(array(lit(0), lit(1), lit(2))))
-        .select(col("qid"), col("band"),
-          explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
-      val cand = qkeys.join(dkeys, Seq("band", "key"))
-        .select("qid", "doc_id").distinct()
       val inter = cand
         .join(eq.select(col("qid"), col("s")), Seq("qid"))
         .join(ed.select(col("doc_id"), col("s")), Seq("doc_id", "s"))
@@ -1642,6 +1609,52 @@ object TextOps {
         .orderBy("qid", "doc_id")
     }
   )
+
+  /** The sim_containment_lsh stages, exposed for the scale-law spec:
+    * (ed, eq, cand) = corpus shingle sets, quote shingle sets, and the
+    * size-banded candidate pairs. A SEARCH operator's scale law is the
+    * inverse of a dedup pair-generator's: with the probe set fixed,
+    * candidates must stay FLAT as the corpus grows (bucket co-occupancy
+    * of the probes, never corpus size) — ContainmentScaleSpec pins it. */
+  private[graft] def containmentStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def shingleSet(df: DataFrame, id: String): DataFrame =
+      df.filter(size(col("t")) >= 2)
+        .select(col(id), explode(bigrams(col("t"))).as("s"))
+        .distinct()
+    val docs = Tables.documents(s, d)
+    val ed = graft.Caches.shared(shingleSet(
+      docs.select(col("doc_id"), toks(col("text")).as("t")), "doc_id"))
+    val eq = shingleSet(docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("qid"),
+        slice(toks(col("text")), 1, 30).as("t")), "qid")
+    def sigs(e: DataFrame, id: String): DataFrame =
+      e.groupBy(id).agg(
+        (0 until 4).map(k =>
+          min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).head,
+        (0 until 4).map(k =>
+          min(md5(concat(lit(s"es$k#"), col("s")))).as(s"h$k")).tail: _*)
+    val szd = ed.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sigd = sigs(ed, "doc_id")
+      .join(szd, Seq("doc_id"))
+      .withColumn("band", when(col("n") < 32, 0)
+        .when(col("n") < 64, 1).otherwise(2))
+    def r2Keys = array(concat(lit("0:"), col("h0"), col("h1")),
+      concat(lit("1:"), col("h2"), col("h3")))
+    def r1Keys = array(concat(lit("0:"), col("h0")),
+      concat(lit("1:"), col("h1")), concat(lit("2:"), col("h2")),
+      concat(lit("3:"), col("h3")))
+    val dkeys = sigd.select(col("doc_id"), col("band"),
+      explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
+    // a query probes EVERY size band with that band's own key shape
+    val qkeys = sigs(eq, "qid")
+      .withColumn("band", explode(array(lit(0), lit(1), lit(2))))
+      .select(col("qid"), col("band"),
+        explode(when(col("band") === 0, r2Keys).otherwise(r1Keys)).as("key"))
+    val cand = qkeys.join(dkeys, Seq("band", "key"))
+      .select("qid", "doc_id").distinct()
+    (ed, eq, cand)
+  }
 
   /** 16-bit SimHash of a token-array column (hex-digit value via
     * conv(·,16,10) ≡ DuckDB's strpos(hexchars)−1). */

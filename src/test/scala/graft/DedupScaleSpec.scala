@@ -174,4 +174,29 @@ class DedupScaleSpec extends SparkSuite {
     assert(m2 <= m1 * k * 2, s"removal mass superlinear: $m1 -> $m2")
     timeCheck(t2 <= t1 * k * 3 + 1.0, s"substring time superlinear: $t1 -> $t2")
   }
+
+  test("containment-LSH probe cost stays FLAT as the corpus grows " +
+      "(the search-side scale law)") {
+    // a SEARCH operator inverts the dedup law: the probe set is fixed
+    // (replica 0's 50 quotes — replicated doc_ids move to +rep·10⁶),
+    // so candidates must track the probes' bucket co-occupancy, NOT
+    // corpus size. Replica-salted tokens keep signatures distinct
+    // across replicas, so a ×4 corpus must NOT grow the candidate set
+    // beyond hash-accident noise — growth here would mean the banding
+    // degenerated into a corpus scan per query.
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    def cands(d: String): Long =
+      operators.TextOps.containmentStages(spark, d)._3.count()
+    val (n1, t1) = timed(cands(d1))
+    val (n2, t2) = timed(cands(d2))
+    assert(n1 > 0, "no candidates on the base corpus")
+    assert(n2 <= n1 * 3 / 2 + 8,
+      s"probe candidates scale with the corpus: $n1 -> $n2")
+    timeCheck(t2 <= t1 * 8 + 1.0, s"probe time superlinear: $t1 -> $t2")
+    // and the quotes still find their (replica-salted) hosts at ×40
+    val hits = SparkEntry.queries("sim_containment_lsh")(spark, d2)
+      .filter(col("qid") === col("doc_id")).count()
+    assert(hits >= 40, s"self recall collapsed under replication: $hits/50")
+  }
 }
