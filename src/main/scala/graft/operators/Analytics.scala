@@ -1346,6 +1346,51 @@ object Analytics {
           ((lit(2) * col("ix")).cast("double") / (col("n") * col("s"))
             - (col("n") + 1).cast("double") / col("n")).as("gini"))
         .orderBy("event_type")
+    },
+
+    // ── daily percentile bands: the p50/p95/p99 ops dashboard ──────────
+
+    // Exact per-day order statistics of event value — the latency-band
+    // dashboard staple, as DISCrete order stats (the value at rank
+    // ⌈q·n⌉) so no engine-specific interpolation exists; the rank is
+    // the integer form (q·n + 99) div 100 and the pick rides a
+    // (value, event_id)-totally-ordered rank window (rule 8). One
+    // day-partitioned window over the scan — at a corpus-scale DAY the
+    // same query takes the distributed-rank route winsorizedDistributed
+    // demonstrates; sketch_quantile is the bounded-state estimate.
+    Q("ts_daily_pct",
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         value, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT day, value,
+        |         row_number() OVER (PARTITION BY day
+        |           ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY day) AS n
+        |  FROM e
+        |)
+        |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+        |       MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+        |       MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+        |       MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value"), col("event_id"))
+      val r = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy("value", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+      r.groupBy("day")
+        .agg(max("n").cast("long").as("n"),
+          min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+            col("value"))).as("p50"),
+          min(when(col("rn") === expr("(n * 95 + 99) div 100"),
+            col("value"))).as("p95"),
+          min(when(col("rn") === expr("(n * 99 + 99) div 100"),
+            col("value"))).as("p99"))
+        .orderBy("day")
     }
   )
 }

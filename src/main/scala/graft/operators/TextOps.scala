@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the `documents` table: language ID,
@@ -1607,6 +1608,84 @@ object TextOps {
         .select(col("qid"), col("doc_id"), col("n_inter"), col("n_q"),
           col("n_d"), expr("(100 * n_inter) div n_q").as("cont_pct"))
         .orderBy("qid", "doc_id")
+    },
+
+    // ── sparse retrieval: exact TF-cosine top-k via inverted index ─────
+
+    // The sparse twin of the dense ANN family (sim_topk_* search
+    // embeddings; this searches the TOKENS): 30-token quote queries
+    // ranked against the corpus through an inverted index — candidate
+    // (q, d) pairs exist only where a query term's posting list meets
+    // a document, so join work is Σ_term df_q·df_d over QUERY terms,
+    // never |Q|×|D|. Everything that decides rank is exact: the dot
+    // product Σ tf_q·tf_d and both squared norms are INTEGER sums
+    // (association-order-free), the cosine is one pinned double
+    // expression over them, and ties break on doc_id — so the top-3
+    // lists hash-match across engines. This is TF cosine, not BM25,
+    // deliberately: a log-idf term sum is an order-sensitive double
+    // fold (parity rule 3). At 100 TB the scale lever is the standard
+    // IR one — cap or impact-sort hot posting lists; stopword terms
+    // dominate Σ df_q·df_d exactly like hot keys in a skewed join.
+    Q("txt_cosine_topk",
+      s"""WITH tq AS (
+         |  SELECT qid, unnest(t) AS term
+         |  FROM (SELECT doc_id AS qid, ($toksSql)[1:30] AS t
+         |        FROM documents WHERE doc_id < 50) x
+         |), q AS (
+         |  SELECT qid, term, COUNT(*) AS tf_q FROM tq GROUP BY qid, term
+         |), td AS (
+         |  SELECT doc_id, unnest(t) AS term
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |), d AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf_d FROM td GROUP BY doc_id, term
+         |), nq AS (
+         |  SELECT qid, SUM(tf_q * tf_q) AS q2 FROM q GROUP BY qid
+         |), nd AS (
+         |  SELECT doc_id, SUM(tf_d * tf_d) AS d2 FROM d GROUP BY doc_id
+         |), dot AS (
+         |  SELECT q.qid, d.doc_id, SUM(q.tf_q * d.tf_d) AS num
+         |  FROM q JOIN d ON q.term = d.term
+         |  GROUP BY q.qid, d.doc_id
+         |), scored AS (
+         |  SELECT dot.qid, dot.doc_id, dot.num, nq.q2, nd.d2,
+         |         CAST(dot.num AS DOUBLE)
+         |           / sqrt(CAST(nq.q2 AS DOUBLE) * nd.d2) AS cos
+         |  FROM dot JOIN nq USING (qid) JOIN nd USING (doc_id)
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, doc_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+         |       CAST(num AS BIGINT) AS num, cos
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val q = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("qid"),
+          explode(slice(toks(col("text")), 1, 30)).as("term"))
+        .groupBy("qid", "term").agg(count(lit(1)).as("tf_q"))
+      val dd = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_d"))
+      val nq = q.groupBy("qid").agg(sum(col("tf_q") * col("tf_q")).as("q2"))
+      val nd = dd.groupBy("doc_id")
+        .agg(sum(col("tf_d") * col("tf_d")).as("d2"))
+      val dot = q.join(dd, Seq("term"))
+        .groupBy("qid", "doc_id").agg(sum(col("tf_q") * col("tf_d")).as("num"))
+      val scored = dot
+        .join(broadcast(nq), Seq("qid"))
+        .join(broadcast(nd), Seq("doc_id"))
+        .select(col("qid"), col("doc_id"), col("num"), col("q2"), col("d2"),
+          (col("num").cast("double") /
+            sqrt(col("q2").cast("double") * col("d2"))).as("cos"))
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("doc_id"), col("num"),
+          col("cos"))
+        .orderBy("qid", "rank")
     }
   )
 

@@ -227,4 +227,26 @@ class AnalyticsSpec extends SparkSuite {
       assert(gg >= 0.0 && gg <= 1.0 - 1.0 / n, s"$t gini out of range")
     }
   }
+
+  test("ts_daily_pct: bands are the day's true order statistics") {
+    val got = SparkEntry.queries("ts_daily_pct")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (day, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length
+      def pick(q: Int) = sorted(((n.toLong * q + 99) / 100).toInt - 1)
+      val (gn, p50, p95, p99) = got(day)
+      assert(gn == n, s"day $day n")
+      assert(p50 == pick(50) && p95 == pick(95) && p99 == pick(99),
+        s"day $day: ($p50,$p95,$p99) vs " +
+          s"(${pick(50)},${pick(95)},${pick(99)})")
+      assert(p50 <= p95 && p95 <= p99, s"day $day: bands out of order")
+    }
+  }
 }

@@ -293,4 +293,39 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.exists(r => r._1 != r._2 && r._5 >= 2 * r._4 && r._6 >= 80),
       "no low-J/high-C hit — the size-banded probe lost its point")
   }
+
+  test("txt_cosine_topk ≡ in-JVM brute-force sparse cosine, every list") {
+    val got = SparkEntry.queries("txt_cosine_topk")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val dTf = docs.map { case (id, t) =>
+      id -> t.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val d2 = dTf.view.mapValues(m => m.values.map(x => x * x).sum).toMap
+    docs.filter(_._1 < 50).foreach { case (qid, t) =>
+      val qTf = t.take(30).groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      val q2 = qTf.values.map(x => x * x).sum
+      val scored = dTf.toSeq.flatMap { case (d, m) =>
+        val num = qTf.map { case (w, f) => f * m.getOrElse(w, 0L) }.sum
+        if (num == 0) None
+        else Some((d, num, num.toDouble / math.sqrt(q2.toDouble * d2(d))))
+      }.sortBy { case (d, _, c) => (-c, d) }.take(3)
+      scored.zipWithIndex.foreach { case ((d, num, cos), i) =>
+        val (gd, gn, gc) = got((qid, i + 1))
+        assert(gd == d && gn == num, s"q$qid rank ${i + 1}: ($gd,$gn) " +
+          s"vs ($d,$num)")
+        assert(math.abs(gc - cos) < 1e-12, s"q$qid rank ${i + 1} cos")
+      }
+      // a quote shares every token with its host: the self doc must
+      // appear somewhere in its own top-3
+      assert(scored.exists(_._1 == qid) == got.exists { case ((q, _), v) =>
+        q == qid && v._1 == qid }, s"q$qid self-hit disagreement")
+    }
+  }
 }
