@@ -1391,6 +1391,164 @@ object Analytics {
           min(when(col("rn") === expr("(n * 99 + 99) div 100"),
             col("value"))).as("p99"))
         .orderBy("day")
+    },
+
+    // ── RFM segmentation ───────────────────────────────────────────────
+
+    // Recency / Frequency / Monetary quartile scores per user — the
+    // classic CRM segmentation (score 4 = best quartile on each axis;
+    // rfm = 100·r + 10·f + m names the segment, "444" the champions).
+    // Quartile rule pinned EXPLICITLY instead of ntile() (whose
+    // uneven-group placement is engine-specific): score =
+    // 4 − ((rank−1)·4) div n over the deterministic (metric, user_id)
+    // order — pure integer arithmetic, identical in both engines.
+    // Scale shape: one user_id aggregate over events (map-side
+    // combined), then three global ranks of the USERS-sized table via
+    // Ranking.globalRowNumber (range-partition + zipWithIndex — the
+    // win_pctrank discipline; no partition-less window anywhere), a
+    // broadcast 1-row (n, anchor) total, and rank arithmetic. Recency
+    // anchors to the corpus's own last active day, so the query is a
+    // pure function of the data.
+    Q("evt_rfm",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         MAX(CAST(ts AS DATE)) AS last_day,
+        |         CAST(COUNT(*) AS BIGINT) AS frequency,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS monetary
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(last_day) AS anchor
+        |  FROM u
+        |), r AS (
+        |  SELECT u.user_id,
+        |         CAST(date_diff('day', u.last_day, t.anchor) AS BIGINT)
+        |           AS recency_days,
+        |         u.frequency, u.monetary, t.n,
+        |         row_number() OVER (ORDER BY
+        |           date_diff('day', u.last_day, t.anchor), u.user_id) AS r_rk,
+        |         row_number() OVER (ORDER BY -u.frequency, u.user_id) AS f_rk,
+        |         row_number() OVER (ORDER BY -u.monetary, u.user_id) AS m_rk
+        |  FROM u, t
+        |)
+        |SELECT user_id, recency_days, frequency,
+        |       CAST(monetary AS DOUBLE) AS monetary,
+        |       CAST(4 - ((r_rk - 1) * 4) // n AS INTEGER) AS r_score,
+        |       CAST(4 - ((f_rk - 1) * 4) // n AS INTEGER) AS f_score,
+        |       CAST(4 - ((m_rk - 1) * 4) // n AS INTEGER) AS m_score,
+        |       CAST((4 - ((r_rk - 1) * 4) // n) * 100
+        |            + (4 - ((f_rk - 1) * 4) // n) * 10
+        |            + (4 - ((m_rk - 1) * 4) // n) AS INTEGER) AS rfm
+        |FROM r ORDER BY user_id""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(col("ts").cast("date")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(10,4)")).as("monetary"))
+      val t = u.agg(count(lit(1)).as("n"), max("last_day").as("anchor"))
+      val base = u.crossJoin(broadcast(t))
+        .withColumn("recency_days",
+          datediff(col("anchor"), col("last_day")).cast("long"))
+        .withColumn("neg_f", -col("frequency"))
+        .withColumn("neg_m", -col("monetary"))
+      val shuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+      def ranked(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          as: String) =
+        Ranking.globalRowNumber(df, keys, shuffle)
+          .withColumnRenamed("row_num", as)
+      val r = ranked(ranked(ranked(base,
+        Seq("recency_days", "user_id"), "r_rk"),
+        Seq("neg_f", "user_id"), "f_rk"),
+        Seq("neg_m", "user_id"), "m_rk")
+      r.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary").cast("double").as("monetary"),
+          expr("cast(4 - ((r_rk - 1) * 4) div n as int)").as("r_score"),
+          expr("cast(4 - ((f_rk - 1) * 4) div n as int)").as("f_score"),
+          expr("cast(4 - ((m_rk - 1) * 4) div n as int)").as("m_score"),
+          expr("""cast((4 - ((r_rk - 1) * 4) div n) * 100
+                 + (4 - ((f_rk - 1) * 4) div n) * 10
+                 + (4 - ((m_rk - 1) * 4) div n) as int)""").as("rfm"))
+        .orderBy("user_id")
+    },
+
+    // ── day-of-week seasonal decomposition ─────────────────────────────
+
+    // Classical additive decomposition of per-type daily totals:
+    // total = trend (7-day centered moving average) + seasonal
+    // (day-of-week mean of the detrended series) + residual — the
+    // "is Monday always low, or is this Monday BROKEN?" separation
+    // that raw anomaly flags (ts_anomaly) can't make on seasonal
+    // traffic. Exactness discipline: the trend division by 7 never
+    // happens in the pipeline — detrended values are carried ×7
+    // (7·total − sum7, exact decimal), the seasonal mean is carried as
+    // an exact (Σ, 7·count) pair, and each output renders through ONE
+    // pinned double expression. The MA frame is RANGE over the integer
+    // epoch day (ts_moving_avg_range's rule: ROWS misaligns on gapped
+    // series) and only full 7-day frames define a trend. Scale shape:
+    // daily totals pre-aggregate map-side; one event_type-partitioned
+    // window; the seasonal table is |types|×7 rows — broadcast back.
+    Q("ts_seasonal_dow",
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |  FROM events GROUP BY 1, 2
+        |), de AS (
+        |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS ed FROM dly
+        |), w AS (
+        |  SELECT event_type, day, ed, total,
+        |         SUM(total) OVER sw AS sum7,
+        |         COUNT(*) OVER sw AS n7
+        |  FROM de WINDOW sw AS (PARTITION BY event_type ORDER BY ed
+        |                        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), sea AS (
+        |  SELECT event_type, ed % 7 AS dow,
+        |         SUM(7 * total - sum7) AS s_num,
+        |         7 * CAST(COUNT(*) AS BIGINT) AS s_den
+        |  FROM w WHERE n7 = 7 GROUP BY 1, 2
+        |)
+        |SELECT w.event_type, CAST(w.day AS DATE) AS day,
+        |       CAST(w.ed % 7 AS BIGINT) AS dow,
+        |       CAST(w.total AS DOUBLE) AS total,
+        |       CASE WHEN w.n7 = 7
+        |            THEN CAST(w.sum7 AS DOUBLE) / 7.0 END AS trend,
+        |       CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS seasonal,
+        |       CASE WHEN w.n7 = 7 AND s.s_num IS NOT NULL
+        |            THEN CAST(w.total AS DOUBLE) - CAST(w.sum7 AS DOUBLE) / 7.0
+        |                 - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE)
+        |            END AS residual
+        |FROM w LEFT JOIN sea s
+        |  ON s.event_type = w.event_type AND s.dow = w.ed % 7
+        |ORDER BY w.event_type, day""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+        .withColumn("ed",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      val sw = Window.partitionBy("event_type").orderBy("ed")
+        .rangeBetween(-3, 3)
+      val w = dly
+        .withColumn("sum7", sum("total").over(sw))
+        .withColumn("n7", count(lit(1)).over(sw))
+      val sea = w.filter(col("n7") === 7)
+        .groupBy(col("event_type").as("sea_type"), expr("ed % 7").as("dow"))
+        .agg(sum(expr("7 * total - sum7")).as("s_num"),
+          (lit(7) * count(lit(1))).as("s_den"))
+        // fresh lineage: sea derives from w, and the rejoin below would
+        // otherwise trip Spark's ambiguous-self-join analysis
+        .select(col("sea_type"), col("dow"), col("s_num"), col("s_den"))
+      w.join(broadcast(sea),
+          col("event_type") === col("sea_type") &&
+            col("dow") === expr("ed % 7"), "left")
+        .select(col("event_type"), col("day"),
+          expr("cast(ed % 7 as bigint)").as("dow"),
+          col("total").cast("double").as("total"),
+          when(col("n7") === 7, col("sum7").cast("double") / lit(7.0))
+            .as("trend"),
+          (col("s_num").cast("double") / col("s_den").cast("double"))
+            .as("seasonal"),
+          when(col("n7") === 7 && col("s_num").isNotNull,
+            col("total").cast("double") - col("sum7").cast("double") / lit(7.0)
+              - col("s_num").cast("double") / col("s_den").cast("double"))
+            .as("residual"))
+        .orderBy("event_type", "day")
     }
   )
 }

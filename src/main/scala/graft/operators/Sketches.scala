@@ -144,6 +144,102 @@ object Sketches {
         .orderBy("day")
     },
 
+    // ── KMV set intersection (week-over-week returning users) ─────────
+
+    // |active(week w) ∩ active(week w+1)| for every consecutive week
+    // pair — the returning-user count behind every retention dashboard
+    // — exact AND estimated from bounded sketches. Intersection, like
+    // rolling distinct, does not decompose: you cannot merge two HLLs
+    // into an intersection. KMV can: the bottom-k of A ∪ B is
+    // computable from the two bottom-k's, and each surviving hash is
+    // checkable for membership in either side's sketch, so
+    // est = |{h ∈ sk(A∪B) : h ∈ A ∧ h ∈ B}| · est(|A∪B|) / k — the
+    // standard KMV/theta-sketch intersection. At 100 TB each week
+    // keeps O(k) state (functions/KmvSketch is the aggregation form,
+    // same hashes) and pairs join week×week — the shuffle carries
+    // sketches, not users. KMV's determinism makes the estimate a pure
+    // function of the md5 values, so DuckDB computes the IDENTICAL
+    // number and the whole query is hash-oracled exactly (the
+    // sketch_kmv_distinct precedent); when the union never fills the
+    // sketch the estimate collapses to the exact count by
+    // construction (c·n/n = c, exact in IEEE). The exact columns ride
+    // along as the accuracy reference; SketchSpec pins the error
+    // against them. Each (week, user) row contributes to pair w (the
+    // left side) and pair w−1 (the right side) — the bounded ×2
+    // explode analog of evt_wau_sketch's ×7.
+    Q("sketch_kmv_intersect", {
+      val wk = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7"
+      s"""WITH wu AS (
+         |  SELECT DISTINCT $wk AS wk, user_id FROM events
+         |), c AS (
+         |  SELECT wk AS p, md5(CAST(user_id AS VARCHAR)) AS h,
+         |         1 AS a, 0 AS b
+         |  FROM wu
+         |  UNION ALL
+         |  SELECT wk - 1 AS p, md5(CAST(user_id AS VARCHAR)) AS h, 0, 1
+         |  FROM wu
+         |), g AS (
+         |  SELECT p, h, MAX(a) AS in_a, MAX(b) AS in_b FROM c GROUP BY p, h
+         |), r AS (
+         |  SELECT p, h, in_a, in_b,
+         |         row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+         |  FROM g
+         |), m AS (
+         |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+         |         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         |         CAST(SUM(in_b) AS BIGINT) AS n_b,
+         |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_int_exact,
+         |         CAST(SUM(CASE WHEN rn <= $K AND in_a = 1 AND in_b = 1
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS sk_common,
+         |         MAX(CASE WHEN rn = $K THEN h END) AS u_k
+         |  FROM r GROUP BY p
+         |)
+         |SELECT CAST(p AS BIGINT) AS week, n_a, n_b, n_int_exact,
+         |       n_union_exact, sk_common,
+         |       CAST(sk_common AS DOUBLE)
+         |         * (CASE WHEN n_union_exact < $K
+         |                 THEN CAST(n_union_exact AS DOUBLE)
+         |                 ELSE ${K - 1}.0 / (CAST(${hex13Sql("u_k")} AS DOUBLE)
+         |                                    / 4503599627370496.0) END)
+         |         / LEAST($K, n_union_exact) AS int_est
+         |FROM m WHERE n_a > 0 AND n_b > 0
+         |ORDER BY week""".stripMargin }) { (s, d) =>
+      val wu = Tables.events(s, d)
+        .select(expr("datediff(cast(ts as date), DATE'1970-01-01') div 7")
+          .as("wk"), col("user_id")).distinct()
+      val hh = wu.select(col("wk"),
+        md5(col("user_id").cast("string")).as("h"))
+      val c = hh.select(col("wk").as("p"), col("h"),
+          lit(1).as("a"), lit(0).as("b"))
+        .unionByName(hh.select((col("wk") - 1).as("p"), col("h"),
+          lit(0).as("a"), lit(1).as("b")))
+      val g = c.groupBy("p", "h")
+        .agg(max("a").as("in_a"), max("b").as("in_b"))
+      val r = g.withColumn("rn",
+        row_number().over(Window.partitionBy("p").orderBy("h")))
+      val m = r.groupBy("p").agg(
+        count(lit(1)).as("n_union_exact"),
+        sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+          .as("n_int_exact"),
+        sum(when(col("rn") <= K && col("in_a") === 1 && col("in_b") === 1, 1)
+          .otherwise(0)).as("sk_common"),
+        max(when(col("rn") === K, col("h"))).as("u_k"))
+      m.filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("p").cast("long").as("week"),
+          col("n_a"), col("n_b"), col("n_int_exact"),
+          col("n_union_exact"), col("sk_common"),
+          (col("sk_common").cast("double")
+            * when(col("n_union_exact") < K,
+                col("n_union_exact").cast("double"))
+              .otherwise(lit((K - 1).toDouble) /
+                (conv(substring(col("u_k"), 1, 13), 16, 10).cast("double")
+                  / lit(Norm)))
+            / least(lit(K), col("n_union_exact"))).as("int_est"))
+        .orderBy("week")
+    },
+
     // ── bottom-k quantile sketch ───────────────────────────────────────
 
     // p50/p90 of `value` per event type, exact AND estimated from the

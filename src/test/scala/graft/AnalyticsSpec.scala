@@ -249,4 +249,93 @@ class AnalyticsSpec extends SparkSuite {
       assert(p50 <= p95 && p95 <= p99, s"day $day: bands out of order")
     }
   }
+
+  test("evt_rfm ≡ in-JVM rank replay; quartiles balanced within one") {
+    val out = SparkEntry.queries("evt_rfm")(spark, SparkSuite.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // replay: per-user metrics, then the pinned quartile rule over
+    // explicitly sorted ranks
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("value").cast("decimal(10,4)").as("v")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDecimal(2)))
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val last = rows.map(_._2).maxBy(_.toEpochDay)
+      val mon = rows.map(x => BigDecimal(x._3)).sum
+      (u, last, rows.length.toLong, mon)
+    }.toSeq
+    val anchor = users.map(_._2).maxBy(_.toEpochDay)
+    val n = users.length.toLong
+    def scores(ranked: Seq[Long]): Map[Long, Int] =
+      ranked.zipWithIndex.map { case (u, i) =>
+        u -> (4 - ((i.toLong * 4) / n)).toInt
+      }.toMap
+    val rS = scores(users.sortBy(x =>
+      (anchor.toEpochDay - x._2.toEpochDay, x._1)).map(_._1))
+    val fS = scores(users.sortBy(x => (-x._3, x._1)).map(_._1))
+    val mS = scores(users.sortBy(x => (-x._4, x._1)).map(_._1))
+    val want = users.map { case (u, last, freq, mon) =>
+      u -> (anchor.toEpochDay - last.toEpochDay, freq, mon.toDouble,
+        rS(u), fS(u), mS(u), rS(u) * 100 + fS(u) * 10 + mS(u))
+    }.toMap
+    val got = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6),
+      r.getInt(7))).toMap
+    assert(got == want, s"rfm mismatch: ${got.size} vs ${want.size} users")
+    // quartile balance: the pinned rule splits each axis into four
+    // groups whose sizes differ by at most one
+    for ((m, ax) <- Seq((rS, "r"), (fS, "f"), (mS, "m"))) {
+      val sizes = m.values.groupBy(identity).view.mapValues(_.size).toMap
+      assert(m.values.forall(s => s >= 1 && s <= 4), s"$ax out of range")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$ax quartiles unbalanced: $sizes")
+    }
+  }
+
+  test("ts_seasonal_dow ≡ in-JVM decomposition replay on sf0.001") {
+    val out = SparkEntry.queries("ts_seasonal_dow")(spark, SparkSuite.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // replay: exact-decimal daily totals → calendar ±3-day trend sums →
+    // per-(type, dow) detrended means, all in BigDecimal, with the same
+    // single pinned double rendering
+    val daily = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        col("value").cast("decimal(10,4)").as("v")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        BigDecimal(r.getDecimal(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val win = daily.map { case ((t, ed), total) =>
+      val frame = (ed - 3 to ed + 3).flatMap(e => daily.get((t, e)))
+      ((t, ed), (total, frame.sum, frame.size))
+    }
+    val sea = win.toSeq.filter(_._2._3 == 7)
+      .groupBy { case ((t, ed), _) => (t, ed % 7) }
+      .view.mapValues { rows =>
+        (rows.map { case (_, (tot, s7, _)) => tot * 7 - s7 }.sum,
+          7L * rows.size)
+      }.toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      val ed = r.getDate(1).toLocalDate.toEpochDay
+      val (total, sum7, n7) = win((t, ed))
+      assert(r.getLong(2) == ed % 7, s"($t,$ed) dow")
+      assert(r.getDouble(3) == total.toDouble, s"($t,$ed) total")
+      val trend = if (n7 == 7) Some(sum7.toDouble / 7.0) else None
+      assert((if (r.isNullAt(4)) None else Some(r.getDouble(4))) == trend,
+        s"($t,$ed) trend")
+      val seasonal = sea.get((t, ed % 7))
+        .map { case (num, den) => num.toDouble / den.toDouble }
+      assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) == seasonal,
+        s"($t,$ed) seasonal")
+      val residual = (trend, seasonal) match {
+        case (Some(tr), Some(se)) => Some(total.toDouble - tr - se)
+        case _ => None
+      }
+      assert((if (r.isNullAt(6)) None else Some(r.getDouble(6))) == residual,
+        s"($t,$ed) residual")
+    }
+  }
 }

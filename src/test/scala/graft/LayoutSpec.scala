@@ -29,4 +29,24 @@ class LayoutSpec extends SparkSuite {
     // dimension (z trades per-dim optimality for both-dim coverage)
     assert(custOwn <= rows(("zorder", "cust_100_160"))._2, s"$rows")
   }
+
+  test("layout_bucket_join: bucketed-layout results ≡ the plain join " +
+      "(layout changes the plan, never the answer)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("layout_bucket_join")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .join(Tables.orders(spark, SparkSuite.Sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(Tables.M)).cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got == want,
+      s"bucketed ≠ plain: ${got.size} vs ${want.size} groups")
+  }
 }

@@ -155,7 +155,7 @@ class PlanSpec extends SparkSuite {
       " ranking and frame windows all partitioned") {
     for (q <- Seq("sim_knn_label", "dedup_keep_longest", "ts_anomaly",
         "evt_wau_sketch", "txt_sample_exact_k", "evt_attribution",
-        "dedup_substring")) {
+        "dedup_substring", "sketch_kmv_intersect")) {
       val wins = SparkEntry.queries(q)(spark, Sf001)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -264,6 +264,39 @@ class PlanSpec extends SparkSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"gate shuffles before the output sort:\n${exchanges.mkString("\n")}")
     assert(!p.contains("Join"), "the per-row gate grew a join:\n" + p.take(800))
+  }
+
+  test("layout_bucket_join: bucketed SMJ and bucket-keyed aggregate " +
+      "shuffle NOTHING (only the presentation sort repartitions)") {
+    // the whole point of the bucketed layout: the orderkey join and the
+    // per-orderkey aggregate reuse the write-time partitioning — a
+    // hash-partition exchange anywhere means the layout bought nothing
+    val p = plan("layout_bucket_join")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.isEmpty,
+      s"bucketed join/agg shuffled:\n${hashEx.mkString("\n")}")
+  }
+
+  test("ts_seasonal_dow: MA window partitioned; seasonal table broadcasts") {
+    val q = SparkEntry.queries("ts_seasonal_dow")(spark, Sf001)
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "partition-less window in ts_seasonal_dow")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "seasonal table did not broadcast")
+  }
+
+  test("evt_rfm: no Window node anywhere (ranks come from " +
+      "Ranking.globalRowNumber, totals from a broadcast)") {
+    val q = SparkEntry.queries("evt_rfm")(spark, Sf001)
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, s"evt_rfm grew a window: $wins")
   }
 
   test("txt_bigram_novelty / join_asof_tol: no cartesian anywhere; the " +

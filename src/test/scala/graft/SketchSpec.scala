@@ -207,4 +207,91 @@ class SketchSpec extends SparkSuite {
         s"${r.getString(0)}: est $est vs exact $exact")
     }
   }
+
+  // ── KMV intersection ───────────────────────────────────────────────
+
+  /** The production intersection estimator from two O(k) sketches —
+    * the form sketch_kmv_intersect's window twin oracles. Membership of
+    * a union-sketch hash in a side's SKETCH is exact set membership: if
+    * h ∈ A and h is among the k smallest of A∪B, fewer than k union
+    * hashes are smaller, so fewer than k of A's are — h is in A's
+    * bottom-k. */
+  private def intersectEst(skA: List[String], skB: List[String]): Double = {
+    import graft.functions.{KmvSketch, KmvUnion}
+    val u = KmvUnion.reduce(skA, skB)
+    val c = u.count(h => skA.contains(h) && skB.contains(h))
+    c.toDouble * KmvSketch.finish(u) / math.min(KmvSketch.K, u.size)
+  }
+
+  test("two per-week KmvState sketches reproduce sketch_kmv_intersect's " +
+      "estimate bit-for-bit, fed raw duplicated events") {
+    import graft.functions.KmvState
+    val sp = spark
+    import sp.implicits._
+    val weekly = Tables.events(spark, SparkSuite.Sf001)
+      .select(expr("datediff(cast(ts as date), DATE'1970-01-01') div 7")
+        .as("wk"), col("user_id").cast("string").as("u"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(KmvState.toColumn.name("sk"))
+      .collect().toMap
+    val q = SparkEntry.queries("sketch_kmv_intersect")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(q.nonEmpty, "no consecutive week pairs in the fixture")
+    q.foreach { case (w, est) =>
+      val own = intersectEst(weekly(w), weekly(w + 1))
+      assert(own == est, s"week $w: sketches $own != query $est")
+    }
+  }
+
+  test("below k the intersection estimate IS the exact overlap (sf0.001)") {
+    val rows = SparkEntry.queries("sketch_kmv_intersect")(
+      spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) < graft.functions.KmvSketch.K,
+        s"fixture outgrew the exact branch: ${r.getLong(4)} union users")
+      assert(r.getDouble(6) == r.getLong(3).toDouble,
+        s"week ${r.getLong(0)}: est ${r.getDouble(6)} != " +
+          s"exact ${r.getLong(3)}")
+    }
+  }
+
+  test("partial-overlap corpus: intersection estimates usable per pair, " +
+      "unbiased-ish in the mean (8 disjoint 600-union / 200-shared pairs)") {
+    // 8 independent week pairs, each |A|=|B|=400, |A∩B|=200,
+    // |A∪B|=600 ≫ k=32, disjoint user universes, weeks strided by 3 so
+    // no cross-pair week is consecutive. The md5 draw is deterministic
+    // — a SINGLE pair's (k−1)/u_k union estimate has a heavy right
+    // tail (pair 0 here lands at 430), so the per-pair bound is
+    // order-of-magnitude (×3 either way) and the tighter claim is on
+    // the 8-pair mean (lands at 265; bound ±35% allows the estimator's
+    // skew, not arbitrary garbage).
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmvint").toString
+    val dayNs = 86400L * 1000000000L
+    val w0 = 3000L // an arbitrary epoch week
+    val rows = (0 until 8).flatMap { i =>
+      val (w, base) = (w0 + 3L * i, i * 1000L)
+      (0L until 400L).map(u => (w * 7 * dayNs, base + u)) ++
+        (200L until 600L).map(u => ((w + 1) * 7 * dayNs, base + u))
+    }
+    rows.toDF("ts", "user_id").write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("sketch_kmv_intersect")(spark, tmp)
+      .collect()
+    assert(out.length == 8, s"want 8 pairs, got:\n${out.mkString("\n")}")
+    out.foreach { r =>
+      assert(r.getLong(1) == 400 && r.getLong(2) == 400 &&
+        r.getLong(3) == 200 && r.getLong(4) == 600, r.toString)
+      val est = r.getDouble(6)
+      assert(est > 200.0 / 3 && est < 200.0 * 3,
+        s"week ${r.getLong(0)}: estimate $est out of order-of-magnitude")
+    }
+    val mean = out.map(_.getDouble(6)).sum / out.length
+    assert(math.abs(mean - 200.0) <= 70.0,
+      s"8-pair mean estimate $mean too far from 200")
+  }
 }
