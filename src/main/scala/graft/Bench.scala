@@ -36,6 +36,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // schema tripwire: report drift loudly but keep benching — a partial
+    // bench with a labeled cause beats an empty file (Verify, by
+    // contrast, hard-fails in preflight)
+    try Contract.violations(spark, sfDir).foreach(v =>
+      System.err.println(s"[bench] SCHEMA DRIFT: $v"))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] schema preflight failed: ${t.getMessage}") }
+
     // warm-up (untimed): session init, parquet footer reads, codegen of
     // a representative join+sort+agg pipeline
     try {
@@ -66,26 +74,43 @@ object Bench {
     // each query N times and reports the minimum (steady-state cost)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // (name, bestSec [negative = time-to-failure], firstErrorMessage)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        var firstErr: Option[String] = None
         val secs = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
+            catch { case t: Throwable =>
+              // keep the FIRST message: r6's 46-query outage was opaque
+              // precisely because the exception was discarded here
+              if (firstErr.isEmpty)
+                firstErr = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+                  .replaceAll("\\s+", " ").take(300))
+              false
+            }
           val sec = (System.nanoTime() - t0) / 1e9
           if (ok) sec else -sec
         }
-        (name, if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min)
+        (name,
+          if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min,
+          firstErr)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+    val errors = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
+    val errorMsgs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // peak-ish storage footprint of the shared caches (bytes in memory at
+    // batch end, i.e. after every query has populated its stages)
+    val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
@@ -110,7 +135,7 @@ object Bench {
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val qsCompact = slowest
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()

@@ -46,23 +46,37 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   /** THE one place the `spark.sql.legacy.parquet.nanosAsLong` flag is
     * set (every events.parquet reader — batch or streaming — calls
-    * this). It is a deliberate PROCESS-WIDE requirement, not a scoped
-    * read option: the flag only changes how ns-precision parquet
-    * timestamps (which Spark otherwise rejects outright) are surfaced —
-    * as raw long nanos — and no dataset in this engine reads ns parquet
-    * any other way, so there is no reader the sticky setting could
-    * change behind its back. Scoping set/restore around each read would
+    * this). The flag ONLY changes how ns-precision parquet timestamps
+    * (which Spark otherwise rejects outright) are surfaced — as raw long
+    * nanos; files with µs/ms timestamps are untouched, so keeping it set
+    * process-wide is harmless and lets the same reader accept either
+    * vintage of testdata. Scoping set/restore around each read would
     * race under concurrent query construction on the shared session. */
   def ensureNanosAsLong(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** events.parquet stores ns-precision timestamps, which Spark's parquet
-    * reader rejects; read them as raw nanos (legacy conf) and floor-divide
-    * to µs — exactly DuckDB's ns→µs truncation, so oracle parity holds. */
+  /** Normalize an events frame's `ts` to session TimestampType whatever
+    * the parquet stored: BIGINT (ns-precision file surfaced as raw nanos
+    * under [[ensureNanosAsLong]]) → floor-div to µs — exactly DuckDB's
+    * ns→µs truncation; TIMESTAMP_NTZ (µs file, Spark ≥3.4 NTZ inference)
+    * → direct cast, value-preserving because every session in this engine
+    * pins `spark.sql.session.timeZone=UTC`, matching DuckDB's naive read
+    * of the same file. Dispatching on the READ schema (not a config
+    * assumption) is the schema-drift tripwire the r6 outage demanded. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported parquet type $other — expected BIGINT " +
+        "nanos, TIMESTAMP, or TIMESTAMP_NTZ; testdata contract drifted")
+  }
+
+  /** events table with `ts` normalized to µs TimestampType regardless of
+    * the parquet's physical timestamp encoding (see [[normalizeTs]]). */
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
-    read(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    normalizeTs(read(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -22,6 +22,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema tripwire (VERDICT r6 #2): drift = one labeled failure here,
+    // not N opaque per-query analysis errors below
+    Contract.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

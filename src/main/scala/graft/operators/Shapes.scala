@@ -243,6 +243,46 @@ object Shapes {
           (col("n_days") === col("n_distinct")).as("is_unique"))
     },
 
+    // Entity → runtime-config dispatch as a data-plane query (SURVEY
+    // §2.9 chk_config; /root/reference/src/helpers.ts:20-46 getLogPath /
+    // getTenantIndex). The config table is a 2-row broadcast dimension
+    // (graft.Config.dim); requests derive entities from c_mktsegment
+    // (BUILDING→pw, AUTOMOBILE→wb, others → lowercase 2-char prefix, so
+    // fu/ho/ma are genuinely-invalid entities exercising the reference's
+    // throw branch — surfaced here as `dispatch_error`, with the strict
+    // abort form available as Config.requireAllKnown).
+    Q("chk_config",
+      s"""WITH cfg AS (
+        |  SELECT * FROM (VALUES
+        |    ('pw', 'logs/pw', 1, 'dd-contact-pw', '51130'),
+        |    ('wb', 'logs/wb', 0, 'dd-contact-wb', '51310'))
+        |    AS t(entity, logPath, tenantIndex, ddContactId, storeExpenseGl)
+        |), req AS (
+        |  SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'pw'
+        |                           WHEN 'AUTOMOBILE' THEN 'wb'
+        |                           ELSE lower(substr(c_mktsegment, 1, 2)) END AS entity,
+        |         COUNT(*) AS n_requests
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT r.entity, r.n_requests, c.logPath, c.tenantIndex,
+        |       c.ddContactId, c.storeExpenseGl,
+        |       CASE WHEN c.entity IS NULL
+        |            THEN '${graft.Config.InvalidEntityMsg}'
+        |            END AS dispatch_error
+        |FROM req r LEFT JOIN cfg c ON r.entity = c.entity""".stripMargin) {
+      (s, d) =>
+        val req = Tables.customer(s, d)
+          .select(when(col("c_mktsegment") === "BUILDING", "pw")
+            .when(col("c_mktsegment") === "AUTOMOBILE", "wb")
+            .otherwise(lower(substring(col("c_mktsegment"), 1, 2))).as("entity"))
+          .groupBy("entity").agg(count(lit(1)).as("n_requests"))
+        req.join(broadcast(graft.Config.dim(s)), Seq("entity"), "left")
+          .select(col("entity"), col("n_requests"), col("logPath"),
+            col("tenantIndex"), col("ddContactId"), col("storeExpenseGl"),
+            when(col("logPath").isNull, lit(graft.Config.InvalidEntityMsg))
+              .as("dispatch_error"))
+    },
+
     // ── §2.10 streaming (batch twin) ────────────────────────────────────
 
     // Tumbling event-time window aggregation — identical logic runs as a

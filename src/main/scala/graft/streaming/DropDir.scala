@@ -45,8 +45,8 @@ object DropDir {
       .option("pathGlobFilter", "events.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir)
-    // same ns→µs floor conversion as Tables.events
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same schema-dispatched ts normalization as Tables.events
+    val events = graft.Tables.normalizeTs(raw)
     val q = windowAgg(events).writeStream
       .format("memory").queryName(queryName)
       .outputMode("complete")

@@ -133,7 +133,7 @@ object StreamAnomaly {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select("event_type", "ts", "value")
     val q = flags(spark, raw, "0 seconds")
       .writeStream.format("memory").queryName(queryName)

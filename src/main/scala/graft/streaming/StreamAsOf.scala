@@ -148,7 +148,7 @@ object StreamAsOf {
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.Tables.normalizeTs)
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts", "value")
     val q = enrich(spark, side("click"), side("purchase"), "0 seconds")

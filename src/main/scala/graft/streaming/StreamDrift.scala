@@ -98,10 +98,9 @@ object StreamDrift {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet(srcDir).schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(srcDir))
       .select("event_type", "ts")
     val q = monitor(spark, raw, reference, "0 seconds")
       .writeStream.format("memory").queryName(queryName)

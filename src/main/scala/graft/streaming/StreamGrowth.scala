@@ -93,7 +93,7 @@ object StreamGrowth {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
     val q = curve(spark, raw, "0 seconds")
       .writeStream.format("memory").queryName(queryName)

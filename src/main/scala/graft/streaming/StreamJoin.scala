@@ -60,7 +60,7 @@ object StreamJoin {
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.Tables.normalizeTs)
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts")
     val q = clickErrorJoin(side("click"), side("error")).writeStream

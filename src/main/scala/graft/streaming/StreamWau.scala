@@ -118,7 +118,7 @@ object StreamWau {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
     val q = estimates(spark, raw, "0 seconds")
       .writeStream.format("memory").queryName(queryName)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** The testdata schema tripwire (VERDICT r6 #2): the contract holds
+  * against the real testdata, and a deliberately perturbed schema
+  * produces ONE labeled failure naming table+column, not a fan-out of
+  * analysis errors. */
+class ContractSpec extends SparkSuite {
+
+  test("contract holds for the shipped testdata (sf0.001 and sf0.01)") {
+    assert(Contract.violations(spark, SparkSuite.Sf0001).isEmpty)
+    assert(Contract.violations(spark, SparkSuite.Sf001).isEmpty)
+  }
+
+  test("every events.ts vintage normalizeTs handles is accepted") {
+    val base = Contract.actualSchemas(spark, SparkSuite.Sf0001)
+    for (t <- Seq(LongType, TimestampType, TimestampNTZType)) {
+      val perturbed = base.updated("events", StructType(
+        base("events").fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = t) else f)))
+      assert(Contract.violationsOf(perturbed).isEmpty, s"ts as $t")
+    }
+  }
+
+  test("a perturbed column type is one labeled violation") {
+    val base = Contract.actualSchemas(spark, SparkSuite.Sf0001)
+    val perturbed = base.updated("events", StructType(
+      base("events").fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = StringType) else f)))
+    val v = Contract.violationsOf(perturbed)
+    assert(v.size == 1)
+    assert(v.head.startsWith("events.ts:"))
+    assert(v.head.contains("string"))
+  }
+
+  test("a missing column and a missing table are labeled") {
+    val base = Contract.actualSchemas(spark, SparkSuite.Sf0001)
+    val noCol = base.updated("orders", StructType(
+      base("orders").fields.filterNot(_.name == "o_orderdate")))
+    assert(Contract.violationsOf(noCol)
+      .exists(_.startsWith("orders.o_orderdate: column missing")))
+    val noTable = base - "documents"
+    assert(Contract.violationsOf(noTable)
+      .exists(_.startsWith("documents: table missing")))
+  }
+
+  test("preflight throws one remediation-labeled error on drift") {
+    // point preflight at a dir that lacks the contracted tables
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    // one valid-but-wrong table so the read itself succeeds
+    spark.range(3).selectExpr("id as r_regionkey", "cast(id as string) as r_name")
+      .write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    val e = intercept[IllegalStateException](Contract.preflight(spark, tmp))
+    assert(e.getMessage.contains("TESTDATA SCHEMA DRIFT"))
+    assert(e.getMessage.contains("region.r_regionkey")) // bigint, not int
+  }
+}

@@ -153,7 +153,31 @@ class FnsSpec extends SparkSuite {
 
   test("config dispatch: known entities resolve, unknown throws") {
     assert(Config.forEntity("pw").storeExpenseGl == "51130")
-    assert(Config.forEntity("wb").tenantIndex == 1)
+    // reference index mapping: pw→1, wb→0 (helpers.ts:36-44)
+    assert(Config.forEntity("pw").tenantIndex == 1)
+    assert(Config.forEntity("wb").tenantIndex == 0)
     intercept[Config.UnknownEntityException] { Config.forEntity("xx") }
+  }
+
+  test("chk_config data plane: broadcast dispatch join + strict gate") {
+    val s = spark
+    import s.implicits._
+    val out = graft.SparkEntry.queries("chk_config")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getString(6))).toMap
+    // known entities carry their config, no error
+    assert(out("pw")._2.contains("logs/pw") && out("pw")._3 == null)
+    assert(out("wb")._2.contains("logs/wb") && out("wb")._3 == null)
+    // derived invalid entities carry the reference's exact message
+    val invalid = out.keySet -- Set("pw", "wb")
+    assert(invalid.nonEmpty)
+    invalid.foreach(e =>
+      assert(out(e)._2.isEmpty && out(e)._3 == Config.InvalidEntityMsg))
+    // strict form: the reference's throw branch
+    Config.requireAllKnown(Seq("pw", "wb").toDF("entity")) // no throw
+    val e = intercept[Config.UnknownEntityException] {
+      Config.requireAllKnown(Seq("pw", "zz").toDF("entity"))
+    }
+    assert(e.getMessage.contains("zz"))
   }
 }

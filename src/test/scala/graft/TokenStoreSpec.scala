@@ -137,8 +137,9 @@ class TokenStoreSpec extends AnyFunSuite {
   }
 
   test("activeTenant: entity index picks; empty list is a hard error") {
-    assert(Config.activeTenant("pw", Seq("t0", "t1")) == "t0")
-    assert(Config.activeTenant("wb", Seq("t0", "t1")) == "t1")
+    // reference index mapping: pw→1, wb→0 (helpers.ts:36-44)
+    assert(Config.activeTenant("pw", Seq("t0", "t1")) == "t1")
+    assert(Config.activeTenant("wb", Seq("t0", "t1")) == "t0")
     intercept[Config.NoTenantsException] {
       Config.activeTenant("pw", Nil)
     }
