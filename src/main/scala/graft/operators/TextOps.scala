@@ -121,6 +121,73 @@ object TextOps {
       |  FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  // ── shared ExactSubstr stages (dedup_substring / _cut) ───────────────
+
+  /** Merged duplicate-8-gram spans per doc, 1-based inclusive token
+    * positions — the DETECTION stage of ExactSubstr dedup, shared by
+    * dedup_substring (reports spans) and dedup_substring_cut (removes
+    * them). See dedup_substring's scaladoc for the scale shape. */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val g = withNearClones(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 7),
+        i => struct(i.as("i"),
+          xxhash64(concat_ws(" ", slice(col("t"), i, lit(8))))
+            .as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val dup = g.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val occ = g.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e"))
+    occ
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("gid", sum(
+        when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "gid")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+  }
+
+  /** [[dupSpans]] as DuckDB CTEs ending in
+    * `spans(doc_id, span_start, span_end)`; expects the `docs` CTE
+    * ([[withNearClonesSql]]) in scope. The oracle matches grams as
+    * STRINGS where Spark joins xxhash64 values — equivalent results
+    * absent a 64-bit collision inside this corpus. */
+  private val dupSpanCtes =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS t FROM docs
+       |), g AS (
+       |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+       |  FROM t, UNNEST(range(1, len(t) - 6)) AS r(i)
+       |  WHERE len(t) >= 8
+       |), dup AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+       |), occ AS (
+       |  SELECT g.doc_id, g.i AS s, g.i + 7 AS e
+       |  FROM g JOIN dup USING (gram)
+       |), m AS (
+       |  SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS pmax
+       |  FROM occ
+       |), grp AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                 AND CURRENT ROW) AS gid
+       |  FROM m
+       |), spans AS (
+       |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+       |  FROM grp GROUP BY doc_id, gid
+       |)""".stripMargin
+
   // ── shared MinHash pipeline stages ───────────────────────────────────
   // dedup_minhash and dedup_pipeline embed the SAME
   // shingle→signature→band→candidate subplans; defining them once means
@@ -649,64 +716,71 @@ object TextOps {
     // planted clones — TextOpsSpec replays the whole pipeline in-JVM.
     Q("dedup_substring",
       s"""WITH $withNearClonesSql,
-         |t AS (
-         |  SELECT doc_id, $toksSql AS t FROM docs
-         |), g AS (
-         |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
-         |  FROM t, UNNEST(range(1, len(t) - 6)) AS r(i)
-         |  WHERE len(t) >= 8
-         |), dup AS (
-         |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
-         |), occ AS (
-         |  SELECT g.doc_id, g.i AS s, g.i + 7 AS e
-         |  FROM g JOIN dup USING (gram)
-         |), m AS (
-         |  SELECT doc_id, s, e,
-         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-         |                      ROWS BETWEEN UNBOUNDED PRECEDING
-         |                      AND 1 PRECEDING) AS pmax
-         |  FROM occ
-         |), grp AS (
-         |  SELECT doc_id, s, e,
-         |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY doc_id ORDER BY s
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING
-         |                 AND CURRENT ROW) AS gid
-         |  FROM m
-         |)
-         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
-         |       CAST(MAX(e) AS BIGINT) AS span_end,
-         |       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
-         |FROM grp GROUP BY doc_id, gid
-         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("s")
-      val g = withNearClones(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => struct(i.as("i"),
-            xxhash64(concat_ws(" ", slice(col("t"), i, lit(8))))
-              .as("gram")))).as("g"))
-        .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
-      val dup = g.groupBy("gram").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("gram")
-      val occ = g.join(dup, Seq("gram"))
-        .select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e"))
-      occ
-        .withColumn("pmax",
-          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("gid", sum(
-          when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "gid")
-        .agg(min("s").cast("long").as("span_start"),
-          max("e").cast("long").as("span_end"),
-          (max("e") - min("s") + 1).cast("long").as("span_tokens"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          col("span_tokens"))
+         |$dupSpanCtes
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end,
+         |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      dupSpans(s, d)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          (col("span_end") - col("span_start") + 1).cast("long")
+            .as("span_tokens"))
         .orderBy("doc_id", "span_start")
+    },
+
+    // The REMOVAL half of ExactSubstr dedup: cut every duplicated span
+    // and reassemble the cleaned text. Duplicate positions come from
+    // exploding the (already-merged, hence disjoint) spans, so the cut
+    // is a plain (doc_id, position) equi-ANTI-join — no range join, no
+    // per-token span probe. Reassembly sorts the kept (position, token)
+    // structs INSIDE the aggregate (array_sort of collect_list), so no
+    // window and no per-doc shuffle beyond the one groupBy. Docs whose
+    // every token sat in a span come back as '' (the caller's
+    // drop-if-empty filter, kept visible rather than pre-applied).
+    Q("dedup_substring_cut",
+      s"""WITH $withNearClonesSql,
+         |$dupSpanCtes,
+         |pos AS (
+         |  SELECT t.doc_id, r.i, t.t[r.i] AS tok
+         |  FROM t, UNNEST(range(1, len(t.t) + 1)) AS r(i)
+         |), kept AS (
+         |  SELECT p.doc_id, p.i, p.tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |                    WHERE sp.doc_id = p.doc_id
+         |                      AND p.i BETWEEN sp.span_start AND sp.span_end)
+         |), kagg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |         COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN kagg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val pos = tk
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val dupPos = dupSpans(s, d)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end"))).as("i"))
+      val kagg = pos.join(dupPos, Seq("doc_id", "i"), "left_anti")
+        .groupBy("doc_id")
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      tk.select(col("doc_id"), size(col("t")).as("n_toks"))
+        .join(kagg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("long")
+            .as("n_removed"))
+        .orderBy("doc_id")
     },
 
     // ── MinHash + LSH banding ──────────────────────────────────────────
@@ -1500,6 +1574,52 @@ object TextOps {
             < col("thr"))
         .select(col("doc_id"), col("lang"), col("r").as("rate"))
         .orderBy("doc_id")
+    },
+
+    // Fractional-epoch source upsampling — the data-budget step of a
+    // pretraining mix (N.M "epochs" of a source ⇒ every doc appears
+    // floor(N.M) times plus one more with probability M, decided by a
+    // deterministic per-doc coin, txt_mix's salted-md5 convention).
+    // Budgets here derive from the source number (epochs ∈ {1.0, 1.5,
+    // 2.0, 2.5}) to stay self-contained; a real run joins a broadcast
+    // source→epochs dimension. Replication is a per-row generator
+    // explode — map-only, no shuffle, no join; the output manifest is
+    // (doc, copy) so downstream packing/shuffling sees distinct rows.
+    // Integer epoch math (ex2 = 2×epochs) keeps both engines exact —
+    // no float rate ever compared.
+    Q("txt_upsample",
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         2 + (CAST(substr(source, 4) AS INTEGER) % 4) AS ex2
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source, CAST(ex2 AS DOUBLE) / 2 AS target_epochs,
+        |         ex2 // 2
+        |         + (CASE WHEN ex2 % 2 = 1 AND
+        |              substr(md5(concat('up#', CAST(doc_id AS VARCHAR))), 1, 8)
+        |                < '80000000'
+        |            THEN 1 ELSE 0 END) AS n_copies
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(c.copy AS BIGINT) AS copy, source, target_epochs
+        |FROM n, UNNEST(range(1, n_copies + 1)) AS c(copy)
+        |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (lit(2) + substring(col("source"), 4, 10).cast("int") % 4)
+            .as("ex2"))
+        .withColumn("target_epochs", col("ex2").cast("double") / 2)
+        .withColumn("n_copies",
+          expr("ex2 div 2").cast("int") +
+            when(col("ex2") % 2 === 1 &&
+              substring(md5(concat(lit("up#"), col("doc_id").cast("string"))),
+                1, 8) < "80000000", 1).otherwise(0))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy"),
+          col("source"), col("target_epochs"))
+        .select(col("doc_id"), col("copy").cast("long").as("copy"),
+          col("source"), col("target_epochs"))
+        .orderBy("doc_id", "copy")
     },
 
     // ── LSH-Ensemble containment search: quote → host documents ────────

@@ -204,6 +204,27 @@ object Vectors {
   /** IVF search with the fixed quantizer — identical probe → inverted
     * list → exact-re-rank downstream as [[ivfTopK]], but deterministic
     * end-to-end and therefore oracle-checkable. */
+  /** Brute-force cosine top-k for the fixed 5-query probe set — the
+    * exactness baseline the ANN variants (and sim_ivf_recall) compare
+    * against. At scale this shape re-ranks candidate blocks only, never
+    * the corpus. */
+  def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val base = normed(s, d)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val c = base.select(col("vec_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(c, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("eq"), col("eb")) / (col("nq") * col("nb"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
   def ivfFixedTopK(s: SparkSession, d: String, k: Int, nlist: Int,
       nprobe: Int): DataFrame = {
     val assigned = normed(s, d).withColumn("list_id",
@@ -398,20 +419,50 @@ object Vectors {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM p) t
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-      val base = normed(s, d)
-      val q = base.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
-          col("nrm").as("nq"))
-      val c = base.select(col("vec_id"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      q.join(c, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dot(col("eq"), col("eb")) / (col("nq") * col("nb"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select("q_id", "rn", "vec_id", "cos")
-        .orderBy("q_id", "rn")
+      bruteTopK(s, d, 10)
+    },
+
+    // Recall@k of the IVF probe path against the brute-force ground
+    // truth — ANN quality measured AS A QUERY, so the probe/recall
+    // trade-off is observable in the same harness that times it ("
+    // measure, don't guess"). Hits counted via a LEFT join from the
+    // baseline list (both sides tiny: 5 queries × k), so recall is
+    // exact: |IVF∩BF| / k per query.
+    Q("sim_ivf_recall",
+      s"""WITH ${ivfFixedCtes(FixedNList, FixedNProbe)},
+         |bf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "b.embedding")}) / (q.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |    FROM q JOIN nrm b ON b.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |), ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) DESC, a.vec_id) AS rn
+         |    FROM probes pr
+         |    JOIN assigned a ON a.list_id = pr.list_id
+         |    JOIN q ON q.q_id = pr.q_id
+         |    WHERE a.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |)
+         |SELECT bf.q_id, CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(ivf.vec_id) AS DOUBLE) / 10 AS recall
+         |FROM bf LEFT JOIN ivf
+         |  ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin) { (s, d) =>
+      val bf = bruteTopK(s, d, 10).select("q_id", "vec_id")
+      val iv = ivfFixedTopK(s, d, 10, FixedNList, FixedNProbe)
+        .select(col("q_id").as("iq"), col("vec_id").as("iv"),
+          lit(1).as("hit"))
+      bf.join(iv, bf("q_id") === col("iq") && bf("vec_id") === col("iv"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")) / lit(10.0)).as("recall"))
+        .orderBy("q_id")
     },
 
     // Embedding-cosine near-duplicate pairs above a threshold, over an

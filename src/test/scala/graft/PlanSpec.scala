@@ -357,4 +357,33 @@ class PlanSpec extends SparkSuite {
     // one partial + one final hash aggregate pair over the explode
     assert(p.contains("HashAggregate"), p.take(400))
   }
+
+  test("dedup_substring_cut: span removal is an equi-anti-join, " +
+      "never a range probe") {
+    // duplicate positions come from exploding the merged spans, so the
+    // cut joins hashed on (doc_id, i) — a BETWEEN-shaped theta join
+    // would nested-loop every token against every span at corpus scale
+    val p = plan("dedup_substring_cut")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("txt_upsample: replication is map-only generator explode " +
+      "(no join, no mid-plan exchange)") {
+    val p = plan("txt_upsample")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Generate"), p.take(400))
+    // only the presentation sort may exchange
+    val body = p.substring(p.indexOf("Generate"))
+    assert(!body.contains("Exchange"),
+      "exchange below the generator:\n" + body.take(600))
+  }
+
+  test("sim_ivf_recall: baseline∩probe hit join broadcasts (both " +
+      "sides are k-per-query lists)") {
+    val p = plan("sim_ivf_recall")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

@@ -206,6 +206,65 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_substring_cut: token conservation; whole-clone docs " +
+      "come back empty") {
+    val out = SparkEntry.queries("dedup_substring_cut")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = (docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }).toMap
+    // every corpus doc present exactly once
+    assert(out.map(_._1).sorted == corpus.keys.toSeq.sorted)
+    def ntoks(t: String) = t.split(" ").count(_.nonEmpty)
+    out.foreach { case (id, clean, removed) =>
+      // conservation: kept + removed = original token count
+      assert(ntoks(clean) + removed == ntoks(corpus(id)),
+        s"doc $id: ${ntoks(clean)} kept + $removed removed != " +
+          s"${ntoks(corpus(id))}")
+      // kept text is a subsequence of the original (cutting reorders
+      // nothing)
+      val it = corpus(id).split(" ").filter(_.nonEmpty).iterator
+      assert(clean.split(" ").filter(_.nonEmpty)
+        .forall(tok => it.contains(tok)), s"doc $id not a subsequence")
+    }
+    // a doc duplicated end-to-end by its clone is cut to nothing
+    val whole = docs.filter { case (id, t) => id % 10 == 0 && ntoks(t) >= 8 }
+    assert(whole.nonEmpty)
+    whole.foreach { case (id, _) =>
+      assert(out.find(_._1 == id).get._2 == "", s"doc $id not emptied")
+    }
+  }
+
+  test("txt_upsample: copy counts follow the source budget exactly") {
+    val rows = SparkEntry.queries("txt_upsample")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, copies) =>
+      val n = copies.length
+      val epochs = copies.head._4
+      // floor(epochs) <= copies <= ceil(epochs), copy ids dense from 1
+      assert(n >= epochs.floor.toInt && n <= epochs.ceil.toInt)
+      assert(copies.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    }
+    // integer-epoch sources replicate exactly; fractional ones land
+    // between floor and ceil in aggregate (the md5 coin is ~fair)
+    val bySource = rows.groupBy(_._3)
+    bySource.foreach { case (_, rs) =>
+      val epochs = rs.head._4
+      val docs = rs.map(_._1).distinct.length
+      if (epochs == epochs.floor)
+        assert(rs.length == docs * epochs.toInt)
+      else {
+        assert(rs.length >= docs * epochs.floor.toInt &&
+          rs.length <= docs * epochs.ceil.toInt)
+      }
+    }
+  }
+
   test("txt_bigram_novelty ≡ in-JVM brute force on sf0.001") {
     val out = SparkEntry.queries("txt_bigram_novelty")(
       spark, SparkSuite.Sf0001).collect()

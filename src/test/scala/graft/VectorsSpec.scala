@@ -150,4 +150,26 @@ class VectorsSpec extends SparkSuite {
     // the parity split must be a real split everywhere
     assert(got.values.forall(v => v._1 > 0 && v._2 > 0))
   }
+
+  test("sim_ivf_recall: bounded, and probing EVERY list recovers the " +
+      "brute-force baseline exactly") {
+    val rec = SparkEntry.queries("sim_ivf_recall")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.length == 5)
+    rec.foreach { case (_, hits, recall) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0)
+    }
+    // partial probe must lose SOMETHING on this corpus (otherwise the
+    // recall query measures nothing)
+    assert(rec.exists(_._2 < 10))
+    // nprobe = nlist ⇒ candidate set = full corpus ⇒ IVF ≡ brute force
+    val full = Vectors.ivfFixedTopK(spark, Sf001, 10,
+        Vectors.FixedNList, Vectors.FixedNList)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Vectors.bruteTopK(spark, Sf001, 10)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute)
+  }
 }
