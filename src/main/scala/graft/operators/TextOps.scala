@@ -1366,6 +1366,53 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic global training shuffle: every doc gets a shard and
+    // a dense position inside it, both derived from a salted md5 — the
+    // "final shuffle" a training run reads, reproducible from the seed
+    // salt alone (no RNG state, no job-order dependence). Shard = the
+    // key's first hex nibble (16 shards); position = rank within the
+    // shard by key. NO corpus-scale window anywhere: ranks come from
+    // Ranking.globalRowNumber (range-partition + zipWithIndex) over
+    // (shard, key), converted to per-shard positions by subtracting the
+    // 16-row broadcast shard offsets — the agg_winsorized_dist pattern,
+    // so a shard of ANY size never passes through one partition.
+    Q("txt_shuffle_shard",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         md5(concat('sh#', CAST(doc_id AS VARCHAR))) AS key
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, key,
+        |         CAST(instr('0123456789abcdef', substr(key, 1, 1)) - 1
+        |              AS INTEGER) AS shard
+        |  FROM k
+        |)
+        |SELECT shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |                               ORDER BY key, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM sh ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("sh#"), col("doc_id").cast("string"))).as("key"))
+        .withColumn("shard",
+          (expr("instr('0123456789abcdef', substr(key, 1, 1))") - 1)
+            .cast("int"))
+      val ranked = Ranking.globalRowNumber(keyed,
+        Seq("shard", "key", "doc_id"), 32)
+      // shard-count-bounded (16-row) running offset — scale-safe by
+      // construction, same contract as evt_cum_users' days window
+      val off = keyed.groupBy("shard").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("shard", "off")
+      ranked.join(broadcast(off), Seq("shard"))
+        .select(col("shard"), (col("row_num") - col("off")).as("pos"),
+          col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
     // ── end-to-end near-dup pipeline: LSH candidates → exact re-rank ───
 
     // The composed production shape: MinHash-band candidate generation

@@ -465,6 +465,50 @@ object Vectors {
         .orderBy("q_id")
     },
 
+    // Semantic eval-set decontamination — the embedding-level twin of
+    // txt_contamination (n-gram overlap): drop training vectors too
+    // close to ANY eval vector (the leakage n-gram matching misses:
+    // paraphrases, translations, re-encodings). The eval set plays the
+    // role txt_contamination's eval shingle set plays: EVAL IS ALWAYS
+    // BROADCAST-SIZED, so the scan × eval product is a broadcast
+    // nested-loop over a constant — per-row work O(|eval|·dim), zero
+    // shuffle before the per-vector max. Five planted eval clones
+    // (vec_id+10000, the withNearClones convention) give the gate true
+    // positives; cosine math is the hash-proven dedup_embed kernel, so
+    // max_cos is bit-identical across engines.
+    Q("vec_decontaminate",
+      s"""WITH $normedSql,
+         |ev AS (SELECT vec_id AS e_id, embedding, nrm FROM nrm WHERE vec_id < 5),
+         |train AS (
+         |  SELECT vec_id, embedding, nrm FROM nrm WHERE vec_id >= 5
+         |  UNION ALL
+         |  SELECT e_id + 10000 AS vec_id, embedding, nrm FROM ev
+         |), mx AS (
+         |  SELECT t.vec_id,
+         |         MAX((${dotSql("t.embedding", "e.embedding")}) / (t.nrm * e.nrm))
+         |           AS max_cos
+         |  FROM train t CROSS JOIN ev e GROUP BY t.vec_id
+         |)
+         |SELECT vec_id, max_cos, max_cos >= 0.9 AS contaminated
+         |FROM mx ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val base = normed(s, d)
+      val ev = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("e_id"), col("embedding").as("ee"),
+          col("nrm").as("en"))
+      val train = base.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .unionByName(ev.select((col("e_id") + 10000).as("vec_id"),
+          col("ee").as("embedding"), col("en").as("nrm")))
+      train.crossJoin(broadcast(ev))
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("ee")) / (col("nrm") * col("en")))
+            .as("cos"))
+        .groupBy("vec_id").agg(max("cos").as("max_cos"))
+        .select(col("vec_id"), col("max_cos"),
+          (col("max_cos") >= 0.9).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-duplicate pairs above a threshold, over an
     // explicit candidate block (vec_id < 500). Brute-force all-pairs is
     // the verification stage, never the corpus-wide plan — at scale the

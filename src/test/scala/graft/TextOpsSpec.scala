@@ -265,6 +265,25 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("txt_shuffle_shard: a permutation into 16 shards with dense " +
+      "positions, reproducible from the salt alone") {
+    val rows = SparkEntry.queries("txt_shuffle_shard")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, SparkSuite.Sf0001).count()
+    // every doc exactly once, shards in [0, 16)
+    assert(rows.length == nDocs)
+    assert(rows.map(_._3).distinct.length == nDocs)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    // positions dense 1..n per shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // deterministic: a second run is bit-identical (no RNG state)
+    val again = SparkEntry.queries("txt_shuffle_shard")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("txt_bigram_novelty ≡ in-JVM brute force on sf0.001") {
     val out = SparkEntry.queries("txt_bigram_novelty")(
       spark, SparkSuite.Sf0001).collect()

@@ -172,4 +172,19 @@ class VectorsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(full == brute)
   }
+
+  test("vec_decontaminate: exactly the planted eval clones flag; the " +
+      "natural corpus stays clear of the gate") {
+    val rows = SparkEntry.queries("vec_decontaminate")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val flagged = rows.filter(_._3).map(_._1).sorted.toSeq
+    assert(flagged == (10000L to 10004L),
+      s"flagged ${flagged.mkString(",")}")
+    // planted clones are exact copies ⇒ cosine ≈ 1
+    rows.filter(_._3).foreach { case (_, mc, _) =>
+      assert(math.abs(mc - 1.0) < 1e-9) }
+    // the natural corpus sits far from the gate (max ≈ 0.40), so the
+    // 0.9 threshold separates cleanly rather than knife-edging
+    assert(rows.filterNot(_._3).forall(_._2 < 0.5))
+  }
 }
