@@ -25,8 +25,10 @@ object TextOps {
   // ── shared token expressions (Spark) + their SQL mirror ──────────────
 
   /** Non-empty whitespace tokens. */
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[operators] def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+  private[operators] val toksSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** Word-bigram shingles over 1-indexed tokens (docs all have ≥ 2
     * tokens; the `size >= 2` guard keeps Spark's descending `sequence`

@@ -509,6 +509,109 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    // SIGIR'09): the sparse token-cosine list and the dense embedding
+    // list fused by Σ 1/(60+rank) — rank-only fusion, so the two
+    // scoring scales never need calibration, and the arithmetic is two
+    // fixed-order double terms (engine-exact). The dense index covers
+    // only the embedded subset of the corpus (sf0.1: 2k of 5k docs) —
+    // exactly the asymmetry hybrid search exists for: sparse recalls
+    // outside the index, dense re-ranks inside it. Both lists are
+    // queries×k rows ⇒ the fusion join broadcasts; list construction
+    // reuses the proven txt_cosine_topk and bruteTopK kernels.
+    Q("sim_hybrid_rrf",
+      s"""WITH tq AS (
+         |  SELECT qid, unnest(t) AS term
+         |  FROM (SELECT doc_id AS qid, (${TextOps.toksSql})[1:30] AS t
+         |        FROM documents WHERE doc_id < 5) x
+         |), q AS (
+         |  SELECT qid, term, COUNT(*) AS tf_q FROM tq GROUP BY qid, term
+         |), td AS (
+         |  SELECT doc_id, unnest(t) AS term
+         |  FROM (SELECT doc_id, ${TextOps.toksSql} AS t FROM documents) x
+         |), d AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf_d FROM td GROUP BY doc_id, term
+         |), nq2 AS (
+         |  SELECT qid, SUM(tf_q * tf_q) AS q2 FROM q GROUP BY qid
+         |), nd2 AS (
+         |  SELECT doc_id, SUM(tf_d * tf_d) AS d2 FROM d GROUP BY doc_id
+         |), sdot AS (
+         |  SELECT q.qid, d.doc_id, SUM(q.tf_q * d.tf_d) AS num
+         |  FROM q JOIN d ON q.term = d.term
+         |  WHERE d.doc_id <> q.qid
+         |  GROUP BY q.qid, d.doc_id
+         |), sp AS (
+         |  SELECT qid, doc_id, rs FROM (
+         |    SELECT sdot.qid, sdot.doc_id,
+         |           row_number() OVER (PARTITION BY sdot.qid
+         |             ORDER BY CAST(num AS DOUBLE)
+         |               / sqrt(CAST(q2 AS DOUBLE) * d2) DESC, sdot.doc_id)
+         |             AS rs
+         |    FROM sdot JOIN nq2 USING (qid) JOIN nd2 USING (doc_id)) t
+         |  WHERE rs <= 10
+         |), $normedSql,
+         |ev AS (SELECT vec_id AS qid, embedding, nrm FROM nrm WHERE vec_id < 5),
+         |de AS (
+         |  SELECT qid, doc_id, rd FROM (
+         |    SELECT ev.qid, b.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY ev.qid
+         |             ORDER BY (${dotSql("ev.embedding", "b.embedding")})
+         |               / (ev.nrm * b.nrm) DESC, b.vec_id) AS rd
+         |    FROM ev JOIN nrm b ON b.vec_id <> ev.qid) t
+         |  WHERE rd <= 10
+         |), fused AS (
+         |  SELECT coalesce(sp.qid, de.qid) AS qid,
+         |         coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + sp.rs), 0)
+         |           + coalesce(CAST(1 AS DOUBLE) / (60 + de.rd), 0) AS rrf
+         |  FROM sp FULL OUTER JOIN de
+         |    ON sp.qid = de.qid AND sp.doc_id = de.doc_id
+         |)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |             ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val q = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(slice(TextOps.toks(col("text")), 1, 30)).as("term"))
+        .groupBy("qid", "term").agg(count(lit(1)).as("tf_q"))
+      val dd = docs
+        .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf_d"))
+      val nq2 = q.groupBy("qid").agg(sum(col("tf_q") * col("tf_q")).as("q2"))
+      val nd2 = dd.groupBy("doc_id")
+        .agg(sum(col("tf_d") * col("tf_d")).as("d2"))
+      val ws = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val sp = q.join(dd, Seq("term"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("tf_q") * col("tf_d")).as("num"))
+        .join(broadcast(nq2), Seq("qid"))
+        .join(broadcast(nd2), Seq("doc_id"))
+        .select(col("qid"), col("doc_id"),
+          (col("num").cast("double") /
+            sqrt(col("q2").cast("double") * col("d2"))).as("cos"))
+        .withColumn("rs", row_number().over(ws))
+        .filter(col("rs") <= 10)
+        .select("qid", "doc_id", "rs")
+      val de = bruteTopK(s, d, 10)
+        .select(col("q_id").as("qid"), col("vec_id").as("doc_id"),
+          col("rn").as("rd"))
+      val fused = sp.join(de, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+      fused
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("qid", "rank")
+    },
+
     // Embedding-cosine near-duplicate pairs above a threshold, over an
     // explicit candidate block (vec_id < 500). Brute-force all-pairs is
     // the verification stage, never the corpus-wide plan — at scale the

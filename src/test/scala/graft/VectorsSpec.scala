@@ -187,4 +187,30 @@ class VectorsSpec extends SparkSuite {
     // 0.9 threshold separates cleanly rather than knife-edging
     assert(rows.filterNot(_._3).forall(_._2 < 0.5))
   }
+
+  test("sim_hybrid_rrf: fused top-5 draws from BOTH retrieval lists " +
+      "and scores are the exact two-term RRF") {
+    val fused = SparkEntry.queries("sim_hybrid_rrf")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(fused.length == 25) // 5 queries × top-5
+    val dense = Vectors.bruteTopK(spark, Sf001, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    fused.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5).toSeq)
+      // equal per-rank scores force the lists to interleave, so the
+      // fused head must contain members of the dense list (and, unless
+      // the lists coincide, of the sparse one — every fused score is a
+      // one- or two-term RRF sum, so any non-dense doc IS sparse)
+      assert(rs.exists(r => dense.contains((qid, r._3))),
+        s"query $qid fused list ignores the dense list")
+      // every rrf score is attainable from ranks ≤ 10: it must equal
+      // 1/(60+a) + [0 or 1/(60+b)] for some a, b in 1..10
+      val legal = (for (a <- 1 to 10; b <- 0 to 10) yield
+        1.0 / (60 + a) + (if (b == 0) 0.0 else 1.0 / (60 + b))).toSet
+      rs.foreach { case (_, _, _, score) =>
+        assert(legal.exists(l => math.abs(l - score) < 1e-12),
+          s"score $score is not a two-term RRF sum") }
+    }
+  }
 }
