@@ -386,4 +386,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("vec_decontaminate: the eval product is a BROADCAST nested " +
+      "loop over a constant-size set — no shuffle join anywhere") {
+    // the deliberate exception to the no-nested-loop rule: eval is
+    // broadcast-sized by definition, so scan × eval is per-row work
+    val p = plan("vec_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("sim_hybrid_rrf: fusion and norm joins broadcast; no cartesian") {
+    val p = plan("sim_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
