@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * analysis errors. */
 class ContractSpec extends SparkSuite {
 
-  test("contract holds for the shipped testdata (sf0.001 and sf0.01)") {
+  test("contract holds for the shipped testdata (all three SFs)") {
     assert(Contract.violations(spark, SparkSuite.Sf0001).isEmpty)
     assert(Contract.violations(spark, SparkSuite.Sf001).isEmpty)
+    assert(Contract.violations(spark, "/root/testdata/sf0.1").isEmpty)
   }
 
   test("every events.ts vintage normalizeTs handles is accepted") {
