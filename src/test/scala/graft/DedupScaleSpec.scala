@@ -173,6 +173,12 @@ class DedupScaleSpec extends SparkSuite {
     assert(n2 >= n1 * k / 2, s"spans vanished: $n1 -> $n2")
     assert(m2 <= m1 * k * 2, s"removal mass superlinear: $m1 -> $m2")
     timeCheck(t2 <= t1 * k * 3 + 1.0, s"substring time superlinear: $t1 -> $t2")
+    // the cut removes EXACTLY the span mass (spans are merged-disjoint,
+    // so Σ n_removed ≡ Σ span_tokens) — pinned at the ×40 corpus, where
+    // a positions-explode bug or a range-join rewrite would first bite
+    val cutMass = SparkEntry.queries("dedup_substring_cut")(spark, d2)
+      .agg(sum("n_removed")).head.getLong(0)
+    assert(cutMass == m2, s"cut mass $cutMass != span mass $m2")
   }
 
   test("containment-LSH probe cost stays FLAT as the corpus grows " +
