@@ -66,7 +66,16 @@ object Tables {
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampType => df
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      // the NTZ→session-type cast re-interprets the naive value in the
+      // session zone; only UTC preserves the stored instant (and DuckDB
+      // parity). Every graft main pins UTC — fail loudly if a foreign
+      // session doesn't, rather than silently shifting every timestamp.
+      require(
+        df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events.ts is TIMESTAMP_NTZ: the cast to TimestampType is only " +
+          "value-preserving under spark.sql.session.timeZone=UTC")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     case other => throw new IllegalStateException(
       s"events.ts has unsupported parquet type $other — expected BIGINT " +
         "nanos, TIMESTAMP, or TIMESTAMP_NTZ; testdata contract drifted")
