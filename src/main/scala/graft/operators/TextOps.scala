@@ -25,7 +25,7 @@ object TextOps {
   // ── shared token expressions (Spark) + their SQL mirror ──────────────
 
   /** Non-empty whitespace tokens. */
-  private[operators] def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
   private[operators] val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -33,7 +33,7 @@ object TextOps {
   /** Word-bigram shingles over 1-indexed tokens (docs all have ≥ 2
     * tokens; the `size >= 2` guard keeps Spark's descending `sequence`
     * edge case and DuckDB's empty `range` aligned). */
-  private def bigrams(t: Column): Column =
+  private[graft] def bigrams(t: Column): Column =
     transform(sequence(lit(1), size(t) - 1),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
   private def bigramsSql(t: String): String =

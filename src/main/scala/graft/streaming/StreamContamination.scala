@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming ingest-time contamination gate — the streaming twin of the
+  * batch `txt_contamination` scan (operators/TextOps.scala): documents
+  * arriving in a drop directory are scored against a FROZEN eval
+  * shingle registry BEFORE they enter the training corpus (quarantine
+  * at ingest, not a scan after the leak).
+  *
+  * Shape: the registry is a STATIC side input — eval sets are small and
+  * versioned by definition, so at cluster scale it broadcasts; scoring
+  * is per-document, so the whole gate is stateless and runs inside
+  * `foreachBatch` as plain batch code (explode → registry join →
+  * per-doc aggregate). No watermark, no streaming-aggregation state:
+  * a document never spans files, so each micro-batch scores its own
+  * docs completely, and batch ids give the exactly-once accounting
+  * (the IdempotentSink contract; the memory buffer here plays the
+  * idempotent store's role for the hermetic harness).
+  */
+object StreamContamination {
+
+  /** Per-document contamination score — EXACTLY the batch
+    * txt_contamination kernel: distinct bigram shingles, left join
+    * against the registry, hit share per doc. Runs on any (micro-)
+    * batch of (doc_id, text) rows. */
+  def score(docs: DataFrame, evalSh: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val sh = docs
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(TextOps.bigrams(col("t"))).as("sx"))
+      .distinct()
+    sh.join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sx"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
+  /** The frozen eval registry: distinct bigrams of the eval split (the
+    * txt_contamination md5 predicate), built ONCE from the corpus dir
+    * and persisted — the version a real deployment would pin. */
+  def evalRegistry(spark: SparkSession, srcDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val isEval =
+      substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
+        .lt("10")
+    graft.Tables.documents(spark, srcDir)
+      .filter(isEval)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(TextOps.bigrams(col("t"))).as("sx"))
+      .distinct()
+  }
+
+  /** Drive the gate over the documents parquet in `srcDir` with
+    * AvailableNow; scored training docs land in an in-memory buffer
+    * (batch-id-tagged, the idempotent-store role) returned as one
+    * frame. Eval-split docs are not scored — they ARE the registry. */
+  def runAvailableNow(spark: SparkSession, srcDir: String): DataFrame = {
+    val registry = evalRegistry(spark, srcDir).persist()
+    registry.count() // freeze the version before the stream starts
+    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
+      .parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(srcDir)
+    val isEval =
+      substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
+        .lt("10")
+    val buf = scala.collection.mutable.ListBuffer.empty[Row]
+    val q = stream.filter(!isEval).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = score(batch, registry).collect()
+        buf.synchronized { buf ++= scored }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    registry.unpersist()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(buf.toSeq, 1),
+      score(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema), registry).schema)
+    out
+  }
+}
