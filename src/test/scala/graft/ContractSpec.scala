@@ -46,6 +46,30 @@ class ContractSpec extends SparkSuite {
       .exists(_.startsWith("documents: table missing")))
   }
 
+  test("normalizeTs: every vintage of the same instant reads identically") {
+    // the r6 bug class as a property: a ns-long file, a µs TIMESTAMP
+    // file, and a µs TIMESTAMP_NTZ file carrying the SAME instants must
+    // normalize to the same values. Post-epoch only (the testdata
+    // contract): `div 1000` truncates toward zero, which equals the
+    // floor DuckDB applies only for non-negative nanos.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val micros: Seq[Long] = Seq(0L, 1L, 999999L, 1700000000123456L) ++
+      SparkSuite.samples(
+        org.scalacheck.Gen.chooseNum(0L, 4102444800000000L), 40)
+    val nanos = micros.flatMap(u => Seq(u * 1000, u * 1000 + 999))
+    def instants(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.Tables.normalizeTs(df)
+        .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    val fromNs = instants(nanos.toDF("ts"))
+    val fromTs = instants(nanos.map(_ / 1000).toDF("x")
+      .select(timestamp_micros(col("x")).as("ts")))
+    val fromNtz = instants(nanos.map(_ / 1000).toDF("x")
+      .select(timestamp_micros(col("x")).cast(TimestampNTZType).as("ts")))
+    assert(fromNs == fromTs && fromTs == fromNtz)
+  }
+
   test("preflight throws one remediation-labeled error on drift") {
     // point preflight at a dir that lacks the contracted tables
     val tmp = java.nio.file.Files.createTempDirectory("drift").toString
