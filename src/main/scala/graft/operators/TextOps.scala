@@ -1636,6 +1636,68 @@ object TextOps {
     // (doc, copy) so downstream packing/shuffling sees distinct rows.
     // Integer epoch math (ex2 = 2×epochs) keeps both engines exact —
     // no float rate ever compared.
+    // Corpus snapshot diff — the audit a versioned data lake runs
+    // between ingest epochs (Delta/Iceberg snapshot compare as a plain
+    // query): per-source counts of added / removed / changed /
+    // unchanged docs. v2 is a deterministic simulated next epoch
+    // (every 13th doc dropped, every 17th edited, the %10 clones
+    // added), so the diff exercises all four branches. ONE full-outer
+    // key join; change detection compares md5(text), never the
+    // payloads; counts aggregate map-side — at 100 TB both snapshots
+    // are bucketed by doc_id so the join co-locates, and only hashes
+    // ride the shuffle (the snk_merge scale note).
+    Q("chk_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |), v2 AS (
+        |  SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' upd7')
+        |                  ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), d AS (
+        |  SELECT coalesce(v1.source, v2.source) AS source,
+        |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |              WHEN v2.doc_id IS NULL THEN 'removed'
+        |              WHEN v1.h <> v2.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT source,
+        |       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" upd7")))
+            .otherwise(col("text"))).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+            md5(col("text")).as("h")))
+      val d1 = v1.select(col("doc_id"), col("source").as("s1"), col("h").as("h1"))
+      val d2 = v2.select(col("doc_id"), col("source").as("s2"), col("h").as("h2"))
+      d1.join(d2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("s1"), col("s2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("status") === "added", 1).otherwise(0)).as("n_added"),
+          sum(when(col("status") === "removed", 1).otherwise(0)).as("n_removed"),
+          sum(when(col("status") === "changed", 1).otherwise(0)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1).otherwise(0)).as("n_unchanged"))
+        .orderBy("source")
+    },
+
     Q("txt_upsample",
       """WITH b AS (
         |  SELECT doc_id, source,

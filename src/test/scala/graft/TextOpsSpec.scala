@@ -284,6 +284,22 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("chk_snapshot_diff: all four branches populated and totals " +
+      "conserve both snapshots") {
+    val rows = SparkEntry.queries("chk_snapshot_diff")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (added, removed, changed, unchanged) =
+      (rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum, rows.map(_._5).sum)
+    assert(added > 0 && removed > 0 && changed > 0 && unchanged > 0)
+    val n = Tables.documents(spark, SparkSuite.Sf0001).count()
+    // v1 = removed + changed + unchanged; v2 = added + changed + unchanged
+    assert(removed + changed + unchanged == n)
+    assert(added + changed + unchanged ==
+      n - n / 13 - 1 + n / 10) // %13 drops (incl. 0), %10 clones (incl. 0)
+  }
+
   test("txt_bigram_novelty ≡ in-JVM brute force on sf0.001") {
     val out = SparkEntry.queries("txt_bigram_novelty")(
       spark, SparkSuite.Sf0001).collect()
