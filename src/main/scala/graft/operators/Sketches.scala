@@ -305,6 +305,83 @@ object Sketches {
         .select("event_type", "n", "p50_exact", "p90_exact",
           "p50_est", "p90_est")
         .orderBy("event_type")
+    },
+
+    // Incremental aggregate maintenance — the pattern that completes
+    // the incrementality trio (dedup_incremental admits new docs
+    // against the index, snk_merge folds row upserts): a per-day
+    // orders rollup maintained from a MATERIALIZED base epoch plus a
+    // new-arrivals delta epoch, where the epoch boundary cuts MID-DAY
+    // (o_orderkey % 4), so per-day partials genuinely merge instead of
+    // unioning disjoint days. Sums and counts add; distinct customers
+    // CANNOT add — the KMV state can (bottom-k(A∪B) = bottom-k of the
+    // merged bottom-ks, duplicate hashes deduped on insert), which is
+    // the whole reason the sketch column exists in a 100 TB rollup.
+    // Oracle = ONE full scan computing the identical day-level numbers
+    // — the incremental path is correct iff it is indistinguishable
+    // from recomputing the world, and the hash compare enforces that
+    // to the last bit. At scale: base partials are read, never
+    // recomputed; only the delta scans, and the merge shuffles O(k)
+    // sketch state + two numbers per day.
+    Q("agg_incremental_merge",
+      s"""WITH hh AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         md5(CAST(o_custkey AS VARCHAR)) AS h, o_totalprice
+         |  FROM orders
+         |), num AS (
+         |  SELECT day,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sales,
+         |         COUNT(*) AS n_orders
+         |  FROM hh GROUP BY day
+         |), dh AS (
+         |  SELECT DISTINCT day, h FROM hh
+         |), m AS (
+         |  SELECT day, h,
+         |         row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |         COUNT(*) OVER (PARTITION BY day) AS nd
+         |  FROM dh
+         |)
+         |SELECT m.day, num.sales, num.n_orders,
+         |       CASE WHEN nd < $K THEN CAST(nd AS DOUBLE)
+         |            ELSE ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
+         |                               / 4503599627370496.0) END AS est_customers
+         |FROM m JOIN num ON num.day = m.day
+         |WHERE rn = least($K, nd)
+         |ORDER BY m.day""".stripMargin) { (s, d) =>
+      import graft.functions.{KmvState, KmvUnion}
+      import s.implicits._
+      val M = Tables.M
+      val ords = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("day"),
+        col("o_custkey").cast("string").as("cust"),
+        col("o_totalprice"),
+        (col("o_orderkey") % 4 === 0).as("delta"))
+      // numeric partials per (day, epoch) — what the base would have
+      // materialized — then the day-level merge: sums/counts just add
+      val numPartial = ords.groupBy("day", "delta").agg(
+        sum(col("o_totalprice").cast(M)).as("psales"),
+        count(lit(1)).as("pn"))
+      val num = numPartial.groupBy("day").agg(
+        sum("psales").cast("double").as("sales"),
+        sum("pn").as("n_orders"))
+      // sketch partials per (day, epoch) via the typed O(k) aggregator,
+      // then one KmvUnion per day — the mergeable-distinct path
+      val states = ords
+        .select(concat_ws("|", col("day").cast("string"),
+          col("delta").cast("string")).as("k"), col("cust"))
+        .as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(KmvState.toColumn.name("sk"))
+        .map { case (k, sk) => (k.split('|')(0), sk) }
+      val est = states
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(KmvUnion.toColumn.name("est"))
+        .toDF("dayStr", "est_customers")
+        .select(col("dayStr").cast("date").as("day"), col("est_customers"))
+      num.join(est, Seq("day"))
+        .select(col("day"), col("sales"), col("n_orders"),
+          col("est_customers"))
+        .orderBy("day")
     }
   )
 }

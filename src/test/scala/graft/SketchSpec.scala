@@ -294,4 +294,34 @@ class SketchSpec extends SparkSuite {
     assert(math.abs(mean - 200.0) <= 70.0,
       s"8-pair mean estimate $mean too far from 200")
   }
+
+  test("agg_incremental_merge: the epoch cut genuinely splits days, " +
+      "and estimates are sane vs exact distinct") {
+    import org.apache.spark.sql.functions._
+    // the merge only proves mergeability if base and delta both carry
+    // rows for the SAME days — a day-aligned cut would reduce it to a
+    // trivial disjoint union
+    val parts = Tables.orders(spark, SparkSuite.Sf001)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_orderkey") % 4 === 0).as("delta"))
+      .groupBy("day").agg(countDistinct("delta").as("n"))
+    val days = parts.count()
+    assert(parts.filter(col("n") === 2).count() > days / 2,
+      "epoch cut is day-aligned — merge degenerates to disjoint union")
+    // estimates: exact below K (the common case at sf0.001), and never
+    // absurd above it
+    val exact = Tables.orders(spark, SparkSuite.Sf001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(countDistinct("o_custkey").as("nd"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    SparkEntry.queries("agg_incremental_merge")(spark, SparkSuite.Sf001)
+      .collect().foreach { r =>
+        val (day, est) = (r.getDate(0).toString, r.getDouble(3))
+        exact.get(day).foreach { nd =>
+          if (nd < 32) assert(est == nd.toDouble, s"$day: $est != exact $nd")
+          else assert(est > nd / 3.0 && est < nd * 3.0,
+            s"$day: estimate $est wild vs exact $nd")
+        }
+      }
+  }
 }
