@@ -402,4 +402,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("chk_snapshot_diff: one key join, hashes not payloads on the " +
+      "shuffle") {
+    val p = plan("chk_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the join compares md5 columns; the text payload must not survive
+    // past the scans into the join
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && !p.substring(0, joinIdx).contains("text,"),
+      "text payload rides the diff join")
+  }
+
+  test("agg_incremental_merge: partial-merge path has no cartesian " +
+      "and aggregates before joining") {
+    val p = plan("agg_incremental_merge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
 }
