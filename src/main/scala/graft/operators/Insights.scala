@@ -1,0 +1,533 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Cross-cutting BI / data-science operators layered on the same fixture
+  * tables: OLAP cube subtotals, distributed quantile bucketing (ntile
+  * without a global window), inter-event gap statistics, linear gap
+  * interpolation, series autocorrelation, an A/B-test z-score, monthly
+  * stickiness, a referential-integrity audit, and the co-purchase degree
+  * distribution. The reference's report layer computes these shapes
+  * downstream of its extracts (/root/reference/src/DataObject.ts:114-141
+  * pivots + probes per-department aggregates); here they are first-class
+  * engine queries.
+  *
+  * Engine-parity rules (shared with Analytics): money stays DECIMAL
+  * until ONE final double cast; any float output is a single pinned
+  * expression over exact integer/decimal aggregates (no double
+  * accumulation anywhere); date bucketing is integer day arithmetic or
+  * month truncation available identically in both engines.
+  *
+  * Scale notes are per-query; the recurring theme is that nothing here
+  * introduces a global single-task stage: the one "global" ordering
+  * (spend deciles) rides [[Ranking.globalRowNumber]]'s range-partition +
+  * zipWithIndex kernel, not an unpartitioned Window.
+  */
+object Insights {
+
+  /** Deterministic last-observation-per-day pick + per-user day grid —
+    * the shared spine of ts_interp_linear (and the LOCF twin
+    * ts_gapfill in Temporal). */
+  private def dayGrid(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val byDay = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("day", expr("us div 86400000000"))
+    val wLast = Window.partitionBy("user_id", "day")
+      .orderBy(col("us").desc, col("event_id").desc, col("value").desc)
+    val dayVal = byDay.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val grid = byDay.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    (grid, dayVal)
+  }
+
+  /** Anti-join orphan count for one FK edge, as a 1-row frame. Parents
+    * that are genuine dimensions broadcast; fact→fact edges (lineitem→
+    * orders) hash-join on the key both sides are bucketed by at scale. */
+  private def orphans(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+    val p0 = parent.select(col(pk)).distinct()
+    val p = if (bcast) broadcast(p0) else p0
+    child.select(col(ck))
+      .join(p, col(ck) === col(pk), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_orphans"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ── OLAP cube: priority × status subtotals ─────────────────────────
+
+    // The classic report cube: every (priority, status) cell plus both
+    // one-way margins plus the grand total in ONE pass — Spark expands
+    // the grouping sets BEFORE the exchange, so partial aggregation is
+    // still map-side and the shuffle carries (key, gid) pairs, not the
+    // raw fact. gid is the explicit bit formula (priority→2, status→1)
+    // rather than grouping_id() so the Spark and DuckDB columns are
+    // constructed identically.
+    Q("agg_cube",
+      """SELECT CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+        |         AS BIGINT) AS gid,
+        |       o_orderpriority AS priority, o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+        .cube("priority", "status")
+        .agg(
+          (grouping(col("priority")) * 2 + grouping(col("status")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Tables.M)).cast("double").as("total"))
+        .select("gid", "priority", "status", "n", "total")
+        .orderBy("gid", "priority", "status")
+    },
+
+    // ── customer spend deciles WITHOUT a global window ─────────────────
+
+    // ntile(10) over all customers by spend. The textbook form is a
+    // no-PARTITION window — one task sorts every customer at 100 TB.
+    // Here the global rank comes from Ranking.globalRowNumber (range
+    // repartition + zipWithIndex: fully parallel, deterministic), and
+    // ntile's larger-buckets-first arithmetic is recovered from (rank,
+    // n) in closed form, so the oracle can use native ntile() while the
+    // engine never materializes a single-task sort. n arrives via a
+    // broadcast-of-one-row scalar join (the repo's standard pattern).
+    Q("win_decile_spend",
+      """WITH sp AS (
+        |  SELECT o_custkey AS custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), t AS (
+        |  SELECT custkey, spend,
+        |         ntile(10) OVER (ORDER BY spend, custkey) AS decile
+        |  FROM sp
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(MIN(spend) AS DOUBLE) AS lo,
+        |       CAST(MAX(spend) AS DOUBLE) AS hi,
+        |       CAST(SUM(spend) AS DOUBLE) AS total
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice").cast(Tables.M)).as("spend"))
+      val ranked = Ranking.globalRowNumber(sp, Seq("spend", "custkey"), 32)
+      val cnt = sp.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(cnt))
+        // SQL ntile(k): first n%k buckets hold n div k + 1 rows, the
+        // rest n div k — recovered in closed form from the 1-based rank
+        .withColumn("decile",
+          when(expr("n div 10") === 0, col("row_num"))
+            .when(col("row_num") <= (expr("n div 10") + 1) * (col("n") % 10),
+              expr("(row_num - 1) div (n div 10 + 1) + 1"))
+            .otherwise(expr(
+              "n % 10 + (row_num - (n div 10 + 1) * (n % 10) - 1) " +
+                "div (n div 10) + 1")))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"),
+          min("spend").cast("double").as("lo"),
+          max("spend").cast("double").as("hi"),
+          sum("spend").cast("double").as("total"))
+        .orderBy("decile")
+    },
+
+    // ── inter-order gap statistics per customer ────────────────────────
+
+    // Days between consecutive orders — the repurchase-cadence feature
+    // behind churn models. One lag window partitioned by customer
+    // (bounded by a customer's order count, never corpus-scale), tie
+    // broken by orderkey so same-day orders are deterministic; all
+    // outputs are exact integer day arithmetic.
+    Q("win_order_gap",
+      """WITH o AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+        |         o_orderkey
+        |  FROM orders
+        |), g AS (
+        |  SELECT custkey,
+        |         date_diff('day',
+        |           lag(day) OVER (PARTITION BY custkey
+        |                          ORDER BY day, o_orderkey),
+        |           day) AS gap
+        |  FROM o
+        |)
+        |SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       CAST(MIN(gap) AS BIGINT) AS min_gap,
+        |       CAST(MAX(gap) AS BIGINT) AS max_gap,
+        |       CAST(SUM(gap) AS BIGINT) AS total_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY custkey ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("day"), col("o_orderkey"))
+      val w = Window.partitionBy("custkey").orderBy(col("day"), col("o_orderkey"))
+      o.withColumn("gap",
+          datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+        .filter(col("gap").isNotNull)
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_gap"),
+          max("gap").as("max_gap"), sum("gap").as("total_gap"))
+        .orderBy("custkey")
+    },
+
+    // ── linear interpolation onto the daily grid ───────────────────────
+
+    // ts_gapfill's sibling: unobserved days take the LINE between the
+    // surrounding observations instead of carrying the last one forward
+    // — the resample mode for continuous signals (sensor means, prices)
+    // where LOCF introduces staircase bias. Same bounded per-user grid
+    // (span × users, not event count); anchors come from two
+    // user-partitioned ignore-nulls windows; the interpolation itself
+    // is ONE pinned double expression per row (value is already a
+    // double — no accumulation, so engine parity is exact). Grid edges
+    // are always observed (the grid spans min..max observed day), so
+    // both anchors exist on every row.
+    Q("ts_interp_linear",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, us // 86400000000 AS day, us, event_id, value FROM ev
+        |), dv AS (
+        |  SELECT user_id, day, value AS day_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |              ORDER BY us DESC, event_id DESC, value DESC) AS rn
+        |    FROM d) x WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM d GROUP BY user_id
+        |), j AS (
+        |  SELECT g.user_id, g.day, dv.day_value,
+        |         last_value(dv.day_value IGNORE NULLS) OVER w_prev AS pv,
+        |         last_value(CASE WHEN dv.day_value IS NOT NULL THEN g.day END
+        |           IGNORE NULLS) OVER w_prev AS pd,
+        |         first_value(dv.day_value IGNORE NULLS) OVER w_next AS nv,
+        |         first_value(CASE WHEN dv.day_value IS NOT NULL THEN g.day END
+        |           IGNORE NULLS) OVER w_next AS nd
+        |  FROM grid g LEFT JOIN dv
+        |    ON g.user_id = dv.user_id AND g.day = dv.day
+        |  WINDOW
+        |    w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY g.user_id ORDER BY g.day
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, day,
+        |       CAST(CASE WHEN day_value IS NOT NULL THEN day_value
+        |                 ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE)
+        |                             / CAST(nd - pd AS DOUBLE)
+        |            END AS DOUBLE) AS value_interp,
+        |       day_value IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val (grid, dayVal) = dayGrid(s, d)
+      val wP = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(dayVal, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(wP).as("pv"),
+          last(when(col("day_value").isNotNull, col("day")),
+            ignoreNulls = true).over(wP).as("pd"),
+          first(col("day_value"), ignoreNulls = true).over(wN).as("nv"),
+          first(when(col("day_value").isNotNull, col("day")),
+            ignoreNulls = true).over(wN).as("nd"))
+        .select(col("user_id"), col("day"),
+          when(col("day_value").isNotNull, col("day_value"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("day") - col("pd")).cast("double")
+              / (col("nd") - col("pd")).cast("double"))
+            .as("value_interp"),
+          col("day_value").isNotNull.as("observed"))
+        .orderBy("user_id", "day")
+    },
+
+    // ── autocorrelation of daily revenue (lags 1..7) ────────────────────
+
+    // Pearson r between the daily-revenue series and itself shifted by
+    // k CALENDAR days (missing days simply pair nothing — no imputation
+    // baked into the statistic). Window-free by design: the shift is an
+    // EQUI-join on an integer day index against a 7-row broadcast lag
+    // table, so the series never funnels through one task. The series
+    // is QUANTIZED to integer $1000 units first: with cent-precision
+    // sums, Σxy ≈ 10²¹ exceeds 2⁵³ and the decimal→double cast rounds
+    // DIFFERENTLY across engines (measured ~10⁻¹⁶ relative drift —
+    // DuckDB's int128→double is not correctly rounded at that
+    // magnitude); in $1000 units every sufficient statistic stays an
+    // int64 below 2⁵³, so every double cast is EXACT and r is bit-equal
+    // by construction. Floor-div parity: both operands are non-negative,
+    // where DuckDB's flooring // and Spark's truncating div agree.
+    Q("ts_acf",
+      """WITH dly AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |           CAST(o_orderdate AS DATE)) AS di,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100
+        |           AS BIGINT) // 100000 AS rev
+        |  FROM orders GROUP BY 1
+        |), lags AS (
+        |  SELECT unnest(generate_series(1, 7)) AS k
+        |), p AS (
+        |  SELECT l.k, a.rev AS x, b.rev AS y
+        |  FROM lags l JOIN dly b ON TRUE
+        |  JOIN dly a ON a.di = b.di + l.k
+        |), st AS (
+        |  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY k
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |       CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS DOUBLE) AS acf
+        |FROM st ORDER BY k""".stripMargin) { (s, d) =>
+      val dly = Tables.orders(s, d)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).as("di"))
+        .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+          .cast("long").as("cents"))
+        .select(col("di"), expr("cents div 100000").as("rev"))
+      val lags = s.range(1, 8).select(col("id").as("k"))
+      val shifted = dly.select(col("di").as("bdi"), col("rev").as("y"))
+        .crossJoin(broadcast(lags))
+        .select(col("k"), (col("bdi") + col("k")).as("di"), col("y"))
+      val st = dly.select(col("di"), col("rev").as("x"))
+        .join(shifted, Seq("di"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      st.select(col("k"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("acf"))
+        .orderBy("k")
+    },
+
+    // ── two-proportion z-test on a deterministic A/B split ─────────────
+
+    // Conversion lift between user_id-parity cohorts (the deterministic
+    // stand-in for an assignment table): per-user conversion is an
+    // exact MAX flag, cohort counts are exact BIGINTs, and the pooled
+    // two-proportion z statistic is one pinned double expression over
+    // those four integers — the whole test is a single user_id-keyed
+    // aggregate plus a scalar fold, no per-variant scan. Conversion is
+    // a HIGH-VALUE purchase (value > 150): every user in the fixture
+    // makes some purchase, so the plain flag would be constant-1 and
+    // the pooled variance zero (z = x/0 trips ANSI; the threshold keeps
+    // p strictly inside (0,1) at every SF).
+    Q("evt_ab_lift",
+      """WITH u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+        |       CAST(CAST(ca AS DOUBLE) / na AS DOUBLE) AS rate_a,
+        |       CAST(CAST(cb AS DOUBLE) / nb AS DOUBLE) AS rate_b,
+        |       CAST((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+        |            / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |                   * (CAST(1 AS DOUBLE)
+        |                      - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |                   * (CAST(1 AS DOUBLE) / na
+        |                      + CAST(1 AS DOUBLE) / nb))
+        |         AS DOUBLE) AS z
+        |FROM g""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val g = u.agg(
+        sum(when(col("grp") === 0, 1).otherwise(0)).as("na"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0)).as("ca"),
+        sum(when(col("grp") === 1, 1).otherwise(0)).as("nb"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0)).as("cb"))
+      val pPool =
+        (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      g.select(col("na").as("n_a"), col("ca").as("conv_a"),
+        col("nb").as("n_b"), col("cb").as("conv_b"),
+        (col("ca").cast("double") / col("na")).as("rate_a"),
+        (col("cb").cast("double") / col("nb")).as("rate_b"),
+        ((col("cb").cast("double") / col("nb")
+          - col("ca").cast("double") / col("na"))
+          / sqrt(pPool * (lit(1).cast("double") - pPool)
+            * (lit(1).cast("double") / col("na")
+              + lit(1).cast("double") / col("nb")))).as("z"))
+    },
+
+    // ── monthly stickiness (avg DAU / MAU) ─────────────────────────────
+
+    // The engagement ratio product analytics watches monthly: mean
+    // daily actives over the month divided by monthly actives. All
+    // counts exact; one pinned double division chain at the end. The
+    // (day,user) dedup is the only event-scale shuffle; DAU and MAU
+    // both reduce it to calendar-sized frames before the join.
+    Q("evt_stickiness",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+        |), mau AS (
+        |  SELECT date_trunc('month', day) AS month,
+        |         COUNT(DISTINCT user_id) AS mau
+        |  FROM du GROUP BY 1
+        |)
+        |SELECT CAST(m.month AS DATE) AS month,
+        |       CAST(SUM(a.dau) AS BIGINT) AS sum_dau,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(m.mau AS BIGINT) AS mau,
+        |       CAST(CAST(SUM(a.dau) AS DOUBLE) / COUNT(*) / m.mau AS DOUBLE)
+        |         AS stickiness
+        |FROM dau a JOIN mau m ON date_trunc('month', a.day) = m.month
+        |GROUP BY m.month, m.mau ORDER BY month""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = du.select(trunc(col("day"), "month").as("month"), col("user_id"))
+        .groupBy("month").agg(countDistinct("user_id").as("mau"))
+      dau.withColumn("month", trunc(col("day"), "month"))
+        .join(broadcast(mau), Seq("month"))
+        .groupBy("month", "mau")
+        .agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
+        .select(col("month"), col("sum_dau"), col("n_days"), col("mau"),
+          (col("sum_dau").cast("double") / col("n_days") / col("mau"))
+            .as("stickiness"))
+        .orderBy("month")
+    },
+
+    // ── referential-integrity audit across every FK edge ───────────────
+
+    // The pre-publication orphan scan a warehouse runs after each load:
+    // one anti-join per FK edge, each a 1-row count, unioned into one
+    // report. Dimension parents (nation, region, part, supplier,
+    // customer) broadcast; the fact→fact edge hash-joins on the shared
+    // bucket key. The "[parents%97 purged]" row is the planted
+    // perturbation (FIXTURES.md convention): a deterministically
+    // thinned parent set proving the probe actually fires — the clean
+    // edges all report 0 on consistent testdata.
+    Q("chk_fk_orphans",
+      """SELECT 'customer->nation' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_nationkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem->orders[parents%97 purged]', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_suppkey IS NULL
+        |UNION ALL
+        |SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_regionkey IS NULL
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT)
+        |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_nationkey IS NULL
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val cu = Tables.customer(s, d)
+      val na = Tables.nation(s, d)
+      Seq(
+        orphans("customer->nation", cu, "c_nationkey", na, "n_nationkey",
+          bcast = true),
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey",
+          bcast = false),
+        orphans("lineitem->orders[parents%97 purged]", li, "l_orderkey",
+          o.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey", bcast = false),
+        orphans("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey", bcast = true),
+        orphans("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", bcast = true),
+        orphans("nation->region", na, "n_regionkey",
+          Tables.region(s, d), "r_regionkey", bcast = true),
+        orphans("orders->customer", o, "o_custkey", cu, "c_custkey",
+          bcast = true),
+        orphans("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          na, "n_nationkey", bcast = true)
+      ).reduce(_ unionByName _).orderBy("fk")
+    },
+
+    // ── degree distribution of the co-purchase graph ───────────────────
+
+    // The first diagnostic run on any graph before choosing algorithms
+    // (is it power-law? where's the hub cutoff?). Same windowed edge
+    // set as graph_triangles (parts < 400, orient a < b, DISTINCT), an
+    // UNDIRECTED degree via the symmetric union, then a count-of-counts
+    // — two hash aggregates, no joins beyond the edge build.
+    Q("graph_degree_dist",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |), deg AS (
+        |  SELECT p, COUNT(*) AS deg FROM (
+        |    SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) x
+        |  GROUP BY p
+        |)
+        |SELECT CAST(deg AS BIGINT) AS degree,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY deg ORDER BY degree""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+      e.select(col("p1").as("p"))
+        .unionByName(e.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .select(col("deg").as("degree"), col("n_nodes"))
+        .orderBy("degree")
+    }
+  )
+}

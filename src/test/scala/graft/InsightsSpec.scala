@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Independent twins and invariants for the Insights module. The DuckDB
+  * oracle already pins engine parity; these tests pin SEMANTICS against
+  * in-JVM sequential replays (interp, gaps, acf, z) and closed-form
+  * invariants (cube margins, handshake lemma, ntile ≡ window ntile).
+  */
+class InsightsSpec extends SparkSuite {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, SparkSuite.Sf0001)
+
+  test("win_decile_spend ≡ native ntile window twin") {
+    val got = q("win_decile_spend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sorted
+    val sp = Tables.orders(spark, SparkSuite.Sf0001)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(Tables.M)).as("spend"))
+    val w = Window.orderBy(col("spend"), col("custkey"))
+    val want = sp.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+        min("spend").cast("double").as("lo"),
+        max("spend").cast("double").as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == want)
+  }
+
+  test("win_decile_spend plan has no Window node (the scale contract)") {
+    val plan = q("win_decile_spend").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global-window leak:\n$plan")
+  }
+
+  test("ts_interp_linear ≡ sequential replay; observed days pass through") {
+    val rows = q("ts_interp_linear").collect()
+    assert(rows.nonEmpty)
+    // replay: per user, last value per day (by us, event_id, value desc),
+    // then straight-line segments between observed days
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val byDay = es.groupBy(e => e._2 / 86400000000L).map { case (day, g) =>
+        day -> g.maxBy(e => (e._2, e._3, e._4))._4
+      }
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      (d0 to d1).map { day =>
+        val v = byDay.get(day).getOrElse {
+          val (pd, pv) = byDay.filter(_._1 < day).maxBy(_._1)
+          val (nd, nv) = byDay.filter(_._1 > day).minBy(_._1)
+          pv + (nv - pv) * (day - pd).toDouble / (nd - pd).toDouble
+        }
+        (u, day) -> (v, byDay.contains(day))
+      }
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, (v, obs)) =>
+      val (gv, gobs) = got(k)
+      assert(gobs == obs, s"observed flag at $k")
+      assert(gv == v, s"value at $k: got $gv want $v")
+    }
+  }
+
+  test("ts_acf: 7 lags in [-1,1], exact vs in-JVM sufficient statistics") {
+    val rows = q("ts_acf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    rows.foreach { case (_, _, a) => assert(a >= -1.0 && a <= 1.0) }
+    // exact replay: daily revenue quantized to $1000 units, pairs at
+    // calendar lag k
+    val dly = Tables.orders(spark, SparkSuite.Sf0001)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1992-01-01"))).as("di"))
+      .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1) / 100000L))
+      .toMap
+    rows.foreach { case (k, n, acf) =>
+      val pairs = dly.toSeq.flatMap { case (di, x) =>
+        dly.get(di - k.toInt).map(y => (x, y)) }
+      assert(pairs.size.toLong == n)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val nd = n.toDouble
+      val want = (nd * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(nd * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(nd * syy.toDouble - sy.toDouble * sy.toDouble))
+      assert(math.abs(acf - want) < 1e-12, s"lag $k: got $acf want $want")
+    }
+  }
+
+  test("evt_ab_lift: z recomputes from the four counts") {
+    val r = q("evt_ab_lift").collect().head
+    val (na, ca, nb, cb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na > 0 && nb > 0)
+    // the high-value threshold must keep pooled p inside (0,1) — a
+    // degenerate p would zero the variance (z = x/0 trips ANSI)
+    assert(ca + cb > 0 && ca + cb < na + nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (cb.toDouble / nb - ca.toDouble / na) /
+      math.sqrt(p * (1d - p) * (1d / na + 1d / nb))
+    assert(r.getDouble(6) == z)
+    // cohorts partition the user base
+    val users = Tables.events(spark, SparkSuite.Sf0001)
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+  }
+
+  test("agg_cube: margins are consistent") {
+    val rows = q("agg_cube").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.getLong(3)))
+    val total = Tables.orders(spark, SparkSuite.Sf0001).count()
+    // gid bit semantics: 0=cell, 1=status rolled up, 2=priority rolled
+    // up, 3=grand total; every stratum re-sums to the corpus
+    (0L to 3L).foreach { gid =>
+      assert(rows.filter(_._1 == gid).map(_._4).sum == total, s"gid=$gid")
+    }
+    val grand = rows.filter(_._1 == 3L)
+    assert(grand.length == 1 && grand.head._2 && grand.head._3)
+    // null pattern matches the gid bits everywhere
+    rows.foreach { case (gid, pNull, sNull, _) =>
+      assert(pNull == ((gid & 2L) != 0) && sNull == ((gid & 1L) != 0))
+    }
+  }
+
+  test("chk_fk_orphans: clean edges 0, planted purge fires exactly") {
+    val got = q("chk_fk_orphans").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 8)
+    val planted = "lineitem->orders[parents%97 purged]"
+    got.filterKeys(_ != planted).foreach { case (fk, n) =>
+      assert(n == 0L, s"unexpected orphans on clean edge $fk")
+    }
+    val want = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_orderkey") % 97 === 0).count()
+    assert(want > 0 && got(planted) == want)
+  }
+
+  test("graph_degree_dist: handshake lemma") {
+    val rows = q("graph_degree_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val e = li.select(col("ok"), col("p").as("p1"))
+      .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2")).select("p1", "p2").distinct().count()
+    assert(rows.map { case (deg, n) => deg * n }.sum == 2 * e)
+  }
+
+  test("win_order_gap ≡ sequential replay") {
+    val got = q("win_order_gap").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val o = Tables.orders(spark, SparkSuite.Sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val want = o.groupBy(_._1).flatMap { case (c, os) =>
+      val days = os.sortBy(r => (r._2.toEpochDay, r._3)).map(_._2.toEpochDay)
+      val gaps = days.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.isEmpty) None
+      else Some(c -> (gaps.size.toLong, gaps.min, gaps.max, gaps.sum))
+    }
+    assert(got == want)
+  }
+
+  test("evt_stickiness: ratio bounds and month arithmetic") {
+    val rows = q("evt_stickiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sumDau, nDays, mau, s) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nDays >= 1 && nDays <= 31)
+      assert(s > 0.0 && s <= 1.0, s"stickiness $s out of (0,1]")
+      assert(s == sumDau.toDouble / nDays / mau)
+    }
+  }
+}
