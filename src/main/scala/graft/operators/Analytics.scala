@@ -1549,6 +1549,97 @@ object Analytics {
               - col("s_num").cast("double") / col("s_den").cast("double"))
             .as("residual"))
         .orderBy("event_type", "day")
+    },
+
+    // ── time-to-convert distribution ───────────────────────────────────
+
+    // Days from a user's FIRST event to their FIRST purchase, as a
+    // day-bucket histogram — the activation-latency curve growth teams
+    // read next to the funnel. One user_id aggregate computes both
+    // firsts as conditional minima (no per-stage self-joins — same
+    // single-shuffle discipline as evt_funnel), then the histogram is a
+    // calendar-sized second aggregate. All math is exact integral
+    // microseconds; buy_us ≥ first_us by construction so DuckDB's
+    // flooring // and Spark's truncating div agree.
+    Q("evt_time_to_convert",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |         MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS buy_us
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CAST((buy_us - first_us) // 86400000000 AS BIGINT)
+        |         AS days_to_convert,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MIN(buy_us - first_us) AS BIGINT) AS min_us,
+        |       CAST(MAX(buy_us - first_us) AS BIGINT) AS max_us
+        |FROM u WHERE buy_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("buy_us"))
+      u.filter(col("buy_us").isNotNull)
+        .withColumn("lat", col("buy_us") - col("first_us"))
+        .groupBy(expr("lat div 86400000000").as("days_to_convert"))
+        .agg(count(lit(1)).as("n_users"), min("lat").as("min_us"),
+          max("lat").as("max_us"))
+        .orderBy("days_to_convert")
+    },
+
+    // ── exponentially weighted moving average (dyadic, exact) ──────────
+
+    // EWMA of daily revenue with α = 1/2 over a trailing 10-day calendar
+    // window. EWMA is inherently recursive — the scale-hostile forms are
+    // a sequential scan (single task) or a float window sum (order-
+    // dependent across engines). Both dissolve under DYADIC weights:
+    // w_k = 2^(9−k) is an exact BIGINT, so numerator and denominator
+    // are exact integer sums over the ≤10 contributing days and the
+    // division is ONE pinned double op. The calendar shift is the same
+    // broadcast-lag-table equi-join as ts_acf (zero windows, zero
+    // sequential stages; missing days simply contribute nothing and the
+    // denominator renormalizes). Truncating the tail at k=9 bounds the
+    // weight error at 2⁻¹⁰ of the open-ended EWMA — below the cent.
+    Q("ts_ewma",
+      """WITH dly AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |           CAST(o_orderdate AS DATE)) AS di,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), lags AS (
+        |  SELECT k, CAST(power(2, 9 - k) AS BIGINT) AS w
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS k)
+        |), c AS (
+        |  SELECT t.di, s.cents, l.w
+        |  FROM dly t JOIN lags l ON TRUE
+        |  JOIN dly s ON s.di = t.di - l.k
+        |)
+        |SELECT CAST(di AS BIGINT) AS di,
+        |       CAST(COUNT(*) AS BIGINT) AS n_src,
+        |       CAST(CAST(SUM(cents * w) AS BIGINT) AS DOUBLE)
+        |         / CAST(SUM(w) AS BIGINT) / 100 AS ewma
+        |FROM c GROUP BY di ORDER BY di""".stripMargin) { (s, d) =>
+      val dly = Tables.orders(s, d)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).as("di"))
+        .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+          .cast("long").as("cents"))
+      val lags = s.range(0, 10).select(col("id").as("k"),
+        pow(lit(2), lit(9) - col("id")).cast("long").as("w"))
+      val contrib = dly.select(col("di").as("sdi"), col("cents"))
+        .crossJoin(broadcast(lags))
+        .select((col("sdi") + col("k")).as("di"), col("cents"), col("w"))
+      dly.select(col("di").cast("long").as("di"))
+        .join(contrib, Seq("di"))
+        .groupBy("di")
+        .agg(count(lit(1)).as("n_src"),
+          sum(col("cents") * col("w")).as("num"), sum("w").as("den"))
+        .select(col("di"), col("n_src"),
+          (col("num").cast("double") / col("den") / 100).as("ewma"))
+        .orderBy("di")
     }
   )
 }

@@ -528,6 +528,50 @@ object Insights {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .select(col("deg").as("degree"), col("n_nodes"))
         .orderBy("degree")
+    },
+
+    // ── Benford first-digit audit on order totals ──────────────────────
+
+    // The forensic-accounting screen: the leading-digit distribution of
+    // amounts vs Benford's law p(d) = log₁₀(1 + 1/d), with the per-digit
+    // χ² contribution. First digit is extracted EXACTLY — money goes
+    // through the decimal cents cast (never double×100, whose truncation
+    // rounds differently across engines) and the digit is the first char
+    // of the integer's string form (every o_totalprice ≥ 1, no sign/zero
+    // cases). One map-side-combined 9-group aggregate over the scan;
+    // expected proportions and χ² terms are pinned per-row double
+    // expressions — no float aggregation anywhere, so the χ² SUM is the
+    // consumer's one fold over 9 rows.
+    Q("chk_benford",
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |           * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders
+        |), g AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |       CAST(CAST(n AS DOUBLE) / total AS DOUBLE) AS p_obs,
+        |       CAST(ln(1 + CAST(1 AS DOUBLE) / digit) / ln(10) AS DOUBLE)
+        |         AS p_benford,
+        |       CAST(power(CAST(n AS DOUBLE)
+        |              - total * (ln(1 + CAST(1 AS DOUBLE) / digit) / ln(10)), 2)
+        |            / (total * (ln(1 + CAST(1 AS DOUBLE) / digit) / ln(10)))
+        |         AS DOUBLE) AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+      val g = Tables.orders(s, d)
+        .select(substring((col("o_totalprice").cast(Tables.M) * 100)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").cast("long").as("total"))
+      val pBen = log(lit(1) + lit(1).cast("double") / col("digit")) / log(lit(10))
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total")).as("p_obs"),
+          pBen.as("p_benford"),
+          (pow(col("n").cast("double") - col("total") * pBen, 2)
+            / (col("total") * pBen)).as("chi2_term"))
+        .orderBy("digit")
     }
   )
 }

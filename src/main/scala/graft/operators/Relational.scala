@@ -452,6 +452,63 @@ object Relational {
         .union(c.filter(col("amount") < 0).select("id"))
         .distinct()
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Semi join — "has at least one" membership probes (the reference
+    // runs these as row-existence checks before pushing batches,
+    // /root/reference/src/helpers.ts:200-214 verification loop). LEFT
+    // SEMI is the right plan shape at scale: the probe side streams, the
+    // build side deduplicates inside the hash table (no post-join
+    // DISTINCT over a fanned-out result), and only the left columns
+    // survive so nothing widens. The priority filter pushes to the
+    // orders scan before the exchange.
+    Q("join_exists_semi",
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // EXCEPT — churn: customers active in 1994 but silent in 1995.
+    // Spark's `except` is EXCEPT DISTINCT (same as SQL): one shuffle on
+    // custkey with both year filters pushed to the scans; no window, no
+    // self-join. At 100 TB both branches aggregate to customer-sized
+    // sets before the set op compares them.
+    Q("set_except_churn",
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      def active(y: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate").cast("date")) === y)
+        .select(col("o_custkey").as("custkey"))
+      active(1995).except(active(1996)).orderBy("custkey")
+    },
+
+    // INTERSECT — loyalty: customers active in BOTH 1995 and 1996 (the
+    // retention complement of set_except_churn; same single-shuffle
+    // plan, Spark's `intersect` is INTERSECT DISTINCT).
+    Q("set_intersect_loyal",
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      def active(y: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate").cast("date")) === y)
+        .select(col("o_custkey").as("custkey"))
+      active(1995).intersect(active(1996)).orderBy("custkey")
     }
   )
 }

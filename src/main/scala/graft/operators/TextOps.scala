@@ -1917,6 +1917,172 @@ object TextOps {
         .select(col("qid"), col("rank"), col("doc_id"), col("num"),
           col("cos"))
         .orderBy("qid", "rank")
+    },
+
+    // ── pointwise mutual information collocations ──────────────────────
+
+    // Corpus-level collocation mining (the phrase-vocabulary step of a
+    // tokenizer/vocab pipeline — word2vec's phrase pass, Mikolov et al.
+    // 2013 §4): PMI(w1,w2) = ln( p(w1w2) / (p(w1)·p(w2)) ) over exact
+    // corpus counts, min support 5, top-50. Scale shape: two exploded
+    // hash aggregates (token counts, bigram counts — both map-side
+    // combined), then the bigram table joins the VOCAB-sized unigram
+    // table twice (broadcast) and a distributed TakeOrdered picks the
+    // top-k — nothing all-pairs, nothing corpus-scale past the two
+    // aggregates. Engine parity: counts exact BIGINT; the association
+    // strength is reported as the LIFT ratio e^PMI = p(w1w2)/(p(w1)p(w2))
+    // rather than the log — lift is monotone with PMI (identical
+    // ranking) but needs only IEEE-exact ×/÷ in one pinned order,
+    // where ln() is 1-ulp engine-dependent (JVM Math.log vs libm —
+    // measured divergence); ties broken (w1, w2).
+    Q("txt_pmi_bigrams",
+      s"""WITH t AS (SELECT $toksSql AS t FROM documents),
+         |u AS (SELECT unnest(t) AS w FROM t),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w),
+         |bg AS (SELECT unnest(${bigramsSql("t")}) AS b FROM t),
+         |bi AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY b),
+         |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nu,
+         |               (SELECT CAST(SUM(n_pair) AS BIGINT) FROM bi) AS nb)
+         |SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         |       n_pair, u1.c AS n_w1, u2.c AS n_w2,
+         |       CAST((CAST(n_pair AS DOUBLE) / nb)
+         |            / ((CAST(u1.c AS DOUBLE) / nu)
+         |               * (CAST(u2.c AS DOUBLE) / nu)) AS DOUBLE) AS lift
+         |FROM bi CROSS JOIN tot
+         |JOIN uni u1 ON split_part(b, ' ', 1) = u1.w
+         |JOIN uni u2 ON split_part(b, ' ', 2) = u2.w
+         |WHERE n_pair >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(toks(col("text")).as("t"))
+      val uni = t.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val biAll = t.select(explode(bigrams(col("t"))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_pair"))
+      val tot = uni.agg(sum("c").cast("long").as("nu"))
+        .crossJoin(biAll.agg(sum("n_pair").cast("long").as("nb")))
+      val u1 = uni.select(col("w").as("w1"), col("c").as("n_w1"))
+      val u2 = uni.select(col("w").as("w2"), col("c").as("n_w2"))
+      biAll.filter(col("n_pair") >= 5)
+        .select(split(col("b"), " ").getItem(0).as("w1"),
+          split(col("b"), " ").getItem(1).as("w2"), col("n_pair"))
+        .join(broadcast(u1), Seq("w1"))
+        .join(broadcast(u2), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+          ((col("n_pair").cast("double") / col("nb"))
+            / ((col("n_w1").cast("double") / col("nu"))
+              * (col("n_w2").cast("double") / col("nu")))).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
+    // ── per-document unigram entropy + lexical-diversity counters ──────
+
+    // The Shannon-entropy quality signal (low entropy = repetitive /
+    // template text, a standard pretraining filter axis alongside the
+    // Gopher rules): H = ln n − (Σ c·ln c)/n over per-doc term counts,
+    // plus type-token ratio and hapax count. The float hazard — Σ c·ln c
+    // is a SUM of doubles whose accumulation order differs across
+    // engines — is eliminated by FIXED-POINT quantization: each term
+    // contributes floor(c·ln c · 10⁶) as an exact BIGINT, the per-doc
+    // sum is exact integer math (order-free), and the one double
+    // division at the end is pinned. Quantization error is < |types|/10⁶
+    // nats — noise for a quality score, and bit-identical in both
+    // engines BY CONSTRUCTION rather than by accumulation-order luck.
+    // The OUTPUT is transcendental-free too: the closing ln(n) term is
+    // itself floor-quantized, so entropy = exact_int / n / 10⁶ — two
+    // IEEE-exact divisions (a bare ln(n) in the output proved 1-ulp
+    // engine-dependent, JVM Math.log vs libm). Scale shape: explode →
+    // one (doc_id, term) hash aggregate → one doc_id aggregate; both
+    // map-side combined, zero joins, zero windows.
+    Q("txt_entropy",
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM e GROUP BY doc_id, w),
+         |f AS (SELECT doc_id, c,
+         |        CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |                   * 1000000) AS BIGINT) AS fp
+         |      FROM c),
+         |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        CAST(COUNT(*) AS BIGINT) AS n_types,
+         |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_hapax,
+         |        CAST(SUM(fp) AS BIGINT) AS sfp
+         |      FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |       CAST(CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+         |                   AS BIGINT) * n_tokens - sfp AS DOUBLE)
+         |            / n_tokens / 1000000 AS DOUBLE) AS entropy,
+         |       CAST(CAST(n_types AS DOUBLE) / n_tokens AS DOUBLE) AS ttr
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      c.select(col("doc_id"), col("c"),
+          floor(col("c").cast("double") * log(col("c").cast("double"))
+            * 1000000).as("fp"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1).otherwise(0)).as("n_hapax"),
+          sum("fp").as("sfp"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          ((floor(log(col("n_tokens").cast("double")) * 1000000)
+            * col("n_tokens") - col("sfp")).cast("double")
+            / col("n_tokens") / 1000000).as("entropy"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    // ── bigram language-model score (perplexity-proxy quality) ─────────
+
+    // The KenLM-shaped fluency filter (CCNet, Wenzek et al. 2020 scores
+    // documents by LM perplexity and keeps the fluent tail): train a
+    // bigram MLE on the corpus itself — p(w2|w1) = c(w1w2)/c(w1·) —
+    // and score each document by its mean bigram log-probability
+    // (perplexity is exp(−avg_lp), left to the consumer: exp() is
+    // 1-ulp engine-dependent, JVM vs libm, so it can't be an oracled
+    // output column). Same fixed-point contract as txt_entropy: each
+    // bigram occurrence contributes floor(ln p · 10⁶) as an exact
+    // BIGINT (ln p ≤ 0; floor is toward −∞ in both engines), so the
+    // per-doc mean is exact integer math plus IEEE-exact divisions in
+    // one pinned order. Scale shape: the corpus-
+    // scale stream (doc bigram occurrences) hash-joins the bigram-vocab
+    // count table on the bigram key and broadcasts the unigram-prefix
+    // table — the model tables are vocab-sized, the stream is touched
+    // once, and the final aggregate is map-side combined on doc_id.
+    Q("txt_lm_score",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(${bigramsSql("t")}) AS b FROM t),
+         |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY b),
+         |cw AS (SELECT split_part(b, ' ', 1) AS w1,
+         |              CAST(SUM(cxy) AS BIGINT) AS cx
+         |       FROM cb GROUP BY 1),
+         |p AS (SELECT g.doc_id,
+         |        CAST(floor(ln(CAST(cb.cxy AS DOUBLE) / cw.cx) * 1000000)
+         |          AS BIGINT) AS fp
+         |      FROM bg g JOIN cb ON g.b = cb.b
+         |      JOIN cw ON split_part(g.b, ' ', 1) = cw.w1),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |        CAST(SUM(fp) AS BIGINT) AS sfp
+         |      FROM p GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |       CAST(CAST(sfp AS DOUBLE) / 1000000 / n_bigrams AS DOUBLE)
+         |         AS avg_lp
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+      val bg = t.select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
+      val cb = bg.groupBy("b").agg(count(lit(1)).as("cxy"))
+      val cw = cb.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+        .agg(sum("cxy").cast("long").as("cx"))
+      val p = bg.join(cb, Seq("b"))
+        .join(broadcast(cw), split(col("b"), " ").getItem(0) === col("w1"))
+        .select(col("doc_id"),
+          floor(log(col("cxy").cast("double") / col("cx")) * 1000000).as("fp"))
+      p.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("fp").as("sfp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sfp").cast("double") / 1000000 / col("n_bigrams")).as("avg_lp"))
+        .orderBy("doc_id")
     }
   )
 

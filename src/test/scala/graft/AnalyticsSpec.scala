@@ -338,4 +338,53 @@ class AnalyticsSpec extends SparkSuite {
         s"($t,$ed) residual")
     }
   }
+
+  test("evt_time_to_convert: buckets partition exactly the purchasing " +
+      "users; latencies replay") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkSuite.Sf0001
+    val rows = SparkEntry.queries("evt_time_to_convert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lat = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val first = es.map(_._2).min
+      val buys = es.filter(_._3 == "purchase").map(_._2)
+      if (buys.isEmpty) None else Some(buys.min - first)
+    }.toSeq
+    assert(rows.map(_._2).sum == lat.size, "user partition")
+    val want = lat.groupBy(_ / 86400000000L).map { case (b, ls) =>
+      b -> ((ls.size.toLong, ls.min, ls.max)) }
+    rows.foreach { case (b, n, mn, mx) =>
+      assert(want(b) == ((n, mn, mx)), s"bucket $b") }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted, "bucket order")
+  }
+
+  test("ts_ewma: dyadic EWMA replays exactly from daily cents; " +
+      "flat-series fixed point") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkSuite.Sf0001
+    val rows = SparkEntry.queries("ts_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cents = Tables.orders(spark, sf)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1992-01-01"))).as("di"))
+      .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == cents.keySet, "one output day per input day")
+    rows.foreach { case (di, nSrc, ewma) =>
+      val contrib = (0 until 10).flatMap { k =>
+        cents.get(di - k).map(c => (c, 1L << (9 - k))) }
+      assert(contrib.size.toLong == nSrc, s"day $di n_src")
+      val num = contrib.map { case (c, w) => c * w }.sum
+      val den = contrib.map(_._2).sum
+      assert(ewma == num.toDouble / den / 100, s"day $di ewma")
+    }
+    // fixed point: a constant series must reproduce the constant
+    val flat = (0 until 10).map(k => (1234500L, 1L << (9 - k)))
+    assert(flat.map { case (c, w) => c * w }.sum.toDouble /
+      flat.map(_._2).sum / 100 == 12345.0)
+  }
 }

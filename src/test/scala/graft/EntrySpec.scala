@@ -38,4 +38,31 @@ class EntrySpec extends SparkSuite {
     assert(SparkEntry.queries("join_verify_anti")(spark, Sf001).count() > 0)
     assert(SparkEntry.queries("chk_balance_warn")(spark, Sf001).count() > 0)
   }
+
+  test("join_exists_semi ≡ inner-join-distinct twin; " +
+      "except/intersect partition the 1995 actives") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkSuite.Sf0001
+    val semi = SparkEntry.queries("join_exists_semi")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val twin = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(urgent).sorted.toSeq
+    assert(semi == twin, "semi join ≡ filtered customers")
+
+    def active(y: Int) = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate").cast("date")) === y)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val (a95, a96) = (active(1995), active(1996))
+    val churn = SparkEntry.queries("set_except_churn")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val loyal = SparkEntry.queries("set_intersect_loyal")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(churn == a95.diff(a96) && loyal == a95.intersect(a96))
+    assert((churn ++ loyal) == a95 && churn.intersect(loyal).isEmpty,
+      "except ∪ intersect partitions the 1995 actives")
+  }
 }

@@ -188,4 +188,25 @@ class InsightsSpec extends SparkSuite {
       assert(s == sumDau.toDouble / nDays / mau)
     }
   }
+
+  test("chk_benford: digit counts partition the orders; expected " +
+      "proportions sum to 1; chi-square terms replay") {
+    val rows = q("chk_benford").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nOrders = Tables.orders(spark, SparkSuite.Sf0001).count()
+    assert(rows.map(_._2).sum == nOrders, "counts partition orders")
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 9), "digits in 1..9")
+    assert(math.abs(rows.map(_._4).sum +
+      (1 to 9).filter(d => !rows.exists(_._1 == d))
+        .map(d => math.log(1 + 1.0 / d) / math.log(10)).sum - 1.0) < 1e-12,
+      "Benford proportions sum to 1")
+    val total = rows.map(_._2).sum
+    rows.foreach { case (d, n, pObs, pBen, chi) =>
+      assert(pObs == n.toDouble / total, s"digit $d p_obs")
+      assert(pBen == math.log(1 + 1.0 / d) / math.log(10), s"digit $d p_ben")
+      val e = total * pBen
+      assert(chi == math.pow(n.toDouble - e, 2) / e, s"digit $d chi2")
+    }
+  }
 }

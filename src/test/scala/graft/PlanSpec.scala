@@ -422,4 +422,42 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(p.contains("HashAggregate"), p.take(400))
   }
+
+  test("join_exists_semi: LEFT SEMI plan with the priority filter " +
+      "pushed to the orders scan") {
+    val p = plan("join_exists_semi")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("o_orderpriority"), "filter visible in plan")
+    // no post-join dedup: the semi join IS the distinct
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(!p.substring(0, semiIdx).contains("HashAggregate"),
+      "post-join distinct defeats the semi-join shape")
+  }
+
+  test("set_except_churn / set_intersect_loyal: year filters reach the " +
+      "scans; no cartesian") {
+    for (n <- Seq("set_except_churn", "set_intersect_loyal")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: ${p.take(600)}")
+      assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+        p.contains("o_orderdate"), s"$n: date filter not near the scan")
+    }
+  }
+
+  test("txt_pmi_bigrams: vocab tables broadcast; top-50 is a " +
+      "distributed TakeOrdered, not a global sort") {
+    val p = plan("txt_pmi_bigrams")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), "limit did not fuse")
+  }
+
+  test("txt_lm_score / ts_ewma / evt_time_to_convert: no windows, no " +
+      "cartesian products in the plans") {
+    for (n <- Seq("txt_lm_score", "ts_ewma", "evt_time_to_convert")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n grew a window")
+      assert(!p.contains("CartesianProduct"), s"$n cartesian")
+    }
+  }
 }

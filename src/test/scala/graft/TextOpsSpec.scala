@@ -422,4 +422,86 @@ class TextOpsSpec extends SparkSuite {
         q == qid && v._1 == qid }, s"q$qid self-hit disagreement")
     }
   }
+
+  test("txt_pmi_bigrams: lift replays from exact corpus counts; " +
+      "top-50 ranking deterministic") {
+    val got = SparkEntry.queries("txt_pmi_bigrams")(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == 50)
+    // exact in-JVM replay of the counts
+    val docs = Tables.documents(spark, Sf001).select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bi = docs.flatMap(t => t.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity)
+      .map { case (b, g) => b -> g.size.toLong }
+    val nu = uni.values.sum
+    val nb = bi.values.sum
+    got.foreach { case (w1, w2, np, n1, n2, lift) =>
+      assert(bi((w1, w2)) == np && uni(w1) == n1 && uni(w2) == n2,
+        s"counts for ($w1,$w2)")
+      val want = (np.toDouble / nb) / ((n1.toDouble / nu) * (n2.toDouble / nu))
+      assert(lift == want, s"lift for ($w1,$w2)")
+    }
+    // non-increasing lift (exact tie order is the oracle's concern)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._6 >= b._6, "ranking order")
+      case _ => ()
+    }
+  }
+
+  test("txt_entropy: quantized-entropy invariants + exact one-doc replay") {
+    val rows = SparkEntry.queries("txt_entropy")(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, types, hapax, h, ttr) =>
+      assert(hapax <= types && types <= n, s"doc $id counters")
+      // H in [0, ln n] up to the 1e-6 fixed-point quantization
+      assert(h >= -1e-6 && h <= math.log(n.toDouble) + 1e-6, s"doc $id H=$h")
+      assert(ttr == types.toDouble / n, s"doc $id ttr")
+    }
+    // exact replay for one doc, including the fixed-point contract
+    val (id0, n0, _, _, h0, _) = rows.minBy(_._1)
+    val text = Tables.documents(spark, Sf001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === id0)
+      .select("text").collect().head.getString(0)
+    val cs = text.split(" ").filter(_.nonEmpty).groupBy(identity)
+      .map(_._2.size.toLong)
+    val sfp = cs.map(c => math.floor(c.toDouble * math.log(c.toDouble)
+      * 1e6).toLong).sum
+    val want = (math.floor(math.log(n0.toDouble) * 1e6).toLong * n0 - sfp)
+      .toDouble / n0 / 1e6
+    assert(h0 == want, s"doc $id0 entropy replay")
+  }
+
+  test("txt_lm_score: MLE sanity (avg_lp <= 0; per-prefix probs sum to 1) " +
+      "+ exact one-doc replay") {
+    val rows = SparkEntry.queries("txt_lm_score")(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, lp) =>
+      assert(nb >= 1 && lp <= 0.0, s"doc $id n=$nb avg_lp=$lp") }
+    // model replay: bigram MLE over the corpus, fixed-point scoring
+    val docs = Tables.documents(spark, Sf001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val allBi = docs.flatMap(_._2.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))))
+    val cb = allBi.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val cw = cb.groupBy(_._1._1).map { case (w, g) => w -> g.values.sum }
+    // per-prefix conditional probabilities sum to 1 exactly (rationals)
+    cw.keys.take(20).foreach { w =>
+      val s = cb.collect { case ((a, _), c) if a == w => c }.sum
+      assert(s == cw(w), s"prefix $w mass")
+    }
+    val (idR, toksR) = docs.minBy(_._1)
+    val fps = toksR.sliding(2).filter(_.size == 2).map { p =>
+      val b = (p(0), p(1))
+      math.floor(math.log(cb(b).toDouble / cw(p(0))) * 1e6).toLong
+    }.toSeq
+    val want = fps.sum.toDouble / 1e6 / fps.size
+    val gotR = rows.find(_._1 == idR).get
+    assert(gotR._2 == fps.size && gotR._3 == want, s"doc $idR lm replay")
+  }
 }
