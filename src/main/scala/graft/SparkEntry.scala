@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Api, Docs, Fuzzy, Graph, Insights, Inventory, Layout, Multimodal, Relational, Rollup, Scalars, Shapes, Sketches, Skew, Temporal, TextOps, Vectors}
+import graft.operators.{Analytics, Api, Docs, Fuzzy, Graph, Insights, Inventory, Layout, Multimodal, Relational, Rollup, Scalars, Selection, Shapes, Sketches, Skew, Temporal, TextOps, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 registers one `Q` in a
@@ -14,7 +14,8 @@ object SparkEntry {
       Rollup.queries ++ TextOps.queries ++ Vectors.queries ++
       Multimodal.queries ++ Api.queries ++ Inventory.queries ++ Docs.queries ++
       Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Layout.queries ++
-      Analytics.queries ++ Fuzzy.queries ++ Skew.queries ++ Insights.queries
+      Analytics.queries ++ Fuzzy.queries ++ Skew.queries ++
+      Insights.queries ++ Selection.queries
 
   /** Flagship query (the DD daily rollup, SURVEY §3.3) on sf0.001;
     * driver smoke-checks rows > 0. */

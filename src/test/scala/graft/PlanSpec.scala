@@ -460,4 +460,26 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$n cartesian")
     }
   }
+
+  test("txt_sample_pps: the corpus prefix sum is shard-partitioned; " +
+      "only the 16-row offsets frame may single-partition") {
+    val p = plan("txt_sample_pps")
+    // the doc-scale window must carry the shard partition spec
+    assert(p.contains("Window") && p.contains("[shard"),
+      "corpus running sum lost its shard partitioning:\n" + p.take(1200))
+    // side frames join back as broadcasts, never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the scan prunes to (doc_id, text) — weight needs no other column
+    assert(p.contains("ReadSchema"), p.take(400))
+  }
+
+  test("txt_dsir: 256-row model joins back as a broadcast; no " +
+      "corpus-side cartesian") {
+    val p = plan("txt_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "model join is not a broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("Window"), "txt_dsir grew a window")
+  }
 }
