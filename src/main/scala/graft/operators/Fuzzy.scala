@@ -122,6 +122,123 @@ object Fuzzy {
       dirty.join(res, Seq("dirty_name"))
         .select(col("dirty_id"), col("match_key"), col("lev_dist"))
         .orderBy("dirty_id")
+    },
+
+    // ── Fellegi–Sunter blocked record linkage ──────────────────────────
+
+    // Probabilistic entity resolution (Fellegi & Sunter 1969) over a
+    // dirty feed vs the clean customer registry: candidate pairs come
+    // from TWO independent blocking passes (last-6-of-name; nation ×
+    // balance band), each field comparison contributes a fixed integer
+    // agreement/disagreement weight (the log-odds the F-S model fits —
+    // fixed here so the whole decision is exact integer arithmetic),
+    // and the summed score classifies match / possible / nonmatch.
+    // join_fuzzy_lookup resolves STRINGS; this resolves RECORDS — the
+    // multi-field evidence model is the operator.
+    //
+    // Dirty-feed perturbations (deterministic, FIXTURES.md convention;
+    // one rule per row, %13 wins over %7):
+    //   %13: name positions 13-15 → 'XYZ' (lev 3: name DISAGREES, and
+    //        blocking pass A breaks — only pass B recovers the pair,
+    //        which is the point of multi-pass blocking);
+    //   %7:  name position 12 → 'X' (lev 1: fuzzy name agreement);
+    //   %5:  segment → 'ZZZ' (disagrees);
+    //   %3:  balance +5 cents (outside the ±2-cent tolerance).
+    // Money compares in exact integer CENTS (floor(bal·100 + 0.5) —
+    // identical in both engines; no decimal rounding mode in play).
+    //
+    // Weights: name exact +24 / lev≤2 +12 / else −8; segment +10/−5;
+    // nation +6/−12; balance ±2¢ +8/−4. Classes: ≥33 match, ≥16
+    // possible, else nonmatch (dropped). Every single-field error still
+    // matches; name-destroyed rows land possible; cross-customer block
+    // mates score ≤ −14 and drop.
+    //
+    // Scale shape: both blocking passes are equi-joins on bounded keys
+    // (name suffix ≈ unique; nation×band bounded by balance range);
+    // the pair-distinct and the two lookups back to the views are
+    // pair-keyed hash joins; levenshtein runs on CANDIDATES only. At a
+    // larger registry the band key narrows (finer cents bucket) — the
+    // blocking key, not the plan, is the scale dial.
+    Q("join_blocked_er",
+      """WITH cl AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |), dirty AS (
+        |  SELECT c_custkey + 500000 AS rid,
+        |         CASE WHEN c_custkey % 13 = 0
+        |                THEN concat(substr(c_name, 1, 12), 'XYZ', substr(c_name, 16))
+        |              WHEN c_custkey % 7 = 0
+        |                THEN concat(substr(c_name, 1, 11), 'X', substr(c_name, 13))
+        |              ELSE c_name END AS d_name,
+        |         c_nationkey AS d_nation,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'ZZZ'
+        |              ELSE c_mktsegment END AS d_segment,
+        |         cents + CASE WHEN c_custkey % 3 = 0 THEN 5 ELSE 0 END AS d_cents
+        |  FROM cl WHERE c_custkey % 2 = 0
+        |), cand AS (
+        |  SELECT d.rid, c.c_custkey
+        |  FROM dirty d JOIN cl c ON substr(d.d_name, 13, 6) = substr(c.c_name, 13, 6)
+        |  UNION
+        |  SELECT d.rid, c.c_custkey
+        |  FROM dirty d JOIN cl c ON d.d_nation = c.c_nationkey
+        |                        AND d.d_cents // 10000 = c.cents // 10000
+        |), scored AS (
+        |  SELECT cand.rid, cand.c_custkey,
+        |         CAST(CASE WHEN d.d_name = c.c_name THEN 24
+        |                   WHEN levenshtein(d.d_name, c.c_name) <= 2 THEN 12
+        |                   ELSE -8 END
+        |            + CASE WHEN d.d_segment = c.c_mktsegment THEN 10 ELSE -5 END
+        |            + CASE WHEN d.d_nation = c.c_nationkey THEN 6 ELSE -12 END
+        |            + CASE WHEN abs(d.d_cents - c.cents) <= 2 THEN 8 ELSE -4 END
+        |           AS INTEGER) AS score
+        |  FROM cand JOIN dirty d ON cand.rid = d.rid
+        |            JOIN cl c ON cand.c_custkey = c.c_custkey
+        |)
+        |SELECT rid, c_custkey AS match_key, score,
+        |       CASE WHEN score >= 33 THEN 'match' ELSE 'possible' END AS class
+        |FROM scored WHERE score >= 16
+        |ORDER BY rid, match_key""".stripMargin) { (s, d) =>
+      val cl = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      val dirty = cl.filter(col("c_custkey") % 2 === 0).select(
+        (col("c_custkey") + 500000).as("rid"),
+        when(col("c_custkey") % 13 === 0,
+          concat(substring(col("c_name"), 1, 12), lit("XYZ"),
+            substring(col("c_name"), 16, 99)))
+          .when(col("c_custkey") % 7 === 0,
+            concat(substring(col("c_name"), 1, 11), lit("X"),
+              substring(col("c_name"), 13, 99)))
+          .otherwise(col("c_name")).as("d_name"),
+        col("c_nationkey").as("d_nation"),
+        when(col("c_custkey") % 5 === 0, "ZZZ")
+          .otherwise(col("c_mktsegment")).as("d_segment"),
+        (col("cents") + when(col("c_custkey") % 3 === 0, 5).otherwise(0))
+          .as("d_cents"))
+      val passA = dirty.join(cl,
+        substring(col("d_name"), 13, 6) === substring(col("c_name"), 13, 6))
+        .select("rid", "c_custkey")
+      val passB = dirty.join(cl,
+        col("d_nation") === col("c_nationkey") &&
+          expr("d_cents div 10000") === expr("cents div 10000"))
+        .select("rid", "c_custkey")
+      val cand = passA.union(passB).distinct()
+      val scored = cand
+        .join(dirty, Seq("rid")).join(cl, Seq("c_custkey"))
+        .select(col("rid"), col("c_custkey"),
+          (when(col("d_name") === col("c_name"), 24)
+            .when(levenshtein(col("d_name"), col("c_name")) <= 2, 12)
+            .otherwise(-8)
+            + when(col("d_segment") === col("c_mktsegment"), 10).otherwise(-5)
+            + when(col("d_nation") === col("c_nationkey"), 6).otherwise(-12)
+            + when(abs(col("d_cents") - col("cents")) <= 2, 8).otherwise(-4))
+            .cast("int").as("score"))
+      scored.filter(col("score") >= 16)
+        .select(col("rid"), col("c_custkey").as("match_key"), col("score"),
+          when(col("score") >= 33, "match").otherwise("possible").as("class"))
+        .orderBy("rid", "match_key")
     }
   )
 }

@@ -572,6 +572,94 @@ object Insights {
           (pow(col("n").cast("double") - col("total") * pBen, 2)
             / (col("total") * pBen)).as("chi2_term"))
         .orderBy("digit")
+    },
+
+    // ── discrete-time survival / churn hazard ──────────────────────────
+
+    // Kaplan–Meier-style discrete survival over user lifetimes with
+    // RIGHT CENSORING — the piece evt_retention (cohort grid) and
+    // evt_lifecycle (daily ledger) don't give: "of users who reached
+    // day k, what fraction left that day", with still-active users
+    // contributing to risk sets but never to events. A user's lifetime
+    // t = last-seen − first-seen in whole days; the user is a churn
+    // EVENT at t only if ≥7 days of silence separate them from the
+    // corpus's last day, otherwise they are censored at t (observation
+    // simply ended). Everything stays exact integers: hazard and the
+    // KM survival factor are ppm floor-divisions (no float division,
+    // no product chain — consumers multiply the ≤14 factors).
+    //
+    // Scale shape: one per-user MIN/MAX aggregate (map-side combined)
+    // is the only event-scale shuffle; lifetimes then collapse to a
+    // calendar-bounded (t, counts) frame whose ×14 risk-set explode is
+    // the evt_dau_wau bounded-contribution pattern; the corpus last
+    // day is a broadcast 1-row scalar. No window at any width, no
+    // theta join (at_risk(k) = Σ_{t≥k} n_t via the explode, not a
+    // t≥k join).
+    // Fixture note: the raw corpus is degenerate for survival — every
+    // user stays active to the last day (all censored, hazard ≡ 0), so
+    // the panel thins each user's days by a deterministic arithmetic
+    // coin ((day + 7·user) mod 31 < 12, exact integers in both
+    // engines). Kept-day runs then END at different offsets per user,
+    // giving real churn events and varying risk sets (FIXTURES.md
+    // planted-perturbation convention: the filter IS the observation
+    // window, not noise).
+    Q("evt_survival",
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |           AS BIGINT) AS day
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS f, max(day) AS l
+        |  FROM ev WHERE (day + user_id * 7) % 31 < 12
+        |  GROUP BY user_id
+        |), dmax AS (SELECT max(l) AS dm FROM u),
+        |lif AS (
+        |  SELECT l - f AS t,
+        |         CASE WHEN dm - l >= 7 THEN 1 ELSE 0 END AS churn
+        |  FROM u CROSS JOIN dmax
+        |), cnt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(churn) AS BIGINT) AS ch
+        |  FROM lif GROUP BY t
+        |), grid AS (
+        |  SELECT CAST(unnest(range(0, least(t, 13) + 1)) AS BIGINT) AS k,
+        |         t, n, ch
+        |  FROM cnt
+        |)
+        |SELECT k,
+        |       CAST(SUM(n) AS BIGINT) AS at_risk,
+        |       CAST(SUM(CASE WHEN t = k THEN ch ELSE 0 END) AS BIGINT)
+        |         AS churned,
+        |       CAST(SUM(CASE WHEN t = k THEN ch ELSE 0 END) * 1000000
+        |              // SUM(n) AS BIGINT) AS hazard_ppm,
+        |       CAST((SUM(n) - SUM(CASE WHEN t = k THEN ch ELSE 0 END))
+        |              * 1000000 // SUM(n) AS BIGINT) AS km_factor_ppm
+        |FROM grid GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .filter((col("day") + col("user_id") * 7) % 31 < 12)
+        .groupBy("user_id")
+        .agg(min("day").as("f"), max("day").as("l"))
+      val dmax = u.agg(max("l").as("dm"))
+      val lif = u.crossJoin(broadcast(dmax))
+        .select((col("l") - col("f")).as("t"),
+          when(col("dm") - col("l") >= 7, 1).otherwise(0).as("churn"))
+      val cnt = lif.groupBy("t")
+        .agg(count(lit(1)).as("n"), sum("churn").cast("long").as("ch"))
+      val grid = cnt.select(
+        explode(sequence(lit(0L), least(col("t"), lit(13L)))).as("k"),
+        col("t"), col("n"), col("ch"))
+      grid.groupBy("k")
+        .agg(sum("n").as("at_risk"),
+          sum(when(col("t") === col("k"), col("ch")).otherwise(0L))
+            .as("churned"))
+        .select(col("k"), col("at_risk"), col("churned"),
+          expr("churned * 1000000 div at_risk").as("hazard_ppm"),
+          expr("(at_risk - churned) * 1000000 div at_risk")
+            .as("km_factor_ppm"))
+        .orderBy("k")
     }
   )
 }

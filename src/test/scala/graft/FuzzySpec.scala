@@ -49,4 +49,42 @@ class FuzzySpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("join_blocked_er: every base pair's presence, score, and class " +
+      "match the F-S weight replay of its perturbation profile") {
+    // replay the deterministic perturbation rules → expected field
+    // weights; a base pair must appear iff its total clears the
+    // possible threshold, classed by the match threshold
+    val got = SparkEntry.queries("join_blocked_er")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("rid"), r.getAs[Long]("match_key")) ->
+        (r.getAs[Int]("score"), r.getAs[String]("class"))).toMap
+    val keys = Tables.customer(spark, Sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).filter(_ % 2 == 0)
+    keys.foreach { k =>
+      val nameW = if (k % 13 == 0) -8 else if (k % 7 == 0) 12 else 24
+      val segW = if (k % 5 == 0) -5 else 10
+      val centsW = if (k % 3 == 0) -4 else 8
+      val total = nameW + segW + 6 + centsW
+      val pair = (k + 500000, k)
+      if (total >= 16) {
+        assert(got.contains(pair), s"base pair $pair (score $total) absent")
+        val (score, cls) = got(pair)
+        assert(score == total, s"pair $pair: score $score, replay $total")
+        val wantCls = if (total >= 33) "match" else "possible"
+        assert(cls == wantCls, s"pair $pair: class $cls, replay $wantCls")
+      } else {
+        assert(!got.contains(pair),
+          s"base pair $pair (score $total) should be nonmatch-dropped")
+      }
+    }
+  }
+
+  test("join_blocked_er plan: blocking is equi-joins only — no " +
+      "cartesian, no nested loop; levenshtein never sees a cross join") {
+    val plan = SparkEntry.queries("join_blocked_er")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }

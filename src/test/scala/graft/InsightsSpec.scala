@@ -209,4 +209,27 @@ class InsightsSpec extends SparkSuite {
       assert(chi == math.pow(n.toDouble - e, 2) / e, s"digit $d chi2")
     }
   }
+
+  test("evt_survival: risk-set ledger balances, ppm identities hold, " +
+      "and the panel fixture produces real churn") {
+    val rows = SparkEntry.queries("evt_survival")(spark, SparkSuite.Sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("at_risk"),
+        r.getAs[Long]("churned"), r.getAs[Long]("hazard_ppm"),
+        r.getAs[Long]("km_factor_ppm")))
+      .sortBy(_._1)
+    assert(rows.head._1 == 0 && rows.last._1 == 13, "grid not 0..13")
+    rows.foreach { case (k, n, ch, hz, km) =>
+      assert(ch <= n, s"k=$k: churned $ch > at_risk $n")
+      assert(hz == ch * 1000000L / n, s"k=$k hazard identity")
+      assert(km == (n - ch) * 1000000L / n, s"k=$k KM-factor identity")
+    }
+    // next risk set loses at least this offset's churn events
+    // (the remainder of the drop is right-censoring, not output)
+    rows.toSeq.sliding(2).foreach { case Seq((k, n, ch, _, _), (_, n2, _, _, _)) =>
+      assert(n2 <= n - ch, s"k=$k: at_risk $n → $n2 with $ch churned")
+    }
+    assert(rows.map(_._3).sum > 0, "panel fixture produced zero churn " +
+      "events — survival table is degenerate again")
+  }
 }
