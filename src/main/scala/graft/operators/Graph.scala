@@ -793,6 +793,91 @@ object Graph {
         .unionByName(e.select(col("dst").as("src")))
         .filter(col("src") < 20).distinct().select(col("src").as("id"))
       bfs(e, seeds, maxHops = 8).orderBy("id")
+    },
+
+    // ── label-propagation communities (4 synchronous LPA rounds) ───────
+
+    // Community detection one step past connectivity: dedup_cc answers
+    // "which parts are LINKED", LPA answers "which parts CLUSTER" —
+    // near-linear community detection (Raghavan et al. 2007), the
+    // standard first cut before modularity methods. Each node adopts
+    // the label MOST FREQUENT among its neighbors, ties to the
+    // smallest label; a FIXED 4 synchronous rounds, because
+    // synchronous LPA does not guarantee a fixpoint (bipartite
+    // structures oscillate) — fixed rounds + the deterministic tie
+    // rule make the output exact, hash-oracle-able data, where
+    // "iterate until stable" would not terminate. Edges are the ≥2-
+    // co-occurrence co-purchase graph (graph_reach's sparsified form —
+    // LPA on the dense ≥1 graph collapses to one giant community in a
+    // round, which exercises nothing). Scale shape per round: one
+    // shuffle join (labels onto the symmetric edge list), one
+    // (node, label) hash aggregate, then the argmax as min(struct(-n,
+    // label)) — a second HASH aggregate, NOT a per-node window, so a
+    // celebrity node's million-label vote list still partial-aggregates
+    // map-side; isolated vertices never enter any join and keep their
+    // own id via the left-join coalesce. Lazy localCheckpoints cut the
+    // 4-round lineage (the graph_pagerank pattern). The oracle unrolls
+    // the same 4 rounds as MATERIALIZED CTEs with an independent
+    // row_number-window argmax formulation.
+    Q("graph_lpa", {
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT v.id, COALESCE(t.label, v.id) AS label
+           |  FROM v LEFT JOIN (
+           |    SELECT id, label FROM (
+           |      SELECT s.src AS id, p.label, COUNT(*) AS n,
+           |             row_number() OVER (PARTITION BY s.src
+           |               ORDER BY COUNT(*) DESC, p.label) AS rk
+           |      FROM sym s JOIN l${i - 1} p ON p.id = s.dst
+           |      GROUP BY s.src, p.label) q
+           |    WHERE rk = 1) t ON t.id = v.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+         |), sym AS MATERIALIZED (
+         |  SELECT p1 AS src, p2 AS dst FROM e
+         |  UNION ALL SELECT p2, p1 FROM e
+         |), v AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey AS id FROM lineitem
+         |  WHERE l_partkey < 400
+         |), l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+         |$rounds
+         |SELECT id, label AS community FROM l4 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst")
+        .agg(countDistinct("ok").as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+      val sym = e
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = false)
+      val v = li.select(col("p").as("id")).distinct()
+        .localCheckpoint(eager = false)
+      var labels = v.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to 4) {
+        val votes = sym.join(labels, sym("dst") === labels("id"))
+          .select(sym("src").as("vid"), col("label"))
+        val top = votes.groupBy("vid", "label")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("vid")
+          .agg(min(struct((col("n") * -1).as("nn"), col("label").as("l")))
+            .as("m"))
+          .select(col("vid").as("id"), col("m.l").as("nl"))
+        labels = v.join(top, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
+          .localCheckpoint(eager = false)
+      }
+      labels.select(col("id"), col("label").as("community")).orderBy("id")
     }
   )
 }

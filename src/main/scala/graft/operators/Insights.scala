@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -660,6 +660,207 @@ object Insights {
           expr("(at_risk - churned) * 1000000 div at_risk")
             .as("km_factor_ppm"))
         .orderBy("k")
+    },
+
+    // ── data-quality expectation suite (ingest gate matrix) ────────────
+
+    // The Great-Expectations / dbt-test-shaped ingest gate: a NAMED
+    // suite of declarative expectations (row floor, PK uniqueness,
+    // value domains, ranges, FK containment, cross-table ordering)
+    // evaluated in one query, emitting (rule, measured, pass) per rule
+    // — the audit form, like txt_gopher_rules: a 100 TB load wants to
+    // know WHICH contract broke and by how much, not just a boolean.
+    // Extends the reference's check family (chk_balance_warn's
+    // warn-don't-abort posture, /root/reference/src/helpers.ts:200-214's
+    // verification counts) from per-row checks to a suite-level gate.
+    // Scale shape: ONE aggregate per table computes every per-table
+    // counter map-side-combined (the chk_profile one-scan discipline),
+    // then unpivots via a bounded explode-of-structs; the two
+    // cross-table rules (FK orphans + ship-not-before-order) share ONE
+    // lineitem⟕orders left join on the key both facts are bucketed by
+    // at scale (the charge join's co-location note). The PK-uniqueness
+    // counter is the suite's only count-distinct — two-phase partial
+    // aggregation, no global sort. ship_not_before_order FAILS here
+    // organically (the synthetic data really does ship ~half its lines
+    // before the order date) — the gate catching a true defect of its
+    // input is the planted-perturbation convention, found not planted.
+    Q("chk_expectations",
+      """WITH oa AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |           AS pk_dups,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS bad_total,
+        |         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '2002-01-01'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+        |  FROM orders
+        |), la AS (
+        |  SELECT CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |         CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax
+        |  FROM lineitem
+        |), lj AS (
+        |  SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS orphans,
+        |         CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+        |                    AND l.l_shipdate < o.o_orderdate
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS early_ship
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), ca AS (
+        |  SELECT CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_acct,
+        |         CAST(SUM(CASE WHEN c_nationkey < 0 OR c_nationkey > 24
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_nation
+        |  FROM customer
+        |)
+        |SELECT rule, measured, pass FROM (
+        |  SELECT 'orders.row_count_min' AS rule, n_rows AS measured,
+        |         n_rows >= 100 AS pass FROM oa
+        |  UNION ALL SELECT 'orders.pk_unique', pk_dups, pk_dups = 0 FROM oa
+        |  UNION ALL SELECT 'orders.status_domain', bad_status,
+        |         bad_status = 0 FROM oa
+        |  UNION ALL SELECT 'orders.totalprice_positive', bad_total,
+        |         bad_total = 0 FROM oa
+        |  UNION ALL SELECT 'orders.orderdate_range', bad_date,
+        |         bad_date = 0 FROM oa
+        |  UNION ALL SELECT 'lineitem.discount_range', bad_disc,
+        |         bad_disc = 0 FROM la
+        |  UNION ALL SELECT 'lineitem.qty_range', bad_qty, bad_qty = 0 FROM la
+        |  UNION ALL SELECT 'lineitem.tax_range', bad_tax, bad_tax = 0 FROM la
+        |  UNION ALL SELECT 'lineitem.fk_orders', orphans, orphans = 0 FROM lj
+        |  UNION ALL SELECT 'lineitem.ship_not_before_order', early_ship,
+        |         early_ship = 0 FROM lj
+        |  UNION ALL SELECT 'customer.acctbal_range', bad_acct,
+        |         bad_acct = 0 FROM ca
+        |  UNION ALL SELECT 'customer.nationkey_range', bad_nation,
+        |         bad_nation = 0 FROM ca
+        |) t ORDER BY rule""".stripMargin) { (s, d) =>
+      def unpivot(agg: DataFrame,
+          rules: Seq[(String, Column, Column => Column)]): DataFrame =
+        agg.select(explode(array(rules.map { case (name, m, p) =>
+          struct(lit(name).as("rule"), m.cast("long").as("measured"),
+            p(m.cast("long")).as("pass"))
+        }: _*)).as("r")).select(col("r.rule").as("rule"),
+          col("r.measured").as("measured"), col("r.pass").as("pass"))
+      val zero = (m: Column) => m === 0L
+      val oa = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+          .as("bad_status"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad_total"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1995-01-01")) ||
+          col("o_orderdate") >= to_timestamp(lit("2002-01-01")), 1)
+          .otherwise(0)).as("bad_date"))
+      val la = Tables.lineitem(s, d).agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+          .otherwise(0)).as("bad_disc"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+          .otherwise(0)).as("bad_qty"),
+        sum(when(col("l_tax") < 0 || col("l_tax") > 0.1, 1)
+          .otherwise(0)).as("bad_tax"))
+      val lj = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("orphans"),
+          sum(when(col("o_orderkey").isNotNull &&
+            col("l_shipdate") < col("o_orderdate"), 1).otherwise(0))
+            .as("early_ship"))
+      val ca = Tables.customer(s, d).agg(
+        sum(when(col("c_acctbal") < -1000 || col("c_acctbal") > 10000, 1)
+          .otherwise(0)).as("bad_acct"),
+        sum(when(col("c_nationkey") < 0 || col("c_nationkey") > 24, 1)
+          .otherwise(0)).as("bad_nation"))
+      unpivot(oa, Seq(
+        ("orders.row_count_min", col("n_rows"), (m: Column) => m >= 100L),
+        ("orders.pk_unique", col("pk_dups"), zero),
+        ("orders.status_domain", col("bad_status"), zero),
+        ("orders.totalprice_positive", col("bad_total"), zero),
+        ("orders.orderdate_range", col("bad_date"), zero)))
+        .unionByName(unpivot(la, Seq(
+          ("lineitem.discount_range", col("bad_disc"), zero),
+          ("lineitem.qty_range", col("bad_qty"), zero),
+          ("lineitem.tax_range", col("bad_tax"), zero))))
+        .unionByName(unpivot(lj, Seq(
+          ("lineitem.fk_orders", col("orphans"), zero),
+          ("lineitem.ship_not_before_order", col("early_ship"), zero))))
+        .unionByName(unpivot(ca, Seq(
+          ("customer.acctbal_range", col("bad_acct"), zero),
+          ("customer.nationkey_range", col("bad_nation"), zero))))
+        .orderBy("rule")
+    },
+
+    // ── market-basket association rules (support / confidence / lift) ──
+
+    // Classic Agrawal-style association mining over the order baskets
+    // the co-purchase graph family is built from — but as RULES, not
+    // edges: for every directed part pair a→b co-bought in ≥ 3 orders,
+    // support, confidence = sup(ab)/sup(a), and lift =
+    // sup(ab)·N / (sup(a)·sup(b)). Everything is EXACT integer
+    // arithmetic: conf_pct = (100·sup_ab) div sup_a and lift_ppm =
+    // (10⁶·sup_ab·N) div (sup_a·sup_b) — all operands positive, so
+    // Spark's truncating `div` and DuckDB's flooring `//` agree, and
+    // the hash oracle is engine-exact (the graph_jaccard_neighbors
+    // rule). Scale shape: pair generation is the per-order self-join
+    // (work bounded by Σ basket², never catalog²); item supports and
+    // the basket total are catalog-/1-row-sized and BROADCAST back;
+    // both final joins never shuffle the pair table. The l_partkey <
+    // 400 window is the family's labelled demo bound (graph_triangles).
+    Q("mba_assoc_rules",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey < 400
+        |), n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li),
+        |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), dir AS (
+        |  SELECT pa AS ante, pb AS cons, s_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, s_ab FROM pairs
+        |)
+        |SELECT d.ante, d.cons, d.s_ab AS sup_ab,
+        |       CAST(100 * d.s_ab // sa.s AS BIGINT) AS conf_pct,
+        |       CAST(1000000 * d.s_ab * n.n // (sa.s * sc.s) AS BIGINT)
+        |         AS lift_ppm
+        |FROM dir d
+        |JOIN sup sa ON sa.p = d.ante
+        |JOIN sup sc ON sc.p = d.cons
+        |CROSS JOIN n
+        |ORDER BY ante, cons""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val n = li.agg(countDistinct(col("ok")).as("n"))
+      val sup = li.groupBy("p").agg(count(lit(1)).as("s"))
+      val pairs = li.select(col("ok"), col("p").as("pa"))
+        .join(li.select(col("ok"), col("p").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 3)
+      val dir = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+          col("s_ab"))
+        .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("s_ab")))
+      dir
+        .join(broadcast(sup.select(col("p").as("ante"), col("s").as("sa"))),
+          Seq("ante"))
+        .join(broadcast(sup.select(col("p").as("cons"), col("s").as("sc"))),
+          Seq("cons"))
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("s_ab").as("sup_ab"),
+          expr("100 * s_ab div sa").as("conf_pct"),
+          expr("1000000 * s_ab * n div (sa * sc)").as("lift_ppm"))
+        .orderBy("ante", "cons")
     }
   )
 }

@@ -2083,6 +2083,83 @@ object TextOps {
         .select(col("doc_id"), col("n_bigrams"),
           (col("sfp").cast("double") / 1000000 / col("n_bigrams")).as("avg_lp"))
         .orderBy("doc_id")
+    },
+
+    // ── winnowing fingerprint candidates (Schleimer SIGMOD'03 / MOSS) ──
+
+    // Local document fingerprinting with a GUARANTEE the MinHash family
+    // cannot give: select, from each window of w=4 consecutive k=4-token
+    // gram hashes, the window's minimum hash — then any shared token
+    // run of ≥ w+k−1 = 7 tokens between two documents is certain to
+    // surface a shared fingerprint (both windows covering the run
+    // select the same minimum), while the kept-fingerprint density
+    // stays ~2/(w+1) of grams. MinHash banding catches high-Jaccard
+    // PAIRS probabilistically; winnowing catches LOCAL overlap
+    // deterministically — the plagiarism/citation-detection kernel, and
+    // the cheap screen before dedup_substring's exact span machinery.
+    // Scale shape: gram hashing AND window-min selection are per-row
+    // array expressions over the token array (the dedup_substring
+    // discipline — nothing explodes until fingerprints are selected,
+    // so the exploded stream is already density-thinned); the candidate
+    // join is a fingerprint equi-join, with boilerplate heavy-hitter
+    // fingerprints (doc frequency > 20) dropped BEFORE the join — the
+    // standard df-cap that bounds any fingerprint's join fan-out, so no
+    // single viral n-gram can quadratic-blow the pair stage at corpus
+    // scale. All md5 hex hashes: lexicographic min agrees across
+    // engines. Pairs sharing ≥ 2 surviving fingerprints emerge; the
+    // planted near-clones (shared prefix ≫ 7 tokens) must all appear —
+    // TextOpsSpec pins that and the density bound.
+    Q("txt_winnowing",
+      s"""WITH $withNearClonesSql,
+         |tok AS (
+         |  SELECT doc_id, $toksSql AS t FROM docs
+         |), g AS (
+         |  SELECT doc_id, t, len(t) - 3 AS m FROM tok WHERE len(t) >= 4
+         |), h AS (
+         |  SELECT doc_id, m,
+         |         list_transform(range(1, m + 1),
+         |           i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
+         |  FROM g
+         |), f AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(1, m - 3) + 1),
+         |           j -> list_min(hs[j:j+3]))) AS fps
+         |  FROM h
+         |), p AS (
+         |  SELECT doc_id, unnest(fps) AS fp FROM f
+         |), keep AS (
+         |  SELECT fp FROM p GROUP BY fp HAVING COUNT(*) <= 20
+         |), pk AS (
+         |  SELECT p.doc_id, p.fp FROM p JOIN keep k ON k.fp = p.fp
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val K = 4; val W = 4
+      val tok = withNearClones(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= K)
+        .withColumn("m", size(col("t")) - (K - 1))
+      val fps = tok
+        .withColumn("hs", transform(sequence(lit(1), col("m")),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(K))))))
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(lit(1), col("m") - (W - 1))),
+            j => array_min(slice(col("hs"), j, lit(W))))).as("fps"))
+      val p = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val pk = p.join(keep, Seq("fp"), "left_semi")
+      pk.select(col("doc_id").as("a_id"), col("fp"))
+        .join(pk.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
     }
   )
 

@@ -312,4 +312,39 @@ class GraphSpec extends SparkSuite {
       }
     }
   }
+
+  test("graph_lpa ≡ in-JVM synchronous LPA replay on sf0.001") {
+    val got = SparkEntry.queries("graph_lpa")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the ≥2-co-occurrence graph and run 4 synchronous rounds
+    // sequentially: most-frequent neighbor label, ties to the smallest
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val vs = li.map(_._2).distinct.sorted
+    val pairOrders = li.groupBy(_._1).values.flatMap { basket =>
+      basket.map(_._2).distinct.sorted.combinations(2).map(s => (s(0), s(1)))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val edges = pairOrders.filter(_._2 >= 2).keys.toSeq
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var label = vs.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      label = vs.map { v =>
+        nbrs.get(v) match {
+          case None => v -> label(v) // isolated: keeps its own id
+          case Some(ns) =>
+            val votes = ns.map(label).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    assert(got == label)
+    // the fixture must exercise the vote: at least one multi-member
+    // community (otherwise the argmax never fires)
+    assert(got.groupBy(_._2).values.exists(_.size >= 2),
+      "LPA fixture degenerated to all-singletons")
+  }
 }

@@ -232,4 +232,59 @@ class InsightsSpec extends SparkSuite {
     assert(rows.map(_._3).sum > 0, "panel fixture produced zero churn " +
       "events — survival table is degenerate again")
   }
+
+  test("chk_expectations: full suite shape, one organic failure, " +
+      "counters replay against the raw tables") {
+    val rows = q("chk_expectations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 12, s"expected 12 rules, got ${rows.length}")
+    val byRule = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    // the synthetic data genuinely ships ~half its lines before the
+    // order date — the suite must CATCH that, and nothing else
+    val failing = rows.filter(!_._3).map(_._1).toList
+    assert(failing == List("lineitem.ship_not_before_order"),
+      s"failing rules: ${failing.mkString(",")}")
+    assert(byRule("lineitem.ship_not_before_order")._1 > 0)
+    // counter replays
+    val o = Tables.orders(spark, SparkSuite.Sf0001)
+    assert(byRule("orders.row_count_min")._1 == o.count())
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+    val early = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(byRule("lineitem.ship_not_before_order")._1 == early)
+    assert(byRule("orders.pk_unique") == ((0L, true)))
+    assert(byRule("lineitem.fk_orders") == ((0L, true)))
+  }
+
+  test("mba_assoc_rules: direction pairing, integer identities, and a " +
+      "full in-JVM replay of every rule") {
+    val rows = q("mba_assoc_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay: baskets → pair supports → rules
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val n = li.map(_._1).distinct.length.toLong
+    val sup = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairSup = li.groupBy(_._1).values.flatMap { basket =>
+      basket.map(_._2).distinct.sorted.combinations(2).map(s => (s(0), s(1)))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val want = pairSup.filter(_._2 >= 3).flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s))
+    }.map { case (ante, cons, s) =>
+      (ante, cons, s, 100 * s / sup(ante),
+        1000000L * s * n / (sup(ante) * sup(cons)))
+    }.toSeq.sorted
+    assert(rows.toSeq.sorted == want)
+    // lift is direction-symmetric by construction; confidence is not
+    rows.groupBy(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .foreach { case (k, ts) =>
+        assert(ts.length == 2, s"pair $k missing a direction")
+        assert(ts.map(_._5).distinct.length == 1, s"pair $k lift differs")
+      }
+    assert(rows.forall(_._4 <= 100), "confidence above 100%")
+  }
 }

@@ -482,4 +482,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("Window"), "txt_dsir grew a window")
   }
+
+  test("graph_lpa: the per-round argmax is a HASH aggregate, never a " +
+      "per-node window (celebrity-node vote lists must partial-agg)") {
+    val p = plan("graph_lpa")
+    assert(!p.contains("Window"), "LPA argmax degenerated to a window:\n"
+      + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("chk_expectations: no window, no cartesian — per-table counters " +
+      "partial-aggregate, the one fact⟕fact join is keyed") {
+    val p = plan("chk_expectations")
+    assert(!p.contains("Window"), "expectation suite grew a window")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "lineitem⟕orders join missing")
+  }
+
+  test("mba_assoc_rules: item supports and the basket total join back " +
+      "as broadcasts; pair table never reshuffles for them") {
+    val p = plan("mba_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"),
+      "support joins are not broadcasts:\n" + p.take(800))
+    // the 1-row basket total rides the accepted broadcast-of-one-row
+    // scalar join (Analytics precedent), never a CartesianProduct
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("Window"), "mba grew a window")
+  }
+
+  test("txt_winnowing: fingerprint selection is per-row array math — " +
+      "no window; the df-cap join and pair join are equi-joins") {
+    val p = plan("txt_winnowing")
+    assert(!p.contains("Window"), "winnowing grew a window:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }

@@ -504,4 +504,34 @@ class TextOpsSpec extends SparkSuite {
     val gotR = rows.find(_._1 == idR).get
     assert(gotR._2 == fps.size && gotR._3 == want, s"doc $idR lm replay")
   }
+
+  test("txt_winnowing: the w+k-1 guarantee catches EVERY planted " +
+      "near-clone pair (not probabilistically), density is thinned") {
+    val rows = SparkEntry.queries("txt_winnowing")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    assert(pairs.size == rows.length, "duplicate pair rows")
+    assert(rows.forall(t => t._1 < t._2), "pair orientation broken")
+    assert(rows.forall(_._3 >= 2), "reported pair below the share floor")
+    // every planted near-clone shares its whole prefix (≫ w+k-1 = 7
+    // tokens), so winnowing MUST surface each — this is the
+    // deterministic guarantee MinHash banding does not have
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + 10000))
+    val missed = planted.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"guarantee violated for: ${missed.take(5).toSeq}")
+    // clone pairs must dominate organic word-salad overlap: each shares
+    // (almost) every fingerprint, not a coincidental handful
+    val byPair = rows.map(t => (t._1, t._2) -> t._3).toMap
+    val organicMax = rows.collect {
+      case (a, b, n) if !planted.contains((a, b)) => n
+    }.foldLeft(0L)(math.max)
+    planted.foreach { p =>
+      assert(byPair(p) >= 2, s"clone pair $p barely shares fingerprints")
+    }
+    assert(planted.map(byPair).max >= organicMax,
+      "no clone pair outranks organic overlap — fixture degenerate")
+  }
 }
