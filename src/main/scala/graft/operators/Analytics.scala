@@ -166,6 +166,115 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // ── windowed funnel: view → click → purchase within 1 day ──────────
+
+    // The TIME-BUDGETED funnel (ClickHouse windowFunnel / Amplitude
+    // conversion-window semantics): a user converts only if the whole
+    // view→click→purchase chain completes within T = 1 day of the
+    // ANCHOR view — and unlike evt_funnel (anchored at the first view
+    // forever), EVERY view is a candidate anchor; the user's best
+    // (deepest, then earliest) chain wins. Greedy-earliest per anchor
+    // is optimal (taking the first qualifying next-stage event
+    // maximizes the remaining budget — exchange argument), so per
+    // anchor the chain is: first click strictly after the view, first
+    // purchase strictly after that click, both ≤ anchor + T. "Strictly
+    // after" is strict in TIME via a RANGE (not ROWS) frame — `RANGE
+    // BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING` over integer µs, so
+    // same-timestamp events never chain and no event_id tie rule is
+    // needed. Scale shape: ONE user_id window shuffle computes both
+    // forward minima for every row; anchors join their click's
+    // onward-purchase on the SAME user_id partitioning; the per-user
+    // best is min(struct(−depth, v_us, …)) — a hash aggregate, not a
+    // second window (the graph_lpa argmax discipline), so a
+    // billion-view user still partial-aggregates map-side.
+    Q("evt_window_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type, us,
+        |         MIN(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER w AS nc,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |           OVER w AS np
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |         RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |), anchors AS (
+        |  SELECT DISTINCT user_id, us AS v_us, nc FROM r
+        |  WHERE event_type = 'view'
+        |), clicks AS (
+        |  SELECT DISTINCT user_id, us, np FROM r WHERE event_type = 'click'
+        |), staged AS (
+        |  SELECT a.user_id, a.v_us,
+        |         CASE WHEN a.nc IS NOT NULL
+        |               AND a.nc <= a.v_us + 86400000000 THEN a.nc END AS c_us,
+        |         CASE WHEN a.nc IS NOT NULL
+        |               AND a.nc <= a.v_us + 86400000000
+        |               AND c.np IS NOT NULL
+        |               AND c.np <= a.v_us + 86400000000 THEN c.np END AS p_us
+        |  FROM anchors a
+        |  LEFT JOIN clicks c ON c.user_id = a.user_id AND c.us = a.nc
+        |), scored AS (
+        |  SELECT user_id, v_us, c_us, p_us,
+        |         CAST(CASE WHEN p_us IS NOT NULL THEN 3
+        |                   WHEN c_us IS NOT NULL THEN 2
+        |                   ELSE 1 END AS INTEGER) AS depth
+        |  FROM staged
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY depth DESC, v_us) AS rk
+        |  FROM scored
+        |)
+        |SELECT user_id, v_us, c_us, p_us, depth FROM best
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val T = 86400000000L
+      val LMAX = Long.MaxValue
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      // BOTH minima in one select → ONE Window operator (sequential
+      // withColumns interpose a Project that defeats CollapseWindow —
+      // two sorted passes for no reason); the pass feeds both join
+      // branches, so the shared-stage registry materializes it once
+      // instead of duplicating the shuffle+sort subtree per branch
+      val r = graft.Caches.shared(e.select(
+        col("user_id"), col("event_type"), col("us"),
+        min(when(col("event_type") === "click", col("us"))).over(w).as("nc"),
+        min(when(col("event_type") === "purchase", col("us"))).over(w)
+          .as("np")))
+      val anchors = r.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"), col("nc")).distinct()
+      val clicks = r.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuid"), col("us").as("cus"), col("np"))
+        .distinct()
+      val staged = anchors.join(clicks,
+          anchors("user_id") === col("cuid") && col("cus") === col("nc"),
+          "left")
+        .select(anchors("user_id"), col("v_us"),
+          when(col("nc").isNotNull && col("nc") <= col("v_us") + T,
+            col("nc")).as("c_us"),
+          when(col("nc").isNotNull && col("nc") <= col("v_us") + T &&
+            col("np").isNotNull && col("np") <= col("v_us") + T,
+            col("np")).as("p_us"))
+      staged
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
+            .otherwise(1).cast("int").as("depth"))
+        .groupBy("user_id")
+        .agg(min(struct((col("depth") * -1).as("nd"), col("v_us").as("v"),
+          coalesce(col("c_us"), lit(LMAX)).as("c"),
+          coalesce(col("p_us"), lit(LMAX)).as("p"))).as("m"))
+        .select(col("user_id"), col("m.v").as("v_us"),
+          when(col("m.c") === LMAX, lit(null).cast("long"))
+            .otherwise(col("m.c")).as("c_us"),
+          when(col("m.p") === LMAX, lit(null).cast("long"))
+            .otherwise(col("m.p")).as("p_us"),
+          (col("m.nd") * -1).cast("int").as("depth"))
+        .orderBy("user_id")
+    },
+
     // Marketing attribution: every purchase credited to the user's
     // FIRST preceding click (first-touch) and MOST RECENT preceding
     // click (last-touch) — the two standard single-touch attribution

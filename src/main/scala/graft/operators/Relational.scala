@@ -46,6 +46,41 @@ object Relational {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ── ORC interchange roundtrip ───────────────────────────────────────
+
+    // The second columnar format a lake actually serves (Hive-era ORC
+    // sits beside parquet in most 100 TB estates): orders is written
+    // ONCE per (session, sf-dir) as ORC to a temp dir — the
+    // layout_bucket_join memoization pattern, a one-time layout write —
+    // and every read goes through Spark's native ORC DataSource
+    // (predicate pushdown + column pruning work the same as parquet's).
+    // The aggregate's answer is FORMAT-INDEPENDENT by construction, so
+    // the plain-parquet DuckDB oracle pins the whole write→read→agg
+    // path: a value drift anywhere in the ORC writer/reader surfaces as
+    // a hash mismatch. Timestamps stay out of the payload (ORC and
+    // parquet differ in zone semantics; the roundtrip pins the
+    // numeric/string columns a format hop must preserve bit-for-bit).
+    Q("src_orc_roundtrip",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        val name = s"graft_orc_orders_${(d.hashCode & Int.MaxValue).toHexString}"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_orc/$name").getAbsolutePath
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite").orc(path)
+        }
+        s.read.orc(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(M)).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
     // ── §2.2 projections / filters ──────────────────────────────────────
 
     // Column projection (Prisma select blocks,

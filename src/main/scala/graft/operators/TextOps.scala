@@ -2160,6 +2160,48 @@ object TextOps {
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy("a_id", "b_id")
+    },
+
+    // ── MinHash banding recall, measured AS A QUERY ────────────────────
+
+    // The dedup twin of sim_ivf_recall: banding is PROBABILISTIC (a
+    // near-dup pair surfaces only if some band's hashes all collide),
+    // so its recall against the planted ground truth is an operating
+    // parameter a pipeline owner tunes (bands × rows trade recall
+    // against candidate volume) — here it is observable in the same
+    // harness that runs the dedup, not a notebook afterthought.
+    // Output: planted pair count, pairs the banding caught, total
+    // candidate volume (the cost side of the trade-off), and exact
+    // integer recall_ppm. Scale shape: the planted relation is
+    // eval-sized by definition → broadcast semi-join against the
+    // candidate stream; three 1-row aggregates compose via the
+    // broadcast scalar-join pattern. The candidate stage itself is the
+    // session-shared MinHash kernel every dedup_* consumer rides.
+    Q("dedup_minhash_recall",
+      s"""WITH $minhashCandSql,
+         |planted AS (
+         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), hit AS (
+         |  SELECT c.a_id FROM cand c
+         |  JOIN planted p ON p.a_id = c.a_id AND p.b_id = c.b_id
+         |)
+         |SELECT CAST((SELECT COUNT(*) FROM planted) AS BIGINT) AS n_planted,
+         |       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_caught,
+         |       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+         |       CAST((SELECT COUNT(*) FROM hit) * 1000000
+         |              // (SELECT COUNT(*) FROM planted) AS BIGINT)
+         |         AS recall_ppm""".stripMargin) { (s, d) =>
+      val cand = minhashCandidates(s, d).select("a_id", "b_id")
+      val planted = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+      val nP = planted.agg(count(lit(1)).as("n_planted"))
+      val nH = cand.join(broadcast(planted), Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      nP.crossJoin(broadcast(nH)).crossJoin(broadcast(nC))
+        .select(col("n_planted"), col("n_caught"), col("n_cand"),
+          expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
     }
   )
 

@@ -387,4 +387,46 @@ class AnalyticsSpec extends SparkSuite {
     assert(flat.map { case (c, w) => c * w }.sum.toDouble /
       flat.map(_._2).sum / 100 == 12345.0)
   }
+
+  test("evt_window_funnel ≡ sequential replay of the greedy anchor " +
+      "policy on sf0.001; budget and ordering invariants hold") {
+    val T = 86400000000L
+    val out = SparkEntry.queries("evt_window_funnel")(
+      spark, SparkSuite.Sf0001).collect()
+    assert(out.nonEmpty)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = out.map(r => r.getLong(0) ->
+      (r.getLong(1), opt(r, 2), opt(r, 3), r.getInt(4))).toMap
+    // invariants: strict time ordering and the budget cap
+    got.foreach { case (u, (v, c, p, depth)) =>
+      c.foreach { cu => assert(cu > v && cu <= v + T, s"user $u click") }
+      p.foreach { pu =>
+        assert(c.isDefined && pu > c.get && pu <= v + T, s"user $u buy") }
+      assert(depth == 1 + c.size + p.size, s"user $u depth")
+    }
+    // replay: every view anchors a greedy chain; best = deepest then
+    // earliest anchor
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3).distinct
+      if (views.isEmpty) None else {
+        val clicks = rows.filter(_._2 == "click").map(_._3).sorted
+        val buys = rows.filter(_._2 == "purchase").map(_._3).sorted
+        val chains = views.map { v =>
+          val c = clicks.find(_ > v).filter(_ <= v + T)
+          val p = c.flatMap(cu => buys.find(_ > cu).filter(_ <= v + T))
+          (v, c, p, 1 + c.size + p.size)
+        }
+        Some(u -> chains.minBy { case (v, _, _, dep) => (-dep, v) })
+      }
+    }
+    assert(got == want)
+    // the 1-day budget must BITE: some user completes, some does not
+    assert(got.values.exists(_._4 == 3), "no completed funnel")
+    assert(got.values.exists(_._4 < 3), "budget never truncated a chain")
+  }
 }

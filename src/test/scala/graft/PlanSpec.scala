@@ -517,4 +517,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "winnowing grew a window:\n" + p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("evt_window_funnel: both forward minima share ONE user_id " +
+      "window; the per-user best is a hash agg, not a second window") {
+    val p = plan("evt_window_funnel")
+    // both minima share ONE Window pass, materialized once through the
+    // shared-stage cache; the plan PRINTER repeats the cached subplan
+    // under each InMemoryTableScan, so the invariant is one Window per
+    // cached-plan print (two Windows per print = CollapseWindow defeat,
+    // zero InMemoryRelation = the shared stage lost its persist)
+    val windows = "Window \\[".r.findAllIn(p).size
+    val cachedPrints = "InMemoryRelation".r.findAllIn(p).size
+    assert(cachedPrints >= 1, "window stage is no longer materialized:\n"
+      + p.take(1200))
+    assert(windows == cachedPrints,
+      s"$windows Window nodes across $cachedPrints cached-plan prints:\n"
+        + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("src_orc_roundtrip: the read side is a native ORC columnar scan") {
+    val p = plan("src_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), "plan does not scan ORC:\n"
+      + p.take(800))
+  }
 }

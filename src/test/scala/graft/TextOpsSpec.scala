@@ -534,4 +534,24 @@ class TextOpsSpec extends SparkSuite {
     assert(planted.map(byPair).max >= organicMax,
       "no clone pair outranks organic overlap — fixture degenerate")
   }
+
+  test("dedup_minhash_recall: the reported counters ARE the " +
+      "dedup_minhash candidate list's, and recall clears the band floor") {
+    val r = SparkEntry.queries("dedup_minhash_recall")(spark, Sf001)
+      .collect().head
+    val (nPlanted, nCaught, nCand, recallPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // replay against the candidate query itself
+    val cand = SparkEntry.queries("dedup_minhash")(spark, Sf001)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val docs = Tables.documents(spark, Sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + 10000)).toSet
+    assert(nPlanted == planted.size)
+    assert(nCaught == planted.count(cand.contains))
+    assert(nCand == cand.size)
+    assert(recallPpm == nCaught * 1000000L / nPlanted)
+    // the 2×2 banding's spec floor (dedup_minhash test): ≥ 80%
+    assert(recallPpm >= 800000L, s"recall $recallPpm ppm below floor")
+  }
 }
