@@ -819,65 +819,174 @@ object Graph {
     // 4-round lineage (the graph_pagerank pattern). The oracle unrolls
     // the same 4 rounds as MATERIALIZED CTEs with an independent
     // row_number-window argmax formulation.
-    Q("graph_lpa", {
-      val rounds = (1 to 4).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT v.id, COALESCE(t.label, v.id) AS label
-           |  FROM v LEFT JOIN (
-           |    SELECT id, label FROM (
-           |      SELECT s.src AS id, p.label, COUNT(*) AS n,
-           |             row_number() OVER (PARTITION BY s.src
-           |               ORDER BY COUNT(*) DESC, p.label) AS rk
-           |      FROM sym s JOIN l${i - 1} p ON p.id = s.dst
-           |      GROUP BY s.src, p.label) q
-           |    WHERE rk = 1) t ON t.id = v.id
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
-         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
-         |), sym AS MATERIALIZED (
-         |  SELECT p1 AS src, p2 AS dst FROM e
-         |  UNION ALL SELECT p2, p1 FROM e
-         |), v AS MATERIALIZED (
-         |  SELECT DISTINCT l_partkey AS id FROM lineitem
-         |  WHERE l_partkey < 400
-         |), l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
-         |$rounds
-         |SELECT id, label AS community FROM l4 ORDER BY id""".stripMargin
-    }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst")
-        .agg(countDistinct("ok").as("w"))
-        .filter(col("w") >= 2)
-        .select("src", "dst")
-      val sym = e
-        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(eager = false)
-      val v = li.select(col("p").as("id")).distinct()
-        .localCheckpoint(eager = false)
-      var labels = v.select(col("id"), col("id").as("label"))
-      for (_ <- 1 to 4) {
-        val votes = sym.join(labels, sym("dst") === labels("id"))
-          .select(sym("src").as("vid"), col("label"))
-        val top = votes.groupBy("vid", "label")
-          .agg(count(lit(1)).as("n"))
-          .groupBy("vid")
-          .agg(min(struct((col("n") * -1).as("nn"), col("label").as("l")))
-            .as("m"))
-          .select(col("vid").as("id"), col("m.l").as("nl"))
-        labels = v.join(top, Seq("id"), "left")
-          .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
-          .localCheckpoint(eager = false)
-      }
-      labels.select(col("id"), col("label").as("community")).orderBy("id")
+    Q("graph_lpa",
+      s"""WITH $lpaSqlCtes
+         |SELECT id, label AS community FROM l4 ORDER BY id""".stripMargin) {
+      (s, d) =>
+        lpaLabels(s, d)
+          .select(col("id"), col("label").as("community")).orderBy("id")
+    },
+
+    // ── modularity ledger of the LPA partition ─────────────────────────
+
+    // "Are these communities REAL?" — Newman modularity of the LPA
+    // assignment, per community, AS DATA (the evaluation-as-query
+    // family: sim_ivf_recall, dedup_minhash_recall): each community's
+    // contribution to Q is (L_c/m) − (d_c/2m)², kept EXACT as the
+    // integer numerator 4·m·L_c − d_c² over the shared denominator
+    // 4m² — intra-edge count, degree mass, member count, and the
+    // ppm-scaled contribution per row; Σ contributions = Q. A
+    // contribution can be negative (singletons: L_c = 0), and Spark's
+    // `div` truncates where DuckDB's `//` floors, so the magnitude is
+    // floor-divided and the SIGN carried separately — the vec_drift
+    // signed-quotient rule. Scale shape: the partition joins the edge
+    // list twice on its endpoint keys (broadcast: labels are
+    // vertex-sized here; hash at corpus scale), then everything
+    // collapses to |communities| rows; m broadcasts as the 1-row
+    // scalar join.
+    Q("graph_modularity",
+      s"""WITH $lpaSqlCtes,
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         |intra AS (
+         |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS intra
+         |  FROM e JOIN l4 la ON la.id = e.p1
+         |         JOIN l4 lb ON lb.id = e.p2
+         |  WHERE la.label = lb.label
+         |  GROUP BY la.label
+         |), degc AS (
+         |  SELECT l.label AS community,
+         |         CAST(COUNT(*) AS BIGINT) AS deg_sum
+         |  FROM sym s JOIN l4 l ON l.id = s.src
+         |  GROUP BY l.label
+         |), allc AS (
+         |  SELECT l.label AS community,
+         |         CAST(COUNT(*) AS BIGINT) AS n_members FROM l4 l
+         |  GROUP BY l.label
+         |)
+         |SELECT a.community, a.n_members,
+         |       COALESCE(i.intra, 0) AS intra_edges,
+         |       COALESCE(dc.deg_sum, 0) AS deg_sum,
+         |       CASE WHEN 4 * m.m * COALESCE(i.intra, 0)
+         |                 - COALESCE(dc.deg_sum, 0) * COALESCE(dc.deg_sum, 0)
+         |                 < 0 THEN -1 ELSE 1 END AS q_sign,
+         |       CAST(abs(4 * m.m * COALESCE(i.intra, 0)
+         |                 - COALESCE(dc.deg_sum, 0) * COALESCE(dc.deg_sum, 0))
+         |              * 1000000 // (4 * m.m * m.m) AS BIGINT) AS q_abs_ppm
+         |FROM allc a
+         |LEFT JOIN intra i ON i.community = a.community
+         |LEFT JOIN degc dc ON dc.community = a.community
+         |CROSS JOIN m
+         |ORDER BY a.community""".stripMargin) { (s, d) =>
+      val (e, _, sym) = lpaGraph(s, d)
+      val labels = lpaLabels(s, d)
+      val m = e.agg(count(lit(1)).as("m"))
+      val la = labels.select(col("id").as("p1"), col("label").as("ca"))
+      val lb = labels.select(col("id").as("p2"), col("label").as("cb"))
+      val intra = e.join(broadcast(la), Seq("p1"))
+        .join(broadcast(lb), Seq("p2"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
+      val degc = sym.join(broadcast(labels.select(col("id").as("src"),
+          col("label"))), Seq("src"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("deg_sum"))
+      val allc = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+      allc
+        .join(intra, Seq("community"), "left")
+        .join(degc, Seq("community"), "left")
+        .select(col("community"), col("n_members"),
+          coalesce(col("intra"), lit(0L)).as("intra_edges"),
+          coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+        .crossJoin(broadcast(m))
+        .withColumn("num",
+          lit(4) * col("m") * col("intra_edges")
+            - col("deg_sum") * col("deg_sum"))
+        .select(col("community"), col("n_members"), col("intra_edges"),
+          col("deg_sum"),
+          when(col("num") < 0, -1).otherwise(1).as("q_sign"),
+          expr("abs(num) * 1000000 div (4 * m * m)").as("q_abs_ppm"))
+        .orderBy("community")
     }
   )
+
+  /** The LPA demo graph: (edges src<dst with ≥2 co-occurrences,
+    * vertices, symmetric edge list) over the < 400 co-purchase window —
+    * the graph_reach sparsification (LPA on the dense ≥1 graph collapses
+    * to one giant community in a round, exercising nothing). */
+  private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val e = li.select(col("ok"), col("p").as("src"))
+      .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(countDistinct("ok").as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src").as("p1"), col("dst").as("p2"))
+      .localCheckpoint(eager = false)
+    val sym = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
+    val v = li.select(col("p").as("id")).distinct()
+      .localCheckpoint(eager = false)
+    (e, v, sym)
+  }
+
+  /** 4 synchronous LPA rounds over [[lpaGraph]] → (id, label); see
+    * graph_lpa's scaladoc for the round mechanics and tie rule. */
+  private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (_, v, sym0) = lpaGraph(s, d)
+    val sym = sym0.localCheckpoint(eager = false)
+    var labels = v.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to 4) {
+      val votes = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("vid"), col("label"))
+      val top = votes.groupBy("vid", "label")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("vid")
+        .agg(min(struct((col("n") * -1).as("nn"), col("label").as("l")))
+          .as("m"))
+        .select(col("vid").as("id"), col("m.l").as("nl"))
+      labels = v.join(top, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  /** The LPA CTE chain (e, sym, v, l0..l4) shared by graph_lpa and
+    * graph_modularity — the minhashCandSql convention. LAZY because it
+    * is declared below `queries`, whose initializer interpolates it —
+    * a plain val would still be null there (object init order). */
+  private lazy val lpaSqlCtes: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(t.label, v.id) AS label
+         |  FROM v LEFT JOIN (
+         |    SELECT id, label FROM (
+         |      SELECT s.src AS id, p.label, COUNT(*) AS n,
+         |             row_number() OVER (PARTITION BY s.src
+         |               ORDER BY COUNT(*) DESC, p.label) AS rk
+         |      FROM sym s JOIN l${i - 1} p ON p.id = s.dst
+         |      GROUP BY s.src, p.label) q
+         |    WHERE rk = 1) t ON t.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+       |), sym AS MATERIALIZED (
+       |  SELECT p1 AS src, p2 AS dst FROM e
+       |  UNION ALL SELECT p2, p1 FROM e
+       |), v AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS id FROM lineitem
+       |  WHERE l_partkey < 400
+       |), l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+       |$rounds""".stripMargin
+  }
 }

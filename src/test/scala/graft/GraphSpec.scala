@@ -347,4 +347,56 @@ class GraphSpec extends SparkSuite {
     assert(got.groupBy(_._2).values.exists(_.size >= 2),
       "LPA fixture degenerated to all-singletons")
   }
+
+  test("graph_modularity ≡ exact integer ledger replay; handshake and " +
+      "membership conservation hold") {
+    val rows = SparkEntry.queries("graph_modularity")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // rebuild graph + labels exactly like the LPA replay test
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val vs = li.map(_._2).distinct.sorted
+    val pairOrders = li.groupBy(_._1).values.flatMap { basket =>
+      basket.map(_._2).distinct.sorted.combinations(2).map(s => (s(0), s(1)))
+    }.toSeq.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val edges = pairOrders.filter(_._2 >= 2).keys.toSeq
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var label = vs.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      label = vs.map { v =>
+        nbrs.get(v) match {
+          case None => v -> label(v)
+          case Some(ns) =>
+            val votes = ns.map(label).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    val m = edges.length.toLong
+    val want = label.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keySet
+      val intra = edges.count { case (a, b) => ids(a) && ids(b) &&
+        label(a) == c && label(b) == c }.toLong
+      val deg = members.keys.toSeq.map(v =>
+        nbrs.get(v).map(_.size).getOrElse(0)).sum.toLong
+      val num = 4L * m * intra - deg * deg
+      (c, members.size.toLong, intra, deg,
+        if (num < 0) -1 else 1, math.abs(num) * 1000000L / (4L * m * m))
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq.sortBy(_._1) == want)
+    // conservation: members cover the vertex set; Σdeg = 2m; Σintra ≤ m
+    assert(rows.map(_._2).sum == vs.length.toLong)
+    assert(rows.map(_._4).sum == 2 * m)
+    assert(rows.map(_._3).sum <= m)
+    // Q itself stays in Newman's range (−0.5, 1]
+    val q = rows.map(t => t._5 * t._6).sum / 1e6
+    assert(q > -0.5 && q <= 1.0, s"Q=$q out of range")
+  }
 }
