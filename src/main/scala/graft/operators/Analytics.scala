@@ -275,6 +275,78 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // ── cohort LTV curve: revenue accumulation per acquisition cohort ──
+
+    // The revenue side of the cohort grid (evt_retention counts heads,
+    // this sums wallets): users cohorted by FIRST OBSERVED day, their
+    // event `value` accumulated per user-aligned week offset, cumulative
+    // LTV-per-user as the one final double. Same observation panel as
+    // evt_survival ((day + 7·user) mod 31 < 12 — the filter IS the
+    // observation window), because the raw fixture puts every user's
+    // first event in the same two days and a single cohort exercises
+    // nothing. Money discipline: `value` is an arbitrary DOUBLE, and
+    // Σdouble is association-order-dependent — each value is floored
+    // once to exact BIGINT micro-units (floor(v·10⁶), identical in
+    // both engines), all accumulation is integer, and ltv_per_user is
+    // ONE division at the end. Scale shape: the per-user MIN and the
+    // join back ride the same user_id shuffle; the cumulative window
+    // partitions by cohort with a weeks-span frame (calendar-bounded —
+    // row count independent of corpus size); the cohort-size dimension
+    // broadcasts back.
+    Q("evt_cohort_ltv",
+      """WITH e AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS micro
+        |  FROM events
+        |), f AS (
+        |  SELECT * FROM e WHERE (day + user_id * 7) % 31 < 12
+        |), u AS (SELECT user_id, MIN(day) AS d0 FROM f GROUP BY user_id),
+        |cs AS (
+        |  SELECT d0, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM u
+        |  GROUP BY d0
+        |), x AS (
+        |  SELECT f.user_id, u.d0, (f.day - u.d0) // 7 AS off, f.micro
+        |  FROM f JOIN u USING (user_id)
+        |), g AS (
+        |  SELECT d0 AS cohort_day, off AS week_offset,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+        |         CAST(SUM(micro) AS BIGINT) AS revenue_micro
+        |  FROM x GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *, CAST(SUM(revenue_micro) OVER (PARTITION BY cohort_day
+        |           ORDER BY week_offset) AS BIGINT) AS cum_micro
+        |  FROM g
+        |)
+        |SELECT c.cohort_day, c.week_offset, c.n_active, c.revenue_micro,
+        |       c.cum_micro, cs.cohort_users,
+        |       CAST(CAST(c.cum_micro AS DOUBLE) / 1000000 / cs.cohort_users
+        |         AS DOUBLE) AS ltv_per_user
+        |FROM c JOIN cs ON cs.d0 = c.cohort_day
+        |ORDER BY cohort_day, week_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 1000000).cast("long").as("micro"))
+        .filter((col("day") + col("user_id") * 7) % 31 < 12)
+      val u = e.groupBy("user_id").agg(min("day").as("d0"))
+      val g = e.join(u, Seq("user_id"))
+        .select(col("user_id"), col("d0"),
+          expr("(day - d0) div 7").as("off"), col("micro"))
+        .groupBy(col("d0").as("cohort_day"), col("off").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"),
+          sum("micro").cast("long").as("revenue_micro"))
+      val cs = u.groupBy(col("d0").as("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val wc = Window.partitionBy("cohort_day").orderBy("week_offset")
+      g.withColumn("cum_micro", sum("revenue_micro").over(wc).cast("long"))
+        .join(broadcast(cs), Seq("cohort_day"))
+        .select(col("cohort_day"), col("week_offset"), col("n_active"),
+          col("revenue_micro"), col("cum_micro"), col("cohort_users"),
+          (col("cum_micro").cast("double") / 1000000 / col("cohort_users"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_day", "week_offset")
+    },
+
     // Marketing attribution: every purchase credited to the user's
     // FIRST preceding click (first-touch) and MOST RECENT preceding
     // click (last-touch) — the two standard single-touch attribution

@@ -907,6 +907,71 @@ object Graph {
           when(col("num") < 0, -1).otherwise(1).as("q_sign"),
           expr("abs(num) * 1000000 div (4 * m * m)").as("q_abs_ppm"))
         .orderBy("community")
+    },
+
+    // ── dedup clustering quality vs the planted ground truth ───────────
+
+    // The CLUSTER-level quality measurement (evaluation-as-query, after
+    // dedup_minhash_recall's pair level): after banding + connected
+    // components, how well do the final clusters reproduce the planted
+    // duplicate relation? Predicted-pair volume is Σ C(size, 2) per
+    // cluster — computed from the SIZES, never by enumerating pairs, so
+    // a corpus-wide mega-cluster costs one integer expression, not its
+    // quadratic pair list. On the fixture the result is instructive:
+    // recall 10⁶ ppm (every planted pair clustered together — CC can
+    // only merge, never split, what banding caught), precision ≈ 10%
+    // (organic word-salad near-dups share clusters, and transitivity
+    // inflates predicted pairs) — exactly the precision/recall
+    // asymmetry dedup pipelines tune their Jaccard re-rank gate for.
+    Q("dedup_cc_quality",
+      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |), clus AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+         |), planted AS (
+         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), sizes AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM clus
+         |  GROUP BY cluster
+         |), pred AS (
+         |  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pred FROM sizes
+         |), tp AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS tp FROM planted p
+         |  JOIN clus ca ON ca.doc_id = p.a_id
+         |  JOIN clus cb ON cb.doc_id = p.b_id
+         |  WHERE ca.cluster = cb.cluster
+         |)
+         |SELECT CAST((SELECT COUNT(*) FROM planted) AS BIGINT) AS n_planted,
+         |       pred.n_pred, tp.tp,
+         |       CAST(tp.tp * 1000000 // (SELECT COUNT(*) FROM planted)
+         |         AS BIGINT) AS recall_ppm,
+         |       CAST(tp.tp * 1000000 // pred.n_pred AS BIGINT)
+         |         AS precision_ppm
+         |FROM pred, tp""".stripMargin) { (s, d) =>
+      val labels = nearCloneClusters(s, d)
+      val planted = graft.Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+      val nPred = labels.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("n_pred"))
+      val tp = labels.select(col("id").as("a_id"), col("label").as("ca"))
+        .join(broadcast(planted), Seq("a_id"))
+        .join(labels.select(col("id").as("b_id"), col("label").as("cb")),
+          Seq("b_id"))
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("tp"))
+      val nP = planted.agg(count(lit(1)).as("n_planted"))
+      nP.crossJoin(broadcast(nPred)).crossJoin(broadcast(tp))
+        .select(col("n_planted"), col("n_pred"), col("tp"),
+          expr("tp * 1000000 div n_planted").as("recall_ppm"),
+          expr("tp * 1000000 div n_pred").as("precision_ppm"))
     }
   )
 

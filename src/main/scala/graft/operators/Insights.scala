@@ -861,6 +861,80 @@ object Insights {
           expr("100 * s_ab div sa").as("conf_pct"),
           expr("1000000 * s_ab * n div (sa * sc)").as("lift_ppm"))
         .orderBy("ante", "cons")
+    },
+
+    // ── two-sample Kolmogorov–Smirnov drift distance (binned) ──────────
+
+    // The CONTINUOUS-column drift audit chk_drift (TVD on categoricals)
+    // cannot do: sup-norm CDF distance between two populations'
+    // o_totalprice distributions (urgent vs low-priority orders as the
+    // train/serve stand-ins). Values quantize once to 500-unit integer
+    // bins — floor identical in both engines — making this the BINNED
+    // KS statistic: deterministic, exact-integer, and scale-honest,
+    // because both CDFs live on the bounded bin grid (a few hundred
+    // rows after ONE map-side-combined aggregate), so the partition-
+    // less cumulative window is the ts_ewma "bounded dimension"
+    // exception, not a corpus-scale sort. The deviation is the
+    // cross-multiplied |F_a·n_b − F_b·n_a| (no float CDF anywhere);
+    // ks_ppm = D·10⁶ div (n_a·n_b); ks_bin = the first bin attaining
+    // the max (deterministic argmax). Exact unbinned KS needs the
+    // distributed-rank route (Ranking.globalRowNumber over the merged
+    // sample) — documented trade, same answer as bin width → 0.
+    Q("chk_dist_ks",
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END
+        |           AS g,
+        |         CAST(floor(o_totalprice) AS BIGINT) // 500 AS bin
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), c AS (
+        |  SELECT bin,
+        |         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ca,
+        |         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS cb
+        |  FROM b GROUP BY bin
+        |), n AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |         CAST(SUM(cb) AS BIGINT) AS nb FROM c
+        |), cum AS (
+        |  SELECT bin, SUM(ca) OVER (ORDER BY bin) AS fa,
+        |         SUM(cb) OVER (ORDER BY bin) AS fb FROM c
+        |), d AS (
+        |  SELECT bin, CAST(ABS(fa * n.nb - fb * n.na) AS BIGINT) AS dev
+        |  FROM cum CROSS JOIN n
+        |), mx AS (SELECT CAST(MAX(dev) AS BIGINT) AS dmax FROM d)
+        |SELECT n.na AS n_a, n.nb AS n_b,
+        |       CAST(mx.dmax * 1000000 // (n.na * n.nb) AS BIGINT) AS ks_ppm,
+        |       CAST((SELECT MIN(bin) FROM d WHERE d.dev = mx.dmax)
+        |         AS BIGINT) AS ks_bin
+        |FROM n CROSS JOIN mx""".stripMargin) { (s, d) =>
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 0).otherwise(1).as("g"),
+          expr("CAST(floor(o_totalprice) AS BIGINT) div 500").as("bin"))
+      val c = b.groupBy("bin").agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+      val n = c.agg(sum("ca").cast("long").as("na"),
+        sum("cb").cast("long").as("nb"))
+      val wb = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = c
+        .select(col("bin"), sum("ca").over(wb).as("fa"),
+          sum("cb").over(wb).as("fb"))
+        .crossJoin(broadcast(n))
+        .select(col("bin"),
+          abs(col("fa") * col("nb") - col("fb") * col("na")).as("dev"),
+          col("na"), col("nb"))
+      val mx = dev.agg(max("dev").as("dmax"))
+      dev.crossJoin(broadcast(mx))
+        .filter(col("dev") === col("dmax"))
+        .groupBy("na", "nb", "dmax")
+        .agg(min("bin").as("ks_bin"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          expr("dmax * 1000000 div (na * nb)").as("ks_ppm"),
+          col("ks_bin"))
     }
   )
 }

@@ -2139,17 +2139,25 @@ object TextOps {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val K = 4; val W = 4
-      val tok = withNearClones(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= K)
-        .withColumn("m", size(col("t")) - (K - 1))
-      val fps = tok
-        .withColumn("hs", transform(sequence(lit(1), col("m")),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(K))))))
+      // LET-BINDING, load-bearing: naming the token/hash arrays as
+      // COLUMNS and referencing them inside the next projection's
+      // lambdas lets CollapseProject inline the whole upstream
+      // expression into EVERY lambda element — tokenization and gram
+      // hashing re-run per window position, O(m²) per doc (measured:
+      // 486 s at sf0.1 vs 0.4 s fixed). Binding each array as a lambda
+      // VARIABLE via a single-element transform pins one evaluation per
+      // row; the optimizer cannot inline through a NamedLambdaVariable.
+      val fps = withNearClones(s, d)
+        .filter(size(toks(col("text"))) >= K) // sequence() descends below
         .select(col("doc_id"),
-          array_distinct(transform(
-            sequence(lit(1), greatest(lit(1), col("m") - (W - 1))),
-            j => array_min(slice(col("hs"), j, lit(W))))).as("fps"))
+          array_distinct(flatten(transform(
+            array(toks(col("text"))), // one-element wrapper: binds t once
+            t => flatten(transform(
+              array(transform(sequence(lit(1), size(t) - (K - 1)),
+                i => md5(concat_ws(" ", slice(t, i, lit(K)))))),
+              hs => transform(
+                sequence(lit(1), greatest(lit(1), size(hs) - (W - 1))),
+                j => array_min(slice(hs, j, lit(W))))))))).as("fps"))
       val p = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
       val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20).select("fp")

@@ -429,4 +429,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.values.exists(_._4 == 3), "no completed funnel")
     assert(got.values.exists(_._4 < 3), "budget never truncated a chain")
   }
+
+  test("evt_cohort_ltv: ledger identities, panel produces real cohorts") {
+    val rows = SparkEntry.queries("evt_cohort_ltv")(spark, SparkSuite.Sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val cohorts = rows.groupBy(_._1)
+    assert(cohorts.size >= 5, s"only ${cohorts.size} cohorts — the " +
+      "panel filter stopped spreading first-observed days")
+    cohorts.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // cumulative = running sum of weekly revenue
+      var run = 0L
+      sorted.foreach { t =>
+        run += t._4
+        assert(t._5 == run, s"cohort $c offset ${t._2}: cum != running")
+        assert(t._3 <= t._6, s"cohort $c: active ${t._3} > size ${t._6}")
+        assert(t._7 == t._5.toDouble / 1000000 / t._6,
+          s"cohort $c offset ${t._2}: ltv identity")
+      }
+      // week 0 of a cohort: every member is active by definition of
+      // first-observed day
+      assert(sorted.head._2 == 0 && sorted.head._3 == sorted.head._6,
+        s"cohort $c week 0 incomplete")
+    }
+  }
 }

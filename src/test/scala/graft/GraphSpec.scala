@@ -399,4 +399,31 @@ class GraphSpec extends SparkSuite {
     val q = rows.map(t => t._5 * t._6).sum / 1e6
     assert(q > -0.5 && q <= 1.0, s"Q=$q out of range")
   }
+
+  test("dedup_cc_quality: counters replay from the cluster assignment; " +
+      "CC can only merge, so recall is exactly 100%") {
+    val r = SparkEntry.queries("dedup_cc_quality")(
+      spark, SparkSuite.Sf001).collect().head
+    val (np, npred, tp, rec, prec) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val labels = SparkEntry.queries("dedup_cc")(spark, SparkSuite.Sf001)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wantPred = labels.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(npred == wantPred, "predicted-pair volume != sigma C(n,2)")
+    val planted = labels.keys.filter(k => k < 10000 && k % 10 == 0)
+      .map(i => (i, i + 10000)).toSeq
+    assert(np == planted.size)
+    assert(tp == planted.count { case (a, b) =>
+      labels.get(a).isDefined && labels.get(a) == labels.get(b) })
+    assert(rec == tp * 1000000L / np)
+    assert(prec == tp * 1000000L / npred)
+    // banding caught every planted pair (dedup_minhash_recall floor is
+    // 80%; on this fixture it is 100%) and CC never splits a candidate
+    // edge — so cluster recall is exactly 10⁶ ppm, while transitive
+    // merging keeps precision far below it (the gate the Jaccard
+    // re-rank exists to close)
+    assert(rec == 1000000L, s"cluster recall $rec ppm")
+    assert(prec < rec, "precision >= recall — fixture degenerate")
+  }
 }

@@ -287,4 +287,28 @@ class InsightsSpec extends SparkSuite {
       }
     assert(rows.forall(_._4 <= 100), "confidence above 100%")
   }
+
+  test("chk_dist_ks ≡ exact binned-KS replay in-JVM; statistic bounded") {
+    val r = q("chk_dist_ks").collect().head
+    val (na, nb, ksPpm, ksBin) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val orders = Tables.orders(spark, SparkSuite.Sf0001)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+      .filter(t => t._1 == "1-URGENT" || t._1 == "5-LOW")
+    def bin(v: Double): Long = math.floor(v).toLong / 500
+    val a = orders.filter(_._1 == "1-URGENT").map(t => bin(t._2))
+    val b = orders.filter(_._1 == "5-LOW").map(t => bin(t._2))
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val bins = (a ++ b).distinct.sorted
+    var fa = 0L; var fb = 0L
+    val devs = bins.map { bn =>
+      fa += a.count(_ == bn); fb += b.count(_ == bn)
+      bn -> math.abs(fa * nb - fb * na)
+    }
+    val dmax = devs.map(_._2).max
+    assert(ksPpm == dmax * 1000000L / (na * nb))
+    assert(ksBin == devs.filter(_._2 == dmax).map(_._1).min)
+    assert(ksPpm >= 0 && ksPpm <= 1000000L)
+  }
 }
