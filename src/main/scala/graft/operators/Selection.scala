@@ -43,10 +43,13 @@ object Selection {
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Word-bigram shingles over 1-indexed tokens. */
+  /** Word-bigram shingles over 1-indexed tokens, argument let-bound
+    * (see TextOps.bigrams — an inlined `toks(text)` argument would
+    * re-tokenize per element, O(m²) per doc). */
   private def bigrams(t: Column): Column =
-    transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    element_at(transform(array(t), tt =>
+      transform(sequence(lit(1), size(tt) - 1),
+        i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1)))), 1)
   private def bigramsSql(t: String): String =
     s"list_transform(range(1, len($t)), i -> concat($t[i], ' ', $t[i+1]))"
 

@@ -32,10 +32,16 @@ object TextOps {
 
   /** Word-bigram shingles over 1-indexed tokens (docs all have ≥ 2
     * tokens; the `size >= 2` guard keeps Spark's descending `sequence`
-    * edge case and DuckDB's empty `range` aligned). */
+    * edge case and DuckDB's empty `range` aligned). The argument is
+    * LET-BOUND via a one-element transform before the per-element
+    * lambda touches it: callers pass expressions like `toks(text)`,
+    * and an inlined argument would re-evaluate per element — O(m²)
+    * tokenization on an m-token doc (the txt_winnowing lesson; higher-
+    * order lambdas get no codegen CSE). */
   private[graft] def bigrams(t: Column): Column =
-    transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    element_at(transform(array(t), tt =>
+      transform(sequence(lit(1), size(tt) - 1),
+        i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1)))), 1)
   private def bigramsSql(t: String): String =
     s"list_transform(range(1, len($t)), i -> concat($t[i], ' ', $t[i+1]))"
 
@@ -132,14 +138,17 @@ object TextOps {
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("s")
+    // token array LET-BOUND (TextOps.bigrams note): a `col("t")` from
+    // the previous projection would inline the whole tokenizer into
+    // every gram lambda element — O(m²) per doc
     val g = withNearClones(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("t")) - 7),
-        i => struct(i.as("i"),
-          xxhash64(concat_ws(" ", slice(col("t"), i, lit(8))))
-            .as("gram")))).as("g"))
+      .filter(size(toks(col("text"))) >= 8)
+      .select(col("doc_id"), explode(element_at(transform(
+        array(toks(col("text"))),
+        t => transform(sequence(lit(1), size(t) - 7),
+          i => struct(i.as("i"),
+            xxhash64(concat_ws(" ", slice(t, i, lit(8))))
+              .as("gram")))), 1)).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
     val dup = g.groupBy("gram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gram")
