@@ -347,6 +347,58 @@ object Analytics {
         .orderBy("cohort_day", "week_offset")
     },
 
+    // ── CEP-style event-sequence pattern match ─────────────────────────
+
+    // MATCH_RECOGNIZE-lite: each user's journey rendered as an ordered
+    // initial string (event types map to distinct initials c/e/p/s/v)
+    // and matched against named regex patterns — the complex-event-
+    // processing queries (did a clean funnel happen with no error in
+    // between? did view-click-purchase occur back-to-back? did the
+    // journey open with signup?) that
+    // windowed aggregates can't phrase. Determinism: the journey is
+    // array_sort over (us, event_id, initial) structs — collect_list's
+    // arrival order never reaches the output — and the three patterns
+    // use only regex constructs with identical semantics in Java regex
+    // and DuckDB's RE2 (literals, ., *, +, ^, [^…]). Scale shape: ONE
+    // user_id hash aggregate; the collected journey is bounded by a
+    // user's own activity (the sessionize contract — max 86 events on
+    // this fixture; a journey column is the standard CEP materialization
+    // and a pathological mega-user would cap or session-split at
+    // ingest).
+    Q("evt_seq_pattern",
+      """WITH e AS (
+        |  SELECT user_id, substr(event_type, 1, 1) AS i,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events
+        |), j AS (
+        |  SELECT user_id,
+        |         string_agg(i, '' ORDER BY us, event_id) AS journey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, journey, n_events,
+        |       regexp_matches(journey, 'v[^e]*c[^e]*p') AS m_clean_funnel,
+        |       regexp_matches(journey, 'vcp') AS m_strict_funnel,
+        |       regexp_matches(journey, '^s') AS m_signup_first
+        |FROM j ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          substring(col("event_type"), 1, 1).as("i"))
+        .groupBy("user_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("i")))),
+            x => x.getField("i")), "").as("journey"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("journey"), col("n_events"),
+          col("journey").rlike("v[^e]*c[^e]*p").as("m_clean_funnel"),
+          col("journey").rlike("vcp").as("m_strict_funnel"),
+          col("journey").rlike("^s").as("m_signup_first"))
+        .orderBy("user_id")
+    },
+
     // Marketing attribution: every purchase credited to the user's
     // FIRST preceding click (first-touch) and MOST RECENT preceding
     // click (last-touch) — the two standard single-touch attribution

@@ -935,6 +935,74 @@ object Insights {
         .select(col("na").as("n_a"), col("nb").as("n_b"),
           expr("dmax * 1000000 div (na * nb)").as("ks_ppm"),
           col("ks_bin"))
+    },
+
+    // ── Pearson correlation + OLS line in exact sufficient statistics ──
+
+    // corr/regr_slope/regr_intercept with ORACLE BIT-PARITY, which the
+    // engines' native float aggregates cannot give (their accumulation
+    // order differs): quantity (integral) and price (exact cents via
+    // the DECIMAL(12,4) money cast) reduce to the five sufficient sums
+    // n, Σx, Σy, Σxy, Σx², Σy² — exact DECIMAL(38)/HUGEINT on the two
+    // engines — and every float output is ONE pinned expression over
+    // their exact cross-products: r = cov_n/(√varx_n·√vary_n) with
+    // sqrt-each-then-multiply pinned (√ is IEEE-correctly-rounded in
+    // both), slope = cov_n/varx_n, intercept = (Σy − slope·Σx)/n.
+    // Scale shape: one map-side-combined hash aggregate over the scan —
+    // the sufficient-statistics form IS the distributed-correlation
+    // algorithm (partials merge by addition).
+    Q("agg_corr_ols",
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100
+        |             AS BIGINT)) AS sy,
+        |         SUM(CAST(l_quantity AS BIGINT)
+        |             * CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100
+        |               AS BIGINT)) AS sxy,
+        |         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |           AS sxx,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100
+        |               AS BIGINT)
+        |             * CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100
+        |               AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT flag, n,
+        |       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |         AS DOUBLE) AS r,
+        |       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+        |         AS slope_cents,
+        |       CAST((CAST(sy AS DOUBLE)
+        |              - CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                     / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+        |                * CAST(sx AS DOUBLE)) / n AS DOUBLE)
+        |         AS intercept_cents
+        |FROM s ORDER BY flag""".stripMargin) { (s, d) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val x = col("l_quantity").cast("long").cast(D)
+      val y = (col("l_extendedprice").cast(Tables.M) * 100)
+        .cast("long").cast(D)
+      val agg = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n").cast(D)
+      val covN = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varxN = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varyN = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+      val slope = covN / varxN
+      agg.select(col("flag"), col("n"),
+          (covN / (sqrt(varxN) * sqrt(varyN))).as("r"),
+          slope.as("slope_cents"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n")).as("intercept_cents"))
+        .orderBy("flag")
     }
   )
 }

@@ -456,4 +456,29 @@ class AnalyticsSpec extends SparkSuite {
         s"cohort $c week 0 incomplete")
     }
   }
+
+  test("evt_seq_pattern ≡ in-JVM journey replay; patterns discriminate") {
+    val out = SparkEntry.queries("evt_seq_pattern")(spark, SparkSuite.Sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val j = rows.sortBy(r => (r._4, r._2)).map(_._3.head).mkString
+      def m(p: String) = java.util.regex.Pattern.compile(p).matcher(j).find()
+      u -> ((j, rows.length.toLong,
+        m("v[^e]*c[^e]*p"), m("vcp"), m("^s")))
+    }
+    assert(out == want)
+    // every pattern must split the population (matches AND non-matches)
+    Seq[((String, Long, Boolean, Boolean, Boolean)) => Boolean](
+      _._3, _._4, _._5).zipWithIndex.foreach { case (f, i) =>
+      assert(out.values.exists(f) && out.values.exists(!f(_)),
+        s"pattern $i does not discriminate on the fixture")
+    }
+  }
 }

@@ -311,4 +311,34 @@ class InsightsSpec extends SparkSuite {
     assert(ksBin == devs.filter(_._2 == dmax).map(_._1).min)
     assert(ksPpm >= 0 && ksPpm <= 1000000L)
   }
+
+  test("agg_corr_ols ≡ exact sufficient-statistics replay (bit-equal " +
+      "doubles); r bounded") {
+    val rows = q("agg_corr_ols").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 3)
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(1 + 1)).setScale(4).*(100).toLongExact))
+    rows.foreach { case (flag, n, rr, slope, icept) =>
+      val g = li.filter(_._1 == flag)
+      assert(n == g.length.toLong)
+      val sx = BigInt(g.map(_._2).sum)
+      val sy = g.map(t => BigInt(t._3)).sum
+      val sxy = g.map(t => BigInt(t._2) * BigInt(t._3)).sum
+      val sxx = g.map(t => BigInt(t._2) * BigInt(t._2)).sum
+      val syy = g.map(t => BigInt(t._3) * BigInt(t._3)).sum
+      val covN = (BigInt(n) * sxy - sx * sy).toDouble
+      val varxN = (BigInt(n) * sxx - sx * sx).toDouble
+      val varyN = (BigInt(n) * syy - sy * sy).toDouble
+      assert(rr == covN / (math.sqrt(varxN) * math.sqrt(varyN)),
+        s"$flag r")
+      assert(slope == covN / varxN, s"$flag slope")
+      assert(icept == (sy.toDouble - (covN / varxN) * sx.toDouble) / n,
+        s"$flag intercept")
+      assert(math.abs(rr) <= 1.0, s"$flag |r| > 1")
+    }
+  }
 }
