@@ -460,23 +460,7 @@ object Graph {
     // degree-orientation trick (orient low→high degree, not low→high
     // id) bounds the 2-path fan-out by sqrt(|E|) per node — same plan
     // shape, different orientation key.
-    Q("graph_triangles",
-      """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
-        |), tri AS (
-        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
-        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
-        |       JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
-        |), corners AS (
-        |  SELECT a AS p FROM tri
-        |  UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri
-        |)
-        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_tri
-        |FROM corners GROUP BY p ORDER BY p""".stripMargin) { (s, d) =>
+    Q("graph_triangles", trianglesOracleSql) { (s, d) =>
       val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val e = li.select(col("ok"), col("p").as("p1"))
@@ -487,6 +471,64 @@ object Graph {
         .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
         .join(e.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
       tri.select(col("a").as("p"))
+        .unionByName(tri.select(col("b").as("p")))
+        .unionByName(tri.select(col("c").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("n_tri"))
+        .orderBy("p")
+    },
+
+    // The DEGREE-ORIENTATION variant graph_triangles' scaladoc only
+    // promised: edges oriented low→high under the total order
+    // (degree, id), so every triangle materializes exactly once as a
+    // wedge at its LOWEST-order corner — and a node's out-degree is
+    // bounded by O(√|E|) (a node keeps an out-edge only toward
+    // higher-degree neighbors, and there can't be more than √(2|E|)
+    // nodes of degree ≥ √(2|E|)). The 2-path fan-out, Σ out-deg², is
+    // therefore O(|E|^1.5) on ANY graph — id-orientation's fan-out is
+    // unbounded on a hub (one celebrity part with 10⁶ co-purchases =
+    // 10¹² wedges; degree-orientation caps the same hub's wedges at
+    // |E|). Same counts, same oracle verbatim (the dedup_cc_star
+    // algorithm-independence precedent); GraphSpec pins row equality
+    // with graph_triangles AND the √-bound on oriented out-degree.
+    Q("graph_triangles_deg", trianglesOracleSql) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+      val deg = e.select(col("p1").as("v"))
+        .unionByName(e.select(col("p2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      // orient each edge toward the (degree, id)-larger endpoint; the
+      // degree dimension is node-sized ⇒ broadcast onto both ends
+      val dirE = e
+        .join(broadcast(deg.select(col("v").as("p1"), col("dg").as("d1"))),
+          Seq("p1"))
+        .join(broadcast(deg.select(col("v").as("p2"), col("dg").as("d2"))),
+          Seq("p2"))
+        .select(
+          when(struct(col("d1").as("dg"), col("p1").as("id"))
+            < struct(col("d2").as("dg"), col("p2").as("id")),
+            col("p1")).otherwise(col("p2")).as("src"),
+          when(struct(col("d1").as("dg"), col("p1").as("id"))
+            < struct(col("d2").as("dg"), col("p2").as("id")),
+            struct(col("d2").as("dg"), col("p2").as("id")))
+            .otherwise(struct(col("d1").as("dg"), col("p1").as("id")))
+            .as("dstK"))
+        .select(col("src"), col("dstK"), col("dstK.id").as("dst"))
+      // wedges at the lowest-order corner: two out-edges of src, kept
+      // once per unordered pair via the SAME (degree, id) order; the
+      // closing edge is oriented b→c by construction
+      val w1 = dirE.select(col("src"), col("dstK").as("bK"),
+        col("dst").as("b"))
+      val w2 = dirE.select(col("src"), col("dstK").as("cK"),
+        col("dst").as("c"))
+      val tri = w1.join(w2, Seq("src"))
+        .filter(col("bK") < col("cK"))
+        .join(dirE.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"), "left_semi")
+      tri.select(col("src").as("p"))
         .unionByName(tri.select(col("b").as("p")))
         .unionByName(tri.select(col("c").as("p")))
         .groupBy("p").agg(count(lit(1)).as("n_tri"))
@@ -1020,6 +1062,27 @@ object Graph {
     }
     labels
   }
+
+  /** graph_triangles' oracle, shared verbatim by graph_triangles_deg —
+    * the answer is algorithm-independent (dedup_cc_star precedent).
+    * LAZY: declared below `queries` (object init order). */
+  private lazy val trianglesOracleSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+      |), tri AS (
+      |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+      |       JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+      |), corners AS (
+      |  SELECT a AS p FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |)
+      |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM corners GROUP BY p ORDER BY p""".stripMargin
 
   /** The LPA CTE chain (e, sym, v, l0..l4) shared by graph_lpa and
     * graph_modularity — the minhashCandSql convention. LAZY because it

@@ -426,4 +426,34 @@ class GraphSpec extends SparkSuite {
     assert(rec == 1000000L, s"cluster recall $rec ppm")
     assert(prec < rec, "precision >= recall — fixture degenerate")
   }
+
+  test("graph_triangles_deg ≡ graph_triangles (algorithm independence); " +
+      "oriented out-degree obeys the sqrt(2|E|) bound") {
+    def rows(n: String) = SparkEntry.queries(n)(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows("graph_triangles_deg") == rows("graph_triangles"))
+    // replay the orientation in-JVM and pin the fan-out bound the
+    // variant exists for
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      basket.map(_._2).distinct.sorted.combinations(2).map(s => (s(0), s(1)))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size }
+    val ord = implicitly[Ordering[(Int, Long)]]
+    val outDeg = edges.toSeq
+      .map { case (a, b) =>
+        if (ord.lt((deg(a), a), (deg(b), b))) a else b
+      }
+      .groupBy(v => v).map(_._2.size)
+    val bound = math.ceil(math.sqrt(2.0 * edges.size)).toLong + 1
+    assert(outDeg.max <= bound,
+      s"oriented out-degree ${outDeg.max} exceeds sqrt bound $bound")
+    // the orientation genuinely rebalances: max out-degree must be
+    // strictly below the raw max degree on this fixture
+    assert(outDeg.max < deg.values.max, "orientation did not rebalance")
+  }
 }
