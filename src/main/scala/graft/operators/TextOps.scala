@@ -2167,7 +2167,13 @@ object TextOps {
               hs => transform(
                 sequence(lit(1), greatest(lit(1), size(hs) - (W - 1))),
                 j => array_min(slice(hs, j, lit(W))))))))).as("fps"))
-      val p = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      // the fingerprint table feeds FOUR consumers (the df-cap
+      // aggregate, the semi-join, and both sides of the pair join) —
+      // un-materialized, the interpreted higher-order fingerprint
+      // expression re-evaluates per consumer (measured 6.3 s → 1.5 s
+      // at sf0.1); one shared persist runs it once
+      val p = graft.Caches.shared(
+        fps.select(col("doc_id"), explode(col("fps")).as("fp")))
       val keep = p.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20).select("fp")
       val pk = p.join(keep, Seq("fp"), "left_semi")
