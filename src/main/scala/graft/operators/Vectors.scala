@@ -465,6 +465,98 @@ object Vectors {
         .orderBy("q_id")
     },
 
+    // The full probe/recall CURVE in one query — sim_ivf_recall at a
+    // single operating point, generalized: recall@10 for nprobe ∈
+    // {1,2,4,8,16}, closing at nprobe = nlist where IVF ≡ brute force
+    // (recall exactly 1, spec-pinned). This is the artifact an ANN
+    // deployment actually tunes from. One pass: every query ranks ALL
+    // centroids once (crk per candidate list), candidates fetch once
+    // at the widest setting, and the ×|grid| explode multiplies only
+    // the queries×candidates RE-RANK — the corpus-side probe stays the
+    // partition-pruned scan, so the curve costs barely more than its
+    // widest point. Hits counted from the baseline side (bf × grid ⟕
+    // IVF list), so every grid point emits a row even at zero recall.
+    Q("sim_ivf_recall_curve", {
+      val grid = Seq(1, 2, 4, 8, 16)
+      s"""WITH ${cellAssignCtes(FixedNList)},
+         |q AS (SELECT vec_id AS q_id, embedding, nrm FROM assigned
+         |      WHERE vec_id < 5),
+         |crk AS (
+         |  SELECT q.q_id, c.list_id,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY (${cdotSql("q.embedding")}) DESC, c.list_id)
+         |           AS crk
+         |  FROM q CROSS JOIN cen c
+         |), cand AS (
+         |  SELECT q.q_id, a.vec_id, r.crk,
+         |         (${dotSql("q.embedding", "a.embedding")})
+         |           / (q.nrm * a.nrm) AS cos
+         |  FROM crk r
+         |  JOIN assigned a ON a.list_id = r.list_id
+         |  JOIN q ON q.q_id = r.q_id
+         |  WHERE a.vec_id <> q.q_id
+         |), grid AS (SELECT * FROM (VALUES ${grid.map(p => s"($p)")
+              .mkString(", ")}) AS t(p)),
+         |top AS (
+         |  SELECT p, q_id, vec_id FROM (
+         |    SELECT g.p, c.q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY g.p, c.q_id
+         |             ORDER BY c.cos DESC, c.vec_id) AS rn
+         |    FROM grid g JOIN cand c ON c.crk <= g.p) t
+         |  WHERE rn <= 10
+         |), bf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "b.embedding")})
+         |               / (q.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |    FROM q JOIN nrm b ON b.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |)
+         |SELECT CAST(g.p AS BIGINT) AS nprobe,
+         |       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(t.vec_id) AS DOUBLE) / 50 AS recall
+         |FROM bf CROSS JOIN grid g
+         |LEFT JOIN top t ON t.p = g.p AND t.q_id = bf.q_id
+         |  AND t.vec_id = bf.vec_id
+         |GROUP BY g.p ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+      val grid = Seq(1, 2, 4, 8, 16)
+      val assigned = normed(s, d).withColumn("list_id",
+        array_min(centroidScores(col("embedding"), FixedNList))
+          .getField("list_id"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"))
+      val crk = q.select(col("q_id"), col("eq"), col("nq"),
+          posexplode(array_sort(centroidScores(col("eq"), FixedNList))))
+        .select(col("q_id"), col("eq"), col("nq"),
+          (col("pos") + 1).as("crk"), col("col.list_id").as("list_id"))
+      val cand = crk.join(assigned, Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("crk"),
+          (dot(col("eq"), col("embedding")) / (col("nq") * col("nrm")))
+            .as("cos"))
+      val gridDf = broadcast(s.range(1)
+        .select(explode(array(grid.map(p => lit(p.toLong)): _*)).as("p")))
+      val w = Window.partitionBy("p", "q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = gridDf.join(cand, col("crk") <= col("p"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("p").as("tp"), col("q_id").as("tq"),
+          col("vec_id").as("tv"), lit(1).as("hit"))
+      val bf = bruteTopK(s, d, 10).select("q_id", "vec_id")
+      bf.crossJoin(gridDf.withColumnRenamed("p", "gp"))
+        .join(top, col("gp") === col("tp") && col("q_id") === col("tq") &&
+          col("vec_id") === col("tv"), "left")
+        .groupBy("gp")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / 50).as("recall"))
+        .select(col("gp").as("nprobe"), col("n_hits"), col("recall"))
+        .orderBy("nprobe")
+    },
+
     // Semantic eval-set decontamination — the embedding-level twin of
     // txt_contamination (n-gram overlap): drop training vectors too
     // close to ANY eval vector (the leakage n-gram matching misses:

@@ -213,4 +213,23 @@ class VectorsSpec extends SparkSuite {
           s"score $score is not a two-term RRF sum") }
     }
   }
+
+  test("sim_ivf_recall_curve: monotone in nprobe, exact hit identities, " +
+      "closes at recall 1 when nprobe = nlist") {
+    val curve = SparkEntry.queries("sim_ivf_recall_curve")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    curve.foreach { case (p, hits, recall) =>
+      assert(hits >= 0 && hits <= 50, s"nprobe $p hits $hits")
+      assert(recall == hits / 50.0, s"nprobe $p recall identity")
+    }
+    // widening the probe can only ADD candidates -> recall monotone
+    curve.sliding(2).foreach { case Array((p1, h1, _), (p2, h2, _)) =>
+      assert(h1 <= h2, s"recall fell from nprobe $p1 to $p2") }
+    // nprobe = nlist probes every list = brute force
+    assert(curve.last._3 == 1.0, "full probe did not recover brute force")
+    // the curve must actually climb on this corpus
+    assert(curve.head._2 < curve.last._2, "flat curve - fixture degenerate")
+  }
 }
