@@ -1591,23 +1591,7 @@ object Analytics {
     // day-partitioned window over the scan — at a corpus-scale DAY the
     // same query takes the distributed-rank route winsorizedDistributed
     // demonstrates; sketch_quantile is the bounded-state estimate.
-    Q("ts_daily_pct",
-      """WITH e AS (
-        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |         value, event_id
-        |  FROM events
-        |), r AS (
-        |  SELECT day, value,
-        |         row_number() OVER (PARTITION BY day
-        |           ORDER BY value, event_id) AS rn,
-        |         COUNT(*) OVER (PARTITION BY day) AS n
-        |  FROM e
-        |)
-        |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
-        |       MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
-        |       MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
-        |       MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
-        |FROM r GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    Q("ts_daily_pct", dailyPctOracleSql) { (s, d) =>
       val e = Tables.events(s, d)
         .select(expr("unix_micros(ts) div 86400000000").as("day"),
           col("value"), col("event_id"))
@@ -1616,6 +1600,37 @@ object Analytics {
           Window.partitionBy("day").orderBy("value", "event_id")))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
       r.groupBy("day")
+        .agg(max("n").cast("long").as("n"),
+          min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+            col("value"))).as("p50"),
+          min(when(col("rn") === expr("(n * 95 + 99) div 100"),
+            col("value"))).as("p95"),
+          min(when(col("rn") === expr("(n * 99 + 99) div 100"),
+            col("value"))).as("p99"))
+        .orderBy("day")
+    },
+
+    // The DISTRIBUTED-RANK twin ts_daily_pct's scaladoc promises: same
+    // rows, same oracle verbatim (dedup_cc_star / graph_triangles_deg
+    // precedent), ZERO Window nodes — per-day ranks recovered from one
+    // GLOBAL rank over the composite (day, value, event_id) key
+    // (Ranking.globalRowNumber: range-partition + zipWithIndex, two
+    // linear passes, ≤ corpus/numPartitions rows per task) minus each
+    // day's first global rank (a days-sized broadcast). This is the
+    // form that survives a corpus-scale DAY — the day-partitioned
+    // window sorts an entire day in one task; the global-rank route
+    // never materializes a partition bigger than corpus/parts
+    // regardless of how skewed the days are (plan-guarded windowless).
+    Q("ts_daily_pct_dist", dailyPctOracleSql) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value"), col("event_id"))
+      val g = Ranking.globalRowNumber(e, Seq("day", "value", "event_id"), 32)
+      val off = g.groupBy("day")
+        .agg(min(col("row_num")).as("off"), count(lit(1)).as("n"))
+      g.join(broadcast(off), Seq("day"))
+        .withColumn("rn", col("row_num") - col("off") + lit(1L))
+        .groupBy("day")
         .agg(max("n").cast("long").as("n"),
           min(when(col("rn") === expr("(n * 50 + 99) div 100"),
             col("value"))).as("p50"),
@@ -1875,4 +1890,25 @@ object Analytics {
         .orderBy("di")
     }
   )
+
+  /** ts_daily_pct's oracle, shared verbatim by ts_daily_pct_dist (the
+    * answer is algorithm-independent). LAZY: declared below `queries`
+    * (object init order — the graph_lpa lesson). */
+  private lazy val dailyPctOracleSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |         value, event_id
+      |  FROM events
+      |), r AS (
+      |  SELECT day, value,
+      |         row_number() OVER (PARTITION BY day
+      |           ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY day) AS n
+      |  FROM e
+      |)
+      |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+      |       MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |       MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+      |       MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
 }

@@ -541,4 +541,15 @@ class PlanSpec extends SparkSuite {
     assert(p.toLowerCase.contains("orc"), "plan does not scan ORC:\n"
       + p.take(800))
   }
+
+  test("ts_daily_pct_dist: ZERO Window nodes (the corpus-scale-day " +
+      "contract); day offsets join back as a broadcast") {
+    val p = plan("ts_daily_pct_dist")
+    assert(!p.contains("Window"), "distributed twin grew a window:\n"
+      + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the windowed original keeps its Window — the pair stays an
+    // honest trade, not two copies of one plan
+    assert(plan("ts_daily_pct").contains("Window"))
+  }
 }
