@@ -185,6 +185,47 @@ object Layout {
             .as("revenue"))
         .select("l_orderkey", "o_orderpriority", "n_lines", "revenue")
         .orderBy("l_orderkey")
+    },
+
+    // ── partition-directory pruning (the Hive-layout lever) ────────────
+
+    // The third and most common write-time layout, completing the set
+    // (zorder = clustering WITHIN files, buckets = co-location ACROSS
+    // joins, partitions = directory pruning AT LISTING): orders written
+    // once per (session, sf-dir) as `status=X/` Hive directories, and a
+    // status-filtered read never LISTS the other directories —
+    // `.explain` shows the predicate under PartitionFilters (resolved
+    // at file listing, before any IO) instead of PushedFilters
+    // (resolved per row group, after opening the file). At 100 TB a
+    // date-partitioned lake turns a day query from a full listing into
+    // one directory — this is that lever, plan-guarded. The answer is
+    // layout-independent, so the plain-table oracle pins the whole
+    // write→prune→agg path (src_orc_roundtrip discipline).
+    Q("layout_partition_prune",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val name =
+          s"graft_part_orders_${(d.hashCode & Int.MaxValue).toHexString}"
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_part/$name").getAbsolutePath
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+              "o_totalprice")
+            .write.mode("overwrite").partitionBy("o_orderstatus")
+            .parquet(path)
+        }
+        s.read.parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Tables.M)).cast("double")
+              .as("total"))
+          .orderBy("o_orderpriority")
     }
   )
 

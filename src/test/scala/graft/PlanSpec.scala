@@ -552,4 +552,12 @@ class PlanSpec extends SparkSuite {
     // honest trade, not two copies of one plan
     assert(plan("ts_daily_pct").contains("Window"))
   }
+
+  test("layout_partition_prune: the status predicate resolves at file " +
+      "LISTING (PartitionFilters), not per row group") {
+    val p = plan("layout_partition_prune")
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      "status filter did not reach PartitionFilters:\n" + p.take(1200))
+  }
 }
