@@ -535,6 +535,41 @@ class TextOpsSpec extends SparkSuite {
       "no clone pair outranks organic overlap — fixture degenerate")
   }
 
+  test("txt_winnowing ≡ in-JVM fingerprint mirror, pair for pair " +
+      "(the mirror KernelPropertySpec proves the guarantee on)") {
+    val got = SparkEntry.queries("txt_winnowing")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fps(toks: Seq[String]): Set[String] =
+      if (toks.length < 4) Set.empty
+      else {
+        val hs = toks.sliding(4).map(g => md5hex(g.mkString(" "))).toVector
+        (1 to math.max(1, hs.length - 3))
+          .map(j => hs.slice(j - 1, j + 3).min).toSet
+      }
+    val base = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 10000, t + " zz9 qq8") }
+    val perDoc = corpus.map { case (id, t) =>
+      id -> fps(t.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val df = perDoc.flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.length }
+    val kept = perDoc.map { case (id, f) =>
+      id -> f.filter(fp => df(fp) <= 20) }
+    val want = (for {
+      (a, fa) <- kept; (b, fb) <- kept if a < b
+      shared = fa.intersect(fb).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    assert(got == want,
+      s"onlyQuery=${(got -- want).take(3)} onlyMirror=${(want -- got).take(3)}")
+  }
+
   test("dedup_minhash_recall: the reported counters ARE the " +
       "dedup_minhash candidate list's, and recall clears the band floor") {
     val r = SparkEntry.queries("dedup_minhash_recall")(spark, Sf001)
