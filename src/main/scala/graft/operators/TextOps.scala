@@ -2225,6 +2225,158 @@ object TextOps {
       nP.crossJoin(broadcast(nH)).crossJoin(broadcast(nC))
         .select(col("n_planted"), col("n_caught"), col("n_cand"),
           expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
+    },
+
+    // ── FLAGSHIP curation composite: the full pipeline as ONE query ────
+
+    // The training-data twin of dd_rollup's reference composite: a
+    // five-stage curation funnel over a corpus with PLANTED hazards —
+    // exact copies (+20000, %7), near clones (+10000, %10), and
+    // cross-corpus LEAKAGE (copies/clones of EVAL documents, which are
+    // excluded from the corpus at ingest) — emitting the stage LEDGER
+    // (docs, tokens per stage) a curation run reports:
+    //   1_ingest → 2_gate (word-count floor; the corpus-appropriate
+    //   Gopher rule — the full matrix is txt_gopher_rules) → 3_exact
+    //   (md5 min-id survivor) → 4_near (banded-candidate CC clusters,
+    //   min-ALIVE-id survivor) → 5_decontam (eval-shingle overlap
+    //   ≥ 50% dropped).
+    // The stage ORDER is the story: dedup CANNOT catch an eval clone —
+    // its cluster-mate (the eval original) is not in the corpus, so it
+    // survives stage 4 as its own cluster and only the contamination
+    // gate removes it (spec pins exactly this). Scale shape: each
+    // stage is a proven kernel (per-row gate; md5 hash-agg; the
+    // session-shared cluster assignment joined once; shingle equi-join
+    // vs a broadcast-sized eval set); the ledger is five counts — no
+    // stage materializes anything a 100 TB run wouldn't.
+    Q("pipeline_curate", {
+      val evalPred =
+        "substr(md5(concat('eval#', CAST(doc_id AS VARCHAR))), 1, 2) < '10'"
+      s"""WITH RECURSIVE $minhashCandSql,
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL SELECT b_id, a_id FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |), clus AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+         |), corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE NOT ($evalPred)
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, concat(text, ' zz9 qq8') FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), tokd AS (
+         |  SELECT doc_id, text,
+         |         len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |           AS n_tok
+         |  FROM corpus
+         |), a2 AS (SELECT * FROM tokd WHERE n_tok >= 50),
+         |a3 AS (
+         |  SELECT t.* FROM a2 t
+         |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS m FROM a2
+         |        GROUP BY md5(text)) g
+         |    ON md5(t.text) = g.h AND t.doc_id = g.m
+         |), a3c AS (
+         |  SELECT a.*, COALESCE(c.cluster, a.doc_id) AS cl
+         |  FROM a3 a LEFT JOIN clus c ON c.doc_id = a.doc_id
+         |), a4 AS (
+         |  SELECT t.doc_id, t.text, t.n_tok FROM a3c t
+         |  JOIN (SELECT cl, MIN(doc_id) AS m FROM a3c GROUP BY cl) g
+         |    ON t.cl = g.cl AND t.doc_id = g.m
+         |), ev AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+3], ' '))) AS sx
+         |  FROM (SELECT $toksSql AS t FROM documents WHERE $evalPred) x
+         |  WHERE len(t) >= 4
+         |), cont AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_sh,
+         |         SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(t) - 2),
+         |            i -> array_to_string(t[i:i+3], ' '))) AS sx
+         |        FROM (SELECT doc_id, $toksSql AS t FROM a4) y) s
+         |  LEFT JOIN ev ON ev.sx = s.sx
+         |  GROUP BY s.doc_id
+         |), a5 AS (
+         |  SELECT a.* FROM a4 a JOIN cont c ON c.doc_id = a.doc_id
+         |  WHERE 2 * c.n_hit < c.n_sh
+         |)
+         |SELECT stage, n_docs, n_tokens FROM (
+         |  SELECT '1_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tokd
+         |  UNION ALL SELECT '2_gate', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(n_tok) AS BIGINT) FROM a2
+         |  UNION ALL SELECT '3_exact', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(n_tok) AS BIGINT) FROM a3
+         |  UNION ALL SELECT '4_near', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(n_tok) AS BIGINT) FROM a4
+         |  UNION ALL SELECT '5_decontam', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(n_tok) AS BIGINT) FROM a5
+         |) t ORDER BY stage""".stripMargin
+    }) { (s, d) =>
+      val isEval = (id: Column) =>
+        substring(md5(concat(lit("eval#"), id.cast("string"))), 1, 2)
+          .lt("10")
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = base.filter(!isEval(col("doc_id")))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zz9 qq8")).as("text")))
+      val tokd = graft.Caches.shared(corpus.select(col("doc_id"), col("text"),
+        size(toks(col("text"))).as("n_tok")))
+      val a2 = tokd.filter(col("n_tok") >= 50)
+      val a3 = a2.withColumn("h", md5(col("text")))
+        .join(a2.groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("m")), Seq("h"))
+        .filter(col("doc_id") === col("m"))
+        .select("doc_id", "text", "n_tok")
+      val a3c = a3.join(
+          Graph.nearCloneClusters(s, d)
+            .select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("n_tok"),
+          coalesce(col("label"), col("doc_id")).as("cl"))
+      val a4 = graft.Caches.shared(a3c
+        .join(a3c.groupBy("cl").agg(min("doc_id").as("m")), Seq("cl"))
+        .filter(col("doc_id") === col("m"))
+        .select("doc_id", "text", "n_tok"))
+      // 4-token contamination shingles (longer than the bigram screen
+      // txt_contamination uses): on a tiny shared vocab the BIGRAM
+      // universe saturates — the eval union covers most possible
+      // bigrams and every doc reads ≥50% "contaminated" (measured:
+      // stage 5 went to zero) — while 4-gram space is vocab⁴-sparse,
+      // so organic overlap is rare and only genuine copies cross the
+      // gate. Let-bound per the bigrams() lesson.
+      val quadgrams = (text: Column) =>
+        element_at(transform(array(toks(text)), t =>
+          transform(sequence(lit(1), size(t) - 3),
+            i => concat_ws(" ", slice(t, i, lit(4))))), 1)
+      val ev = base.filter(isEval(col("doc_id")))
+        .filter(size(toks(col("text"))) >= 4)
+        .select(explode(quadgrams(col("text"))).as("sx")).distinct()
+      val cont = a4
+        .select(col("doc_id"), explode(quadgrams(col("text"))).as("sx"))
+        .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("sx"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      val a5 = a4.join(cont, Seq("doc_id"))
+        .filter(lit(2) * col("n_hit") < col("n_sh"))
+      def ledger(stage: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+      ledger("1_ingest", tokd)
+        .unionByName(ledger("2_gate", a2))
+        .unionByName(ledger("3_exact", a3))
+        .unionByName(ledger("4_near", a4))
+        .unionByName(ledger("5_decontam", a5))
+        .orderBy("stage")
     }
   )
 

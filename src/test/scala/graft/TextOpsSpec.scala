@@ -570,6 +570,62 @@ class TextOpsSpec extends SparkSuite {
       s"onlyQuery=${(got -- want).take(3)} onlyMirror=${(want -- got).take(3)}")
   }
 
+  test("pipeline_curate ≡ full in-JVM stage replay; the decontam stage " +
+      "catches exactly the leakage dedup cannot") {
+    val got = SparkEntry.queries("pipeline_curate")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isEval(id: Long) = md5hex(s"eval#$id").substring(0, 2) < "10"
+    def tk(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val base = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base.filterNot(t => isEval(t._1)) ++
+      base.filter(_._1 % 7 == 0).map { case (i, t) => (i + 20000, t) } ++
+      base.filter(_._1 % 10 == 0)
+        .map { case (i, t) => (i + 10000, t + " zz9 qq8") }
+    val a2 = corpus.filter(t => tk(t._2).length >= 50)
+    val a3 = a2.groupBy(t => md5hex(t._2)).values
+      .map(_.minBy(_._1)).toSeq
+    val labels = SparkEntry.queries("dedup_cc")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a3c = a3.map { case (i, t) => (i, t, labels.getOrElse(i, i)) }
+    val aliveMin = a3c.groupBy(_._3).map { case (c, g) =>
+      c -> g.map(_._1).min }
+    val a4 = a3c.filter { case (i, _, c) => aliveMin(c) == i }
+      .map(t => (t._1, t._2))
+    def quad(t: String): Seq[String] =
+      tk(t).sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSeq
+    val ev = base.filter(t => isEval(t._1)).flatMap(t => quad(t._2)).toSet
+    val a5 = a4.filter { case (_, t) =>
+      val sh = quad(t)
+      2 * sh.count(ev.contains) < sh.length
+    }
+    def tokSum(xs: Seq[(Long, String)]) = xs.map(t => tk(t._2).length).sum
+    assert(got("1_ingest") ==
+      ((corpus.length.toLong, tokSum(corpus.toSeq).toLong)))
+    assert(got("2_gate") == ((a2.length.toLong, tokSum(a2.toSeq).toLong)))
+    assert(got("3_exact") == ((a3.length.toLong, tokSum(a3).toLong)))
+    assert(got("4_near") == ((a4.length.toLong, tokSum(a4.toSeq).toLong)))
+    assert(got("5_decontam") == ((a5.length.toLong, tokSum(a5).toLong)))
+    // every stage strictly cuts except possibly the last; stage 5's
+    // drops are EXACTLY the planted eval copies/clones — the leakage
+    // dedup cannot see because its cluster-mates are outside the corpus
+    assert(a2.length < corpus.length && a3.length < a2.length &&
+      a4.length < a3.length)
+    val dropped5 = a4.map(_._1).toSet -- a5.map(_._1).toSet
+    assert(dropped5.nonEmpty, "no leakage reached the decontam gate — " +
+      "fixture degenerate")
+    dropped5.foreach { i =>
+      val orig = if (i >= 20000) i - 20000 else i - 10000
+      assert(i >= 10000 && isEval(orig),
+        s"decontam dropped non-leakage doc $i")
+    }
+  }
+
   test("dedup_minhash_recall: the reported counters ARE the " +
       "dedup_minhash candidate list's, and recall clears the band floor") {
     val r = SparkEntry.queries("dedup_minhash_recall")(spark, Sf001)
