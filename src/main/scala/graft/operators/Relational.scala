@@ -81,6 +81,47 @@ object Relational {
           .orderBy("o_orderstatus")
     },
 
+    // ── schema-evolution read (mergeSchema across epochs) ──────────────
+
+    // The lake reality a long-lived corpus accumulates: epoch 1 files
+    // carry (orderkey, totalprice), epoch 2 added a status column.
+    // `mergeSchema` reconciles the footers at read time — epoch-1 rows
+    // surface the added column as NULL, no rewrite of old epochs
+    // (which at 100 TB is the difference between a config flag and a
+    // petabyte-scale backfill). The epochs are a deterministic split
+    // of orders (%2), so the merged-read answer is derivable from the
+    // plain table and the parquet-only oracle pins the whole
+    // write→merge→backfill-null→agg path (src_orc_roundtrip
+    // discipline); NULL-status epoch-1 rows bucket as '__missing'.
+    Q("src_schema_merge",
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '__missing'
+        |            ELSE o_orderstatus END AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
+      val name = s"graft_sm_orders_${(d.hashCode & Int.MaxValue).toHexString}"
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_schema_merge/$name")
+      val path = root.getAbsolutePath
+      if (!new java.io.File(root, "e2/_SUCCESS").exists()) {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$path/e1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$path/e2")
+      }
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderstatus"), lit("__missing"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(M)).cast("double").as("total"))
+        .orderBy("status")
+    },
+
     // ── §2.2 projections / filters ──────────────────────────────────────
 
     // Column projection (Prisma select blocks,
