@@ -122,6 +122,43 @@ object Relational {
         .orderBy("status")
     },
 
+    // ── gzipped-JSONL corpus ingestion ─────────────────────────────────
+
+    // THE interchange format of text-corpus distribution (one JSON doc
+    // per line, gzip per shard — what C4/Pile/RedPajama actually ship
+    // as): documents written once as .json.gz shards, read back with an
+    // EXPLICIT schema — schema inference over 100 TB of gzip is a full
+    // decompress-scan before the first real query, so production
+    // readers always pass the schema (and gzip shards are
+    // non-splittable: one shard = one task, which is why corpora ship
+    // many shards; the write coalesces to 4 to keep that shape
+    // visible). Aggregate is format-independent ⇒ the parquet-side
+    // oracle pins the whole JSONL encode→gzip→decode path, including
+    // string escaping round-trips.
+    Q("src_jsonl_gz",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       CAST(SUM(length(text)) AS BIGINT) AS chars_decoded
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val name = s"graft_jsonl_${(d.hashCode & Int.MaxValue).toHexString}"
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_jsonl/$name").getAbsolutePath
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "n_chars")
+          .coalesce(4)
+          .write.mode("overwrite").option("compression", "gzip").json(path)
+      }
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+        .json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("chars"),
+          sum(length(col("text"))).cast("long").as("chars_decoded"))
+        .orderBy("lang")
+    },
+
     // ── §2.2 projections / filters ──────────────────────────────────────
 
     // Column projection (Prisma select blocks,
