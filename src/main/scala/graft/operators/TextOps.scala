@@ -2227,6 +2227,88 @@ object TextOps {
           expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
     },
 
+    // ── MinHash banding trade-off curve (r×b sweep, one query) ─────────
+
+    // The dedup twin of sim_ivf_recall_curve: from the SAME four
+    // signature hashes, the three band shapes 4×1 / 2×2 / 1×4 trade
+    // recall against candidate volume (P[candidate] = 1−(1−J^r)^b —
+    // more, shorter bands catch lower-Jaccard pairs at the cost of
+    // more false candidates; the production kernel's 2×2 sits in the
+    // middle). Measured AS A QUERY so the curve lives in the harness
+    // that times it: per config, candidate-pair volume, planted pairs
+    // caught, and exact recall_ppm. One signature computation feeds
+    // all three configs — band keys are per-row concats, and each
+    // config's candidate join is the usual band equi-join, never
+    // all-pairs. Monotonicity (both recall AND volume rise from 1×4 to
+    // 4×1) is spec-pinned.
+    Q("dedup_minhash_curve",
+      s"""WITH $minhashCandSql,
+         |b41 AS (
+         |  SELECT doc_id, 0 AS band, h0 AS key FROM sig
+         |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, h3 FROM sig
+         |), c41 AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM b41 a JOIN b41 b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), c14 AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b
+         |    ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2
+         |   AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+         |), planted AS (
+         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM planted)
+         |SELECT config, n_cand, n_caught,
+         |       CAST(n_caught * 1000000 // np.n AS BIGINT) AS recall_ppm
+         |FROM (
+         |  SELECT '1x4' AS config,
+         |    CAST((SELECT COUNT(*) FROM c14) AS BIGINT) AS n_cand,
+         |    CAST((SELECT COUNT(*) FROM c14 c JOIN planted p
+         |          ON p.a_id = c.a_id AND p.b_id = c.b_id) AS BIGINT)
+         |      AS n_caught
+         |  UNION ALL SELECT '2x2',
+         |    CAST((SELECT COUNT(*) FROM cand) AS BIGINT),
+         |    CAST((SELECT COUNT(*) FROM cand c JOIN planted p
+         |          ON p.a_id = c.a_id AND p.b_id = c.b_id) AS BIGINT)
+         |  UNION ALL SELECT '4x1',
+         |    CAST((SELECT COUNT(*) FROM c41) AS BIGINT),
+         |    CAST((SELECT COUNT(*) FROM c41 c JOIN planted p
+         |          ON p.a_id = c.a_id AND p.b_id = c.b_id) AS BIGINT)
+         |) t CROSS JOIN np ORDER BY config""".stripMargin) { (s, d) =>
+      val sig = graft.Caches.shared(minhashSig(s, d))
+      val planted = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+      def candPairs(bands: DataFrame): DataFrame =
+        bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
+          .join(bands.select(col("doc_id").as("b_id"), col("band"),
+            col("key")), Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+      def keyed(cols: Seq[Seq[String]]): DataFrame =
+        cols.zipWithIndex.map { case (hs, i) =>
+          sig.select(col("doc_id"), lit(i).as("band"),
+            concat(hs.map(col): _*).as("key"))
+        }.reduce(_ unionByName _)
+      val configs = Seq(
+        "1x4" -> keyed(Seq(Seq("h0", "h1", "h2", "h3"))),
+        "2x2" -> keyed(Seq(Seq("h0", "h1"), Seq("h2", "h3"))),
+        "4x1" -> keyed(Seq(Seq("h0"), Seq("h1"), Seq("h2"), Seq("h3"))))
+      val nP = planted.agg(count(lit(1)).as("np"))
+      configs.map { case (name, bands) =>
+        val cand = candPairs(bands)
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = cand
+          .join(broadcast(planted), Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nc.crossJoin(broadcast(nh)).crossJoin(broadcast(nP))
+          .select(lit(name).as("config"), col("n_cand"), col("n_caught"),
+            expr("n_caught * 1000000 div np").as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("config")
+    },
+
     // ── FLAGSHIP curation composite: the full pipeline as ONE query ────
 
     // The training-data twin of dd_rollup's reference composite: a

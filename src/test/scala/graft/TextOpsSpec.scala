@@ -570,6 +570,29 @@ class TextOpsSpec extends SparkSuite {
       s"onlyQuery=${(got -- want).take(3)} onlyMirror=${(want -- got).take(3)}")
   }
 
+  test("dedup_minhash_curve: candidate sets nest (1x4 ⊆ 2x2 ⊆ 4x1), so " +
+      "recall and volume are monotone; the 2x2 row IS the kernel's") {
+    val rows = SparkEntry.queries("dedup_minhash_curve")(spark, Sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("1x4", "2x2", "4x1"))
+    val Seq(c14, c22, c41) = Seq("1x4", "2x2", "4x1").map(rows)
+    // all-4-agree ⇒ both halves agree ⇒ any single hash agrees:
+    // containment forces both monotonicities
+    assert(c14._1 <= c22._1 && c22._1 <= c41._1, "volume not monotone")
+    assert(c14._2 <= c22._2 && c22._2 <= c41._2, "recall not monotone")
+    assert(c14._3 <= c22._3 && c22._3 <= c41._3)
+    // the 2x2 point must equal the production kernel's own counters
+    val recall = SparkEntry.queries("dedup_minhash_recall")(spark, Sf001)
+      .collect().head
+    assert(c22._1 == recall.getLong(2), "2x2 candidate volume drifted " +
+      "from dedup_minhash_recall")
+    assert(c22._2 == recall.getLong(1), "2x2 caught drifted")
+    // the sweep must show a real trade on this corpus: 4x1 pays more
+    // candidates than 2x2 for no extra recall here
+    assert(c41._1 > c22._1)
+  }
+
   test("pipeline_curate ≡ full in-JVM stage replay; the decontam stage " +
       "catches exactly the leakage dedup cannot") {
     val got = SparkEntry.queries("pipeline_curate")(
