@@ -152,6 +152,46 @@ object Insights {
     // (bounded by a customer's order count, never corpus-scale), tie
     // broken by orderkey so same-day orders are deterministic; all
     // outputs are exact integer day arithmetic.
+    // ── value-domain RANGE frame (peer-band aggregation) ───────────────
+
+    // The fourth and last frame type the registry exercises (ROWS;
+    // time-RANGE in ts_moving_avg_range; strict-forward RANGE in
+    // evt_window_funnel; and here a SYMMETRIC VALUE-domain band): for
+    // every order, how many of the SAME customer's orders fall within
+    // ±500 of its price, and their exact share of that customer's
+    // spend — the peer-band/price-clustering question ROWS frames
+    // cannot phrase (rows count neighbors by rank, RANGE by value
+    // distance, and they disagree whenever prices gap or tie). Frame
+    // bounds on the DOUBLE order key are exact: ±500 shifts of
+    // 2-decimal prices are exactly representable, so both engines
+    // resolve identical frames. Scale shape: one customer-partitioned
+    // window (partitions bounded by a customer's order count — the
+    // win_order_gap contract); sums stay DECIMAL until the final
+    // share division.
+    Q("win_value_band",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_band,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w
+        |                 AS DOUBLE)
+        |            / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |                 OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |         AS DOUBLE) AS band_share
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-500L, 500L)
+      val wAll = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_band"),
+          (sum(col("o_totalprice").cast(Tables.M)).over(w).cast("double") /
+            sum(col("o_totalprice").cast(Tables.M)).over(wAll)
+              .cast("double")).as("band_share"))
+        .orderBy("o_orderkey")
+    },
+
     Q("win_order_gap",
       """WITH o AS (
         |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,

@@ -312,6 +312,34 @@ class InsightsSpec extends SparkSuite {
     assert(ksPpm >= 0 && ksPpm <= 1000000L)
   }
 
+  test("win_value_band ≡ in-JVM peer-band replay; RANGE genuinely " +
+      "differs from a ROWS frame on this data") {
+    val rows = q("win_value_band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_._2)
+    var rangeNeqRows = false
+    byCust.foreach { case (c, os) =>
+      val prices = os.map(_._3)
+      val total = prices.map(p => BigDecimal(p).setScale(4)).sum
+      val sorted = os.sortBy(o => (o._3, o._1))
+      sorted.zipWithIndex.foreach { case ((ok, _, p, nBand, share), i) =>
+        val band = prices.filter(q => q >= p - 500 && q <= p + 500)
+        assert(nBand == band.length.toLong, s"cust $c order $ok n_band")
+        val want = (band.map(q => BigDecimal(q).setScale(4)).sum.toDouble
+          / total.toDouble)
+        assert(share == want, s"cust $c order $ok share")
+        // a ±1-ROWS neighborhood (3 rows) disagreeing with the value
+        // band somewhere proves RANGE ≠ ROWS here
+        val rowsCount = math.min(i + 1, 2) + math.min(sorted.length - i, 2) - 1
+        if (rowsCount.toLong != nBand) rangeNeqRows = true
+      }
+    }
+    assert(rangeNeqRows, "value band ≡ a rows frame everywhere — " +
+      "fixture exercises nothing")
+  }
+
   test("agg_corr_ols ≡ exact sufficient-statistics replay (bit-equal " +
       "doubles); r bounded") {
     val rows = q("agg_corr_ols").collect()
