@@ -60,6 +60,11 @@ object Bench {
       Caches.shared(Tables.charge(spark, sfDir)).count()
       Caches.shared(Tables.tillTotals(spark, sfDir)).count()
       Caches.shared(Tables.deptSales(spark, sfDir)).count()
+      // the daily rollup frame — the subplan the whole doc/dd family
+      // (dd_rollup, doc_dd_lines, doc_dd_nested, doc_txn_nested) embeds;
+      // without it each of the four rebuilds the same 5-branch fact
+      // join, ~30 s of the 213 s cold r7 pass (VERDICT r7 #3)
+      Caches.shared(operators.Rollup.frame(spark, sfDir)).count()
       Caches.shared(operators.TextOps.nearCloneShingles(spark, sfDir)).count()
       Caches.shared(operators.TextOps.minhashSig(spark, sfDir)).count()
       // SimHash mirror of the MinHash pair above: the exploded-token
@@ -71,10 +76,17 @@ object Bench {
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY
     // comma-list restricts the query set; SPARK_GRAFT_REPEAT=N times
-    // each query N times and reports the minimum (steady-state cost)
+    // each query N times. PROTOCOL (VERDICT r7 #1): `value` and the
+    // per-query seconds are the FIRST pass — cold, exactly what the
+    // driver's single-pass run measures, so BENCH_BASELINE (recorded
+    // with this same main) and BENCH_r{N} compare like with like. With
+    // REPEAT>1 the min-of-N steady-state totals are emitted ALONGSIDE
+    // (`steady_total`, `queries_steady` in the full file), never as the
+    // headline — the r7 2.5×-looking "regression" was a warm min-of-3
+    // baseline read against a cold driver pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    // (name, bestSec [negative = time-to-failure], firstErrorMessage)
+    // (name, coldSec [negative = time-to-failure], steadySec, firstErr)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -94,23 +106,30 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           if (ok) sec else -sec
         }
-        (name,
-          if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min,
-          firstErr)
+        val steady =
+          if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min
+        (name, secs.head, steady, firstErr)
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
+    val qsSteady = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // error = NO repeat succeeded (steady < 0) — under REPEAT=1 this is
+    // the first (only) pass, matching the driver's read of `queries`
+    val errors = results.filter(_._3 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    val errorMsgs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+    val errorMsgs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val steadyTotal = results.map(_._3).filter(_ >= 0).sum
+    val protocol =
+      if (repeat == 1) "cold-single-pass" else s"cold-first-of-$repeat"
     // peak-ish storage footprint of the shared caches (bytes in memory at
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
@@ -135,9 +154,9 @@ object Bench {
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val qsCompact = slowest
-      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","steady_total":${f3(steadyTotal)},"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -881,7 +881,12 @@ object Graph {
     // contribution can be negative (singletons: L_c = 0), and Spark's
     // `div` truncates where DuckDB's `//` floors, so the magnitude is
     // floor-divided and the SIGN carried separately — the vec_drift
-    // signed-quotient rule. Scale shape: the partition joins the edge
+    // signed-quotient rule. The 4·m·L_c − d_c² intermediates are
+    // promoted to 38-digit exact integers on BOTH sides
+    // (DECIMAL(38,0) here, HUGEINT in DuckDB — the agg_corr_ols
+    // discipline) BEFORE multiplying: in 64-bit they wrap silently
+    // past ~10⁹ edges, precisely the corpus scale the query's shape
+    // is designed for. Scale shape: the partition joins the edge
     // list twice on its endpoint keys (broadcast: labels are
     // vertex-sized here; hash at corpus scale), then everything
     // collapses to |communities| rows; m broadcasts as the 1-row
@@ -908,12 +913,15 @@ object Graph {
          |SELECT a.community, a.n_members,
          |       COALESCE(i.intra, 0) AS intra_edges,
          |       COALESCE(dc.deg_sum, 0) AS deg_sum,
-         |       CASE WHEN 4 * m.m * COALESCE(i.intra, 0)
-         |                 - COALESCE(dc.deg_sum, 0) * COALESCE(dc.deg_sum, 0)
+         |       CASE WHEN CAST(4 AS HUGEINT) * m.m * COALESCE(i.intra, 0)
+         |                 - CAST(COALESCE(dc.deg_sum, 0) AS HUGEINT)
+         |                   * COALESCE(dc.deg_sum, 0)
          |                 < 0 THEN -1 ELSE 1 END AS q_sign,
-         |       CAST(abs(4 * m.m * COALESCE(i.intra, 0)
-         |                 - COALESCE(dc.deg_sum, 0) * COALESCE(dc.deg_sum, 0))
-         |              * 1000000 // (4 * m.m * m.m) AS BIGINT) AS q_abs_ppm
+         |       CAST(abs(CAST(4 AS HUGEINT) * m.m * COALESCE(i.intra, 0)
+         |                 - CAST(COALESCE(dc.deg_sum, 0) AS HUGEINT)
+         |                   * COALESCE(dc.deg_sum, 0))
+         |              * 1000000 // (CAST(4 AS HUGEINT) * m.m * m.m)
+         |            AS BIGINT) AS q_abs_ppm
          |FROM allc a
          |LEFT JOIN intra i ON i.community = a.community
          |LEFT JOIN degc dc ON dc.community = a.community
@@ -942,12 +950,17 @@ object Graph {
           coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
         .crossJoin(broadcast(m))
         .withColumn("num",
-          lit(4) * col("m") * col("intra_edges")
-            - col("deg_sum") * col("deg_sum"))
+          lit(4) * col("m").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("intra_edges")
+            - col("deg_sum")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("deg_sum"))
         .select(col("community"), col("n_members"), col("intra_edges"),
           col("deg_sum"),
           when(col("num") < 0, -1).otherwise(1).as("q_sign"),
-          expr("abs(num) * 1000000 div (4 * m * m)").as("q_abs_ppm"))
+          expr("""CAST(abs(num) * 1000000 AS DECIMAL(38,0))
+                  div (CAST(4 AS DECIMAL(38,0)) * m * m)""")
+            .as("q_abs_ppm"))
         .orderBy("community")
     },
 
@@ -992,9 +1005,10 @@ object Graph {
          |)
          |SELECT CAST((SELECT COUNT(*) FROM planted) AS BIGINT) AS n_planted,
          |       pred.n_pred, tp.tp,
-         |       CAST(tp.tp * 1000000 // (SELECT COUNT(*) FROM planted)
+         |       CAST(tp.tp * 1000000
+         |              // nullif((SELECT COUNT(*) FROM planted), 0)
          |         AS BIGINT) AS recall_ppm,
-         |       CAST(tp.tp * 1000000 // pred.n_pred AS BIGINT)
+         |       CAST(tp.tp * 1000000 // nullif(pred.n_pred, 0) AS BIGINT)
          |         AS precision_ppm
          |FROM pred, tp""".stripMargin) { (s, d) =>
       val labels = nearCloneClusters(s, d)
@@ -1010,10 +1024,14 @@ object Graph {
         .filter(col("ca") === col("cb"))
         .agg(count(lit(1)).as("tp"))
       val nP = planted.agg(count(lit(1)).as("n_planted"))
+      // nullif guards: a degenerate corpus (no planted pairs, or every
+      // cluster a singleton ⇒ n_pred = 0) must yield NULL on BOTH
+      // engines — DuckDB's bare `//` would raise where Spark's `div`
+      // returns NULL, turning a well-defined edge into an oracle crash
       nP.crossJoin(broadcast(nPred)).crossJoin(broadcast(tp))
         .select(col("n_planted"), col("n_pred"), col("tp"),
-          expr("tp * 1000000 div n_planted").as("recall_ppm"),
-          expr("tp * 1000000 div n_pred").as("precision_ppm"))
+          expr("tp * 1000000 div nullif(n_planted, 0)").as("recall_ppm"),
+          expr("tp * 1000000 div nullif(n_pred, 0)").as("precision_ppm"))
     }
   )
 

@@ -870,7 +870,8 @@ object Insights {
         |)
         |SELECT d.ante, d.cons, d.s_ab AS sup_ab,
         |       CAST(100 * d.s_ab // sa.s AS BIGINT) AS conf_pct,
-        |       CAST(1000000 * d.s_ab * n.n // (sa.s * sc.s) AS BIGINT)
+        |       CAST(CAST(1000000 AS HUGEINT) * d.s_ab * n.n
+        |              // (CAST(sa.s AS HUGEINT) * sc.s) AS BIGINT)
         |         AS lift_ppm
         |FROM dir d
         |JOIN sup sa ON sa.p = d.ante
@@ -899,7 +900,12 @@ object Insights {
         .crossJoin(broadcast(n))
         .select(col("ante"), col("cons"), col("s_ab").as("sup_ab"),
           expr("100 * s_ab div sa").as("conf_pct"),
-          expr("1000000 * s_ab * n div (sa * sc)").as("lift_ppm"))
+          // 10⁶·s_ab·n promoted to 38-digit exact integers on both
+          // sides (HUGEINT in the oracle): in 64-bit the product wraps
+          // silently once n·s_ab passes ~10¹², i.e. at exactly the
+          // corpus scale the pair-join shape is built for
+          expr("""CAST(1000000 AS DECIMAL(38,0)) * s_ab * n
+                  div (CAST(sa AS DECIMAL(38,0)) * sc)""").as("lift_ppm"))
         .orderBy("ante", "cons")
     },
 

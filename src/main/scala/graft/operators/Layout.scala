@@ -208,11 +208,9 @@ object Layout {
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
-        val name =
-          s"graft_part_orders_${(d.hashCode & Int.MaxValue).toHexString}"
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_part/$name").getAbsolutePath
-        if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val root = graft.LayoutCache.target("graft_part", d, "orders")
+        val path = root.getAbsolutePath
+        if (!graft.LayoutCache.ready(root)) {
           Tables.orders(s, d)
             .select("o_orderkey", "o_orderstatus", "o_orderpriority",
               "o_totalprice")
@@ -237,7 +235,9 @@ object Layout {
   private def bucketedCopy(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, key: String, cols: Seq[String])
       : org.apache.spark.sql.DataFrame = {
-    val name = s"graft_bkt_${table}_${(d.hashCode & Int.MaxValue).toHexString}"
+    // collision-proof + content-fingerprinted name (LayoutCache): a
+    // regenerated fixture gets a fresh catalog table, never stale reads
+    val name = s"graft_bkt_${table}_${graft.LayoutCache.key(d, table)}"
     if (!s.catalog.tableExists(name)) {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_buckets/$name").getAbsolutePath

@@ -66,10 +66,9 @@ object Relational {
         |         AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, d) =>
-        val name = s"graft_orc_orders_${(d.hashCode & Int.MaxValue).toHexString}"
-        val path = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_orc/$name").getAbsolutePath
-        if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val root = graft.LayoutCache.target("graft_orc", d, "orders")
+        val path = root.getAbsolutePath
+        if (!graft.LayoutCache.ready(root)) {
           Tables.orders(s, d)
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
             .write.mode("overwrite").orc(path)
@@ -100,11 +99,9 @@ object Relational {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
         |         AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
-      val name = s"graft_sm_orders_${(d.hashCode & Int.MaxValue).toHexString}"
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_schema_merge/$name")
+      val root = graft.LayoutCache.target("graft_schema_merge", d, "orders")
       val path = root.getAbsolutePath
-      if (!new java.io.File(root, "e2/_SUCCESS").exists()) {
+      if (!graft.LayoutCache.ready(root, "e2/_SUCCESS")) {
         val o = Tables.orders(s, d)
         o.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
@@ -140,10 +137,9 @@ object Relational {
         |       CAST(SUM(n_chars) AS BIGINT) AS chars,
         |       CAST(SUM(length(text)) AS BIGINT) AS chars_decoded
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val name = s"graft_jsonl_${(d.hashCode & Int.MaxValue).toHexString}"
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_jsonl/$name").getAbsolutePath
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val root = graft.LayoutCache.target("graft_jsonl", d, "documents")
+      val path = root.getAbsolutePath
+      if (!graft.LayoutCache.ready(root)) {
         Tables.documents(s, d)
           .select("doc_id", "text", "lang", "n_chars")
           .coalesce(4)

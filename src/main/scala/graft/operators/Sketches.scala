@@ -323,6 +323,17 @@ object Sketches {
     // to the last bit. At scale: base partials are read, never
     // recomputed; only the delta scans, and the merge shuffles O(k)
     // sketch state + two numbers per day.
+    //
+    // Execution path (reworked per VERDICT r7 #2): ONE untyped
+    // DataFrame pipeline — groupBy(day, delta) computing the numeric
+    // partials AND the udaf-registered KMV state in the SAME
+    // aggregate, then groupBy(day) folding sums and KmvUnion — so the
+    // plan is two hash-partial aggregations with zero typed seams. The
+    // previous typed form (groupByKey → Kryo state → .map splitting a
+    // concat_ws string key → second groupByKey → join back to the
+    // numeric branch) serialized every row twice through
+    // DeserializeToObject and shuffled the fact table once per branch;
+    // PlanSpec now pins this plan object-seam-free and single-scan.
     Q("agg_incremental_merge",
       s"""WITH hh AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -349,36 +360,26 @@ object Sketches {
          |WHERE rn = least($K, nd)
          |ORDER BY m.day""".stripMargin) { (s, d) =>
       import graft.functions.{KmvState, KmvUnion}
-      import s.implicits._
       val M = Tables.M
+      val kmvState = udaf(KmvState, org.apache.spark.sql.Encoders.STRING)
+      val kmvUnion = udaf(KmvUnion,
+        org.apache.spark.sql.Encoders.kryo[List[String]])
       val ords = Tables.orders(s, d).select(
         to_date(col("o_orderdate")).as("day"),
         col("o_custkey").cast("string").as("cust"),
         col("o_totalprice"),
         (col("o_orderkey") % 4 === 0).as("delta"))
-      // numeric partials per (day, epoch) — what the base would have
-      // materialized — then the day-level merge: sums/counts just add
-      val numPartial = ords.groupBy("day", "delta").agg(
-        sum(col("o_totalprice").cast(M)).as("psales"),
-        count(lit(1)).as("pn"))
-      val num = numPartial.groupBy("day").agg(
-        sum("psales").cast("double").as("sales"),
-        sum("pn").as("n_orders"))
-      // sketch partials per (day, epoch) via the typed O(k) aggregator,
-      // then one KmvUnion per day — the mergeable-distinct path
-      val states = ords
-        .select(concat_ws("|", col("day").cast("string"),
-          col("delta").cast("string")).as("k"), col("cust"))
-        .as[(String, String)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(KmvState.toColumn.name("sk"))
-        .map { case (k, sk) => (k.split('|')(0), sk) }
-      val est = states
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(KmvUnion.toColumn.name("est"))
-        .toDF("dayStr", "est_customers")
-        .select(col("dayStr").cast("date").as("day"), col("est_customers"))
-      num.join(est, Seq("day"))
+      // partials per (day, epoch) — numeric sums/counts AND the O(k)
+      // KMV state in ONE aggregate (what the base epoch materializes) —
+      // then the day-level merge: sums add, states KmvUnion
+      ords.groupBy("day", "delta")
+        .agg(sum(col("o_totalprice").cast(M)).as("psales"),
+          count(lit(1)).as("pn"),
+          kmvState(col("cust")).as("sk"))
+        .groupBy("day")
+        .agg(sum("psales").cast("double").as("sales"),
+          sum("pn").as("n_orders"),
+          kmvUnion(col("sk")).as("est_customers"))
         .select(col("day"), col("sales"), col("n_orders"),
           col("est_customers"))
         .orderBy("day")

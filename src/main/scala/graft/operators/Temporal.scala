@@ -615,6 +615,46 @@ object Temporal {
         .orderBy("user_id")
     },
 
+    // ── streaming CDC feed, driver-visible (§2.10 in the oracle) ──────
+
+    // The ONE streaming operator the batch oracle can see: StreamCdc's
+    // AvailableNow changelog (flatMapGroupsWithState over the events
+    // drop-dir) is materialized and closed-folded — latest emission per
+    // key in the version order, deletes dropped — and the result must
+    // equal the INDEPENDENT batch log-fold the oracle computes from
+    // the raw table. StreamCdcSpec already pins stream ≡ batch
+    // in-JVM; this entry re-proves it per round through the driver's
+    // DuckDB hash gate, giving §2.10 a row in CORRECTNESS_r{N}
+    // (VERDICT r7 "What's missing" #2). The fold is legal because the
+    // per-key emission sequence is monotone in the version order
+    // (StreamCdc scaladoc): the latest emission IS the final state.
+    Q("stream_cdc_feed",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |)
+        |SELECT user_id, state, val, updated_us FROM (
+        |  SELECT user_id, event_type AS state, value AS val,
+        |         us AS updated_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY us DESC, event_id DESC, event_type DESC,
+        |                    value DESC) AS rn
+        |  FROM ev) x
+        |WHERE rn = 1 AND state <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val feed = graft.streaming.StreamCdc
+        .runAvailableNow(s, d, "stream_cdc_feed_sink")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("updated_us").desc, col("event_id").desc,
+          col("state").desc, col("value").desc)
+      feed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("state"), col("value").as("val"),
+          col("updated_us"))
+        .orderBy("user_id")
+    },
+
     // ── SCD2 point-in-time snapshot: state table at each day close ─────
 
     // Reconstruct the daily snapshot a consumer would have read at the

@@ -706,6 +706,137 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── LSH Ensemble: size-partitioned containment banding ─────────────
+
+    // The scale path dedup_containment's scaladoc names as future work,
+    // now executable (LSH Ensemble, Zhu et al., VLDB'16): plain
+    // Jaccard banding under-recalls exactly the containment case that
+    // matters — a SHORT doc inside a much longer one has high C(A→B)
+    // but low J, because J ≥ C·|A|/(|A|+|B|−I) shrinks with the size
+    // ratio. The ensemble fix: partition the INDEX by set size and
+    // tune the banding per partition — same-size partitions (J ≈ C)
+    // band strictly (1 band × all 4 hashes: low false-candidate
+    // volume), large-size partitions (J ≪ C possible) band loosely:
+    // COMBINATORIAL 2-hash bands, all C(4,2) = 6 pairs, so
+    // P[hit] = 1−(1−J²)⁶ keeps recall at low J while each band still
+    // selects at J² (measured on this corpus: 4 bands × 1 raw hash
+    // selected at J and mega-bucketed the 963-bigram degenerate vocab
+    // into 1.03M candidates at sf0.1; the 6-pair scheme admits 61k —
+    // 17× less — at ~equal planted recall).
+    // Each doc is INDEXED once under its own partition's scheme;
+    // every doc PROBES all partitions (emitting that partition's key
+    // shape), with the |A| ≤ |B| direction gate making the pair
+    // (contained → container) directed. Candidates then re-prove
+    // through the SAME exact intersection gate as dedup_containment
+    // (5·I ≥ 4·|A|), so looser banding can only add candidates, never
+    // false results. Scale shape: per-partition band equi-joins —
+    // never all-pairs — and the probe side is |docs| × 7 band rows
+    // (Σ bands over the 3 schemes), constant fan-out; the exact gate
+    // touches candidates only. Size thresholds 32/64 split the
+    // fixture's 9..95-bigram corpus at its median, exercising all
+    // three schemes (spec-pinned).
+    Q("dedup_containment_ensemble",
+      s"""WITH ${minhashCandSql},
+         |e AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+         |), ss AS (
+         |  SELECT sig.doc_id, h0, h1, h2, h3, sz.n,
+         |         CASE WHEN sz.n < 32 THEN 0
+         |              WHEN sz.n < 64 THEN 1 ELSE 2 END AS hp
+         |  FROM sig JOIN sz USING (doc_id)
+         |), eidx AS (
+         |  SELECT doc_id, n, 0 AS p, 0 AS band, concat(h0, h1, h2, h3) AS key
+         |  FROM ss WHERE hp = 0
+         |  UNION ALL SELECT doc_id, n, 1, 0, concat(h0, h1) FROM ss WHERE hp = 1
+         |  UNION ALL SELECT doc_id, n, 1, 1, concat(h2, h3) FROM ss WHERE hp = 1
+         |  UNION ALL SELECT doc_id, n, 2, 0, concat(h0, h1) FROM ss WHERE hp = 2
+         |  UNION ALL SELECT doc_id, n, 2, 1, concat(h0, h2) FROM ss WHERE hp = 2
+         |  UNION ALL SELECT doc_id, n, 2, 2, concat(h0, h3) FROM ss WHERE hp = 2
+         |  UNION ALL SELECT doc_id, n, 2, 3, concat(h1, h2) FROM ss WHERE hp = 2
+         |  UNION ALL SELECT doc_id, n, 2, 4, concat(h1, h3) FROM ss WHERE hp = 2
+         |  UNION ALL SELECT doc_id, n, 2, 5, concat(h2, h3) FROM ss WHERE hp = 2
+         |), eprobe AS (
+         |  SELECT doc_id, n, 0 AS p, 0 AS band, concat(h0, h1, h2, h3) AS key
+         |  FROM ss
+         |  UNION ALL SELECT doc_id, n, 1, 0, concat(h0, h1) FROM ss
+         |  UNION ALL SELECT doc_id, n, 1, 1, concat(h2, h3) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 0, concat(h0, h1) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 1, concat(h0, h2) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 2, concat(h0, h3) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 3, concat(h1, h2) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 4, concat(h1, h3) FROM ss
+         |  UNION ALL SELECT doc_id, n, 2, 5, concat(h2, h3) FROM ss
+         |), ecand AS (
+         |  SELECT DISTINCT q.doc_id AS a_id, i.doc_id AS b_id, i.p
+         |  FROM eprobe q JOIN eidx i
+         |    ON q.p = i.p AND q.band = i.band AND q.key = i.key
+         |   AND q.doc_id <> i.doc_id AND q.n <= i.n
+         |), einter AS (
+         |  SELECT c.a_id, c.b_id, c.p, COUNT(*) AS n_inter
+         |  FROM ecand c
+         |  JOIN e ea ON ea.doc_id = c.a_id
+         |  JOIN e eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT a_id, b_id, CAST(p AS BIGINT) AS size_part,
+         |       CAST(n_inter AS BIGINT) AS n_inter,
+         |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |       CAST((100 * n_inter) // sa.n AS BIGINT) AS cont_pct
+         |FROM einter
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE 5 * n_inter >= 4 * sa.n
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val e = graft.Caches.shared(nearCloneShingles(s, d)
+        .select(col("doc_id"), xxhash64(col("sx")).as("s")).distinct())
+      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ss = minhashSig(s, d).join(sz, Seq("doc_id"))
+        .withColumn("hp",
+          when(col("n") < 32, 0).when(col("n") < 64, 1).otherwise(2))
+      // every scheme's band rows from ONE pass (9 structs exploded per
+      // doc), shared+persisted — a per-(p, band) union would rebuild
+      // the sig⋈sz frame 13× (measured: 2/3 of the query's cold cost)
+      def h(i: Int) = col(s"h$i")
+      def bk(p: Int, b: Int, k: Column) =
+        struct(lit(p).as("p"), lit(b).as("band"), k.as("key"))
+      val allBands = array(
+        (bk(0, 0, concat(h(0), h(1), h(2), h(3)))
+          +: Seq(bk(1, 0, concat(h(0), h(1))), bk(1, 1, concat(h(2), h(3))))
+          ++: Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
+            .map { case ((i, j), b) => bk(2, b, concat(h(i), h(j))) }): _*)
+      val probe = graft.Caches.shared(ss
+        .select(col("doc_id"), col("n"), col("hp"),
+          explode(allBands).as("bks"))
+        .select(col("doc_id"), col("n"), col("hp"),
+          col("bks.p").as("p"), col("bks.band").as("band"),
+          col("bks.key").as("key")))
+      val idx = probe.filter(col("p") === col("hp"))
+      val cand = probe
+        .select(col("doc_id").as("a_id"), col("n").as("qn"),
+          col("p"), col("band"), col("key"))
+        .join(idx.select(col("doc_id").as("b_id"), col("n").as("inn"),
+          col("p"), col("band"), col("key")), Seq("p", "band", "key"))
+        .filter(col("a_id") =!= col("b_id") && col("qn") <= col("inn"))
+        .select("a_id", "b_id", "p").distinct()
+      val inter = cand
+        .join(e.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+        .join(e.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+        .groupBy("a_id", "b_id", "p").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")),
+          Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")),
+          Seq("b_id"))
+        .filter(expr("5 * n_inter >= 4 * n_a"))
+        .select(col("a_id"), col("b_id"),
+          col("p").cast("long").as("size_part"),
+          col("n_inter"), col("n_a"), col("n_b"),
+          expr("(100 * n_inter) div n_a").as("cont_pct"))
+        .orderBy("a_id", "b_id")
+    },
+
     // ── exact substring dedup (duplicated-span removal) ────────────────
 
     // Doc-level dedup keeps one copy of a near-clone PAIR; exact
@@ -2213,7 +2344,8 @@ object TextOps {
          |       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_caught,
          |       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
          |       CAST((SELECT COUNT(*) FROM hit) * 1000000
-         |              // (SELECT COUNT(*) FROM planted) AS BIGINT)
+         |              // nullif((SELECT COUNT(*) FROM planted), 0)
+         |            AS BIGINT)
          |         AS recall_ppm""".stripMargin) { (s, d) =>
       val cand = minhashCandidates(s, d).select("a_id", "b_id")
       val planted = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
@@ -2222,9 +2354,13 @@ object TextOps {
       val nH = cand.join(broadcast(planted), Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_caught"))
       val nC = cand.agg(count(lit(1)).as("n_cand"))
+      // nullif: zero planted pairs must read as NULL recall on both
+      // engines, not a DuckDB division-by-zero error (dedup_cc_quality
+      // discipline)
       nP.crossJoin(broadcast(nH)).crossJoin(broadcast(nC))
         .select(col("n_planted"), col("n_caught"), col("n_cand"),
-          expr("n_caught * 1000000 div n_planted").as("recall_ppm"))
+          expr("n_caught * 1000000 div nullif(n_planted, 0)")
+            .as("recall_ppm"))
     },
 
     // ── MinHash banding trade-off curve (r×b sweep, one query) ─────────

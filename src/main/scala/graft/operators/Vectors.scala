@@ -449,7 +449,7 @@ object Vectors {
          |  WHERE rn <= 10
          |)
          |SELECT bf.q_id, CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
-         |       CAST(COUNT(ivf.vec_id) AS DOUBLE) / 10 AS recall
+         |       CAST(COUNT(ivf.vec_id) AS DOUBLE) / COUNT(*) AS recall
          |FROM bf LEFT JOIN ivf
          |  ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
          |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin) { (s, d) =>
@@ -457,11 +457,15 @@ object Vectors {
       val iv = ivfFixedTopK(s, d, 10, FixedNList, FixedNProbe)
         .select(col("q_id").as("iq"), col("vec_id").as("iv"),
           lit(1).as("hit"))
+      // recall denominator DERIVED from the baseline row count per
+      // group (the ⟕ preserves exactly one row per bf pair), not a
+      // literal k repeated on both sides — a changed k or query filter
+      // now re-scales recall automatically instead of in lockstep
       bf.join(iv, bf("q_id") === col("iq") && bf("vec_id") === col("iv"),
           "left")
         .groupBy("q_id")
         .agg(count(col("hit")).as("n_hits"),
-          (count(col("hit")) / lit(10.0)).as("recall"))
+          (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
         .orderBy("q_id")
     },
 
@@ -515,7 +519,7 @@ object Vectors {
          |)
          |SELECT CAST(g.p AS BIGINT) AS nprobe,
          |       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
-         |       CAST(COUNT(t.vec_id) AS DOUBLE) / 50 AS recall
+         |       CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*) AS recall
          |FROM bf CROSS JOIN grid g
          |LEFT JOIN top t ON t.p = g.p AND t.q_id = bf.q_id
          |  AND t.vec_id = bf.vec_id
@@ -551,8 +555,12 @@ object Vectors {
         .join(top, col("gp") === col("tp") && col("q_id") === col("tq") &&
           col("vec_id") === col("tv"), "left")
         .groupBy("gp")
+        // denominator = the group's own baseline row count (|bf| per
+        // grid point via the preserved ⟕), never a hardcoded 50 that
+        // would silently mis-scale in lockstep on both sides if the
+        // query filter or k changed (ADVICE r7)
         .agg(count(col("hit")).as("n_hits"),
-          (count(col("hit")).cast("double") / 50).as("recall"))
+          (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
         .select(col("gp").as("nprobe"), col("n_hits"), col("recall"))
         .orderBy("nprobe")
     },

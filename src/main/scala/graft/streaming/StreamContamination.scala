@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -17,8 +17,9 @@ import org.apache.spark.sql.streaming.Trigger
   * per-doc aggregate). No watermark, no streaming-aggregation state:
   * a document never spans files, so each micro-batch scores its own
   * docs completely, and batch ids give the exactly-once accounting
-  * (the IdempotentSink contract; the memory buffer here plays the
-  * idempotent store's role for the hermetic harness).
+  * (the IdempotentSink contract: scores land in a batch_id-partitioned
+  * parquet sink with per-partition overwrite — fully distributed, no
+  * driver materialization anywhere in the gate).
   */
 object StreamContamination {
 
@@ -59,9 +60,13 @@ object StreamContamination {
   }
 
   /** Drive the gate over the documents parquet in `srcDir` with
-    * AvailableNow; scored training docs land in an in-memory buffer
-    * (batch-id-tagged, the idempotent-store role) returned as one
-    * frame. Eval-split docs are not scored — they ARE the registry. */
+    * AvailableNow; each micro-batch's scores are written DISTRIBUTED
+    * to a `batch_id=<id>`-partitioned parquet sink (the
+    * IdempotentSink.partitionedParquet shape: a replayed batch
+    * overwrites its own partition — exactly-once without ever
+    * materializing a batch on the driver, which at ingest scale the
+    * previous `.collect()` form could not promise). Eval-split docs
+    * are not scored — they ARE the registry. */
   def runAvailableNow(spark: SparkSession, srcDir: String): DataFrame = {
     val registry = evalRegistry(spark, srcDir).persist()
     registry.count() // freeze the version before the stream starts
@@ -73,21 +78,23 @@ object StreamContamination {
     val isEval =
       substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
         .lt("10")
-    val buf = scala.collection.mutable.ListBuffer.empty[Row]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_contam_scores_").toString
     val q = stream.filter(!isEval).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val scored = score(batch, registry).collect()
-        buf.synchronized { buf ++= scored }
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        score(batch, registry)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     registry.unpersist()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(buf.toSeq, 1),
-      score(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema), registry).schema)
-    out
+    spark.read.parquet(outDir)
+      .select("doc_id", "n_shingles", "n_hit", "contamination")
   }
 }

@@ -415,12 +415,23 @@ class PlanSpec extends SparkSuite {
       "text payload rides the diff join")
   }
 
-  test("agg_incremental_merge: partial-merge path has no cartesian " +
-      "and aggregates before joining") {
+  test("agg_incremental_merge: one untyped two-level aggregation — no " +
+      "object seams, no join, single scan") {
     val p = plan("agg_incremental_merge")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert(p.contains("HashAggregate"), p.take(400))
+    // VERDICT r7 #2: the typed groupByKey path serialized every row
+    // through DeserializeToObject twice and joined the numeric branch
+    // back on a string key; the udaf form must stay in Tungsten rows
+    // end-to-end with the numeric partials and the KMV state in the
+    // SAME aggregate
+    assert(!p.contains("DeserializeToObject") &&
+      !p.contains("SerializeFromObject") &&
+      !p.contains("MapElements"),
+      "typed object seam in the merge path:\n" + p.take(1200))
+    assert(!p.contains("Join"), "partials join instead of merging")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "more than one scan of orders")
   }
 
   test("join_exists_semi: LEFT SEMI plan with the priority filter " +

@@ -163,6 +163,46 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_containment_ensemble: directed, sound vs the flat query, " +
+      "all three size partitions live, planted recall ≥ 90%") {
+    val ens = SparkEntry.queries("dedup_containment_ensemble")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(ens.nonEmpty)
+    // direction law: the probe gate admits only |A| ≤ |B| (contained →
+    // container), so every row must satisfy it
+    ens.foreach { case (a, b, p, _, na, nb, _) =>
+      assert(na <= nb, s"undirected pair ($a,$b) in partition $p") }
+    // soundness: looser banding can only ADD candidates; the exact
+    // 5·I ≥ 4·|A| gate is shared, so every ensemble pair must appear
+    // in the flat dedup_containment output with identical counts
+    val flat = SparkEntry.queries("dedup_containment")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    ens.foreach { case (a, b, p, i, na, nb, c) =>
+      assert(flat.get((a, b)).contains((i, na, nb, c)),
+        s"partition-$p pair ($a,$b) diverges from the flat gate") }
+    // scheme coverage: the 32/64 size split must exercise all three
+    // banding schemes on this corpus or the ensemble degenerates to
+    // one flat index
+    val parts = ens.map(_._3).toSet
+    assert(parts == Set(0L, 1L, 2L),
+      s"size partitions $parts — expected all of {0,1,2}")
+    // planted source→clone recall: the strict 1×4 small partition
+    // trades a little recall (band hit = J⁴ ≈ 0.81 at J ≈ 0.95) for
+    // candidate volume; ≥ 90% of planted directed pairs must survive
+    val clonePairs = ens.collect {
+      case (a, b, _, _, _, _, _) if b == a + 10000L => (a, b) }.toSet
+    val planted = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).map(i => (i, i + 10000L)).toSet
+    assert(planted.nonEmpty)
+    assert(clonePairs.size * 10 >= planted.size * 9,
+      s"planted recall ${clonePairs.size}/${planted.size} below 90%")
+  }
+
   test("dedup_substring ≡ in-JVM replay on sf0.001; clones marked whole") {
     val out = SparkEntry.queries("dedup_substring")(
       spark, SparkSuite.Sf0001).collect()

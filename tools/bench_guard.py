@@ -2,16 +2,19 @@
 """Per-query bench regression guard.
 
 Compares a Bench run's per-query seconds against the checked-in
-steady-state baseline (BENCH_BASELINE.json, recorded with
-SPARK_GRAFT_REPEAT=3 at sf0.1 so each number is a min-of-3 warm
-measurement) and flags regressions. Without per-query baselines,
-machine noise and real regressions are indistinguishable — round 4's
-driver run showed the same plan at 3.3s (builder) and 17.2s (driver,
-cold cache/contention); this guard is the tie-breaker you re-run
-locally.
+baseline (BENCH_BASELINE.json). PROTOCOL (VERDICT r7 #1): both sides
+are COLD single-pass — Bench's `queries` numbers are always the first
+pass, and the baseline is recorded by running Bench exactly the way
+the driver does (fresh JVM, REPEAT=1, local[32], sf0.1) — so the 2x
+gate compares like with like. The r7 headline read 2.5x purely
+because a warm min-of-3 baseline was compared against a cold driver
+pass. Without per-query baselines, machine noise and real regressions
+are indistinguishable — round 4's driver run showed the same plan at
+3.3s (builder) and 17.2s (driver, cold cache/contention); this guard
+is the tie-breaker you re-run locally.
 
 Usage:
-  tools/bench_guard.py              # run Bench (REPEAT=3, sf0.1), then compare
+  tools/bench_guard.py              # run Bench cold (REPEAT=1, sf0.1), compare
   tools/bench_guard.py RESULT.json  # compare an existing Bench output file
 
 A query regresses when it is BOTH >2x its HOST-NORMALIZED baseline AND
@@ -43,7 +46,7 @@ def run_bench() -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-        SPARK_GRAFT_REPEAT=os.environ.get("SPARK_GRAFT_REPEAT", "3"),
+        SPARK_GRAFT_REPEAT=os.environ.get("SPARK_GRAFT_REPEAT", "1"),
         SPARK_GRAFT_BENCH_OUT=out,
     )
     subprocess.run(
