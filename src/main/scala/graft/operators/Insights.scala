@@ -702,6 +702,46 @@ object Insights {
         .orderBy("k")
     },
 
+    // ── streaming expectation gate, driver-visible (§2.10 oracle) ─────
+
+    // stream_cdc_feed's discipline applied to the quality gate: the
+    // StreamExpectations AvailableNow run (Complete-mode counters, no
+    // watermark, so the FINAL matrix covers every row, not just closed
+    // windows) must equal the batch counters DuckDB computes from the
+    // raw table — the 4 row-local rules the stream owns (scope split
+    // per StreamExpectations scaladoc: PK/FK/cross-table stay in the
+    // batch chk_expectations below). StreamExpectationsSpec pins the
+    // equality in-JVM with restarts; this entry re-proves it per round
+    // through the driver's hash gate.
+    Q("stream_expectations_feed",
+      """WITH oa AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS bad_total,
+        |         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '2002-01-01'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+        |  FROM orders
+        |)
+        |SELECT rule, measured, pass FROM (
+        |  SELECT 'orders.row_count_min' AS rule, n_rows AS measured,
+        |         n_rows >= 100 AS pass FROM oa
+        |  UNION ALL SELECT 'orders.status_domain', bad_status,
+        |         bad_status = 0 FROM oa
+        |  UNION ALL SELECT 'orders.totalprice_positive', bad_total,
+        |         bad_total = 0 FROM oa
+        |  UNION ALL SELECT 'orders.orderdate_range', bad_date,
+        |         bad_date = 0 FROM oa
+        |) t ORDER BY rule""".stripMargin) { (s, d) =>
+      graft.streaming.StreamExpectations
+        .runAvailableNow(s, d, "stream_expectations_feed_sink")
+        .select(col("rule"), col("measured").cast("long").as("measured"),
+          col("pass"))
+        .orderBy("rule")
+    },
+
     // ── data-quality expectation suite (ingest gate matrix) ────────────
 
     // The Great-Expectations / dbt-test-shaped ingest gate: a NAMED

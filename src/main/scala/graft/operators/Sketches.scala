@@ -307,6 +307,80 @@ object Sketches {
         .orderBy("event_type")
     },
 
+    // ── Count-Min point-frequency sketch ───────────────────────────────
+
+    // Completes the sketch triad: KMV answers "how many DISTINCT",
+    // Misra-Gries answers "which keys are HEAVY", Count-Min (Cormode &
+    // Muthukrishnan, J.Alg'05) answers "how often is THIS key" for an
+    // arbitrary key, in O(d·w) space with a one-sided error: est ≥
+    // exact always, E[overcount] ≤ N/w per row, min over d rows. Like
+    // the KMV choice, CMS here is fully DETERMINISTIC — buckets are
+    // salted-md5 of the key, so both engines place every event in the
+    // same cell and the driver hash-checks the whole estimate matrix
+    // (approx_count_distinct-style randomized sketches cannot give
+    // that). d=4 rows × w=64 buckets over event user_ids; probe set =
+    // the 20 most active users (exact count, deterministic tie-break),
+    // output exact vs estimate vs overcount — the accuracy ledger an
+    // operator tunes w against. Scale shape: the counter matrix is ONE
+    // map-side-combined aggregate into ≤ d·w = 256 cells (counters are
+    // sums ⇒ partials merge by addition — the same mergeability law
+    // agg_incremental_merge proves for KMV states); probes join the
+    // 256-row matrix as a broadcast; the top-20 selection is a
+    // TakeOrdered, not a global sort. SketchSpec pins est ≥ exact on
+    // every key and counter mergeability across an epoch split.
+    Q("sketch_cms", {
+      val md5r = "md5(concat('cms', CAST(r4.r AS VARCHAR), '#', " +
+        "CAST(e.user_id AS VARCHAR)))"
+      s"""WITH r4 AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+         |hb AS (
+         |  SELECT e.user_id, r4.r,
+         |         (${hex13Sql(md5r)}) % 64 AS b
+         |  FROM events e CROSS JOIN r4
+         |), cnt AS (
+         |  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY r, b
+         |), ex AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY user_id
+         |), probe AS (
+         |  SELECT user_id, n_exact FROM (
+         |    SELECT *, row_number() OVER (ORDER BY n_exact DESC, user_id)
+         |      AS rn FROM ex) x
+         |  WHERE rn <= 20
+         |), kb AS (
+         |  SELECT DISTINCT user_id, r, b FROM hb
+         |)
+         |SELECT p.user_id, p.n_exact, MIN(c.c) AS cms_est,
+         |       MIN(c.c) - p.n_exact AS overcount
+         |FROM probe p
+         |JOIN kb ON kb.user_id = p.user_id
+         |JOIN cnt c ON c.r = kb.r AND c.b = kb.b
+         |GROUP BY p.user_id, p.n_exact
+         |ORDER BY n_exact DESC, p.user_id""".stripMargin
+    }) { (s, d) =>
+      val W = 64
+      def bucket(r: Int, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"cms$r#"), key.cast("string"))),
+          1, 13), 16, 10).cast("long") % W
+      def rb(key: org.apache.spark.sql.Column) = explode(array(
+        (0 to 3).map(r => struct(lit(r).as("r"),
+          bucket(r, key).as("b"))): _*))
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val cnt = ev.select(rb(col("user_id")).as("rb"))
+        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val probe = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      probe
+        .select(col("user_id"), col("n_exact"), rb(col("user_id")).as("rb"))
+        .select(col("user_id"), col("n_exact"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(cnt), Seq("r", "b"))
+        .groupBy("user_id", "n_exact").agg(min("c").as("cms_est"))
+        .select(col("user_id"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    },
+
     // Incremental aggregate maintenance — the pattern that completes
     // the incrementality trio (dedup_incremental admits new docs
     // against the index, snk_merge folds row upserts): a per-day

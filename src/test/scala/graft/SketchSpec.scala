@@ -324,4 +324,49 @@ class SketchSpec extends SparkSuite {
         }
       }
   }
+
+  test("sketch_cms: one-sided error (est ≥ exact, every probe key) and " +
+      "within the d=4/w=64 expectation bound") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("sketch_cms")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length == 20)
+    val n = Tables.events(spark, SparkSuite.Sf001).count()
+    out.foreach { case (uid, exact, est, over) =>
+      assert(est >= exact, s"user $uid: CMS UNDERcounted $est < $exact")
+      assert(over == est - exact, s"user $uid: overcount ledger wrong")
+      // E[over] ≤ N/64 per row before the min-of-4; 8× headroom keeps
+      // the assertion meaningful without being flaky on collisions
+      assert(over <= n / 8,
+        s"user $uid: overcount $over implausible for N=$n, w=64")
+    }
+  }
+
+  test("sketch_cms counters MERGE: per-epoch matrices add to the full " +
+      "matrix (the map-side-combine law)") {
+    import org.apache.spark.sql.functions._
+    // rebuild the counter matrix independently, split by an epoch cut,
+    // and check cell-wise addition — CMS's mergeability is linearity
+    // of the counters, the property that lets 1000 executors build
+    // partial matrices and a reduce add them
+    def counters(filter: org.apache.spark.sql.Column): Map[(Int, Long), Long] =
+      Tables.events(spark, SparkSuite.Sf001)
+        .filter(filter)
+        .select(explode(array((0 to 3).map(r => struct(lit(r).as("r"),
+          (conv(substring(md5(concat(lit(s"cms$r#"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 64).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2))
+        .toMap
+    val full = counters(lit(true))
+    val a = counters(col("event_id") % 2 === 0)
+    val b = counters(col("event_id") % 2 =!= 0)
+    assert(a.nonEmpty && b.nonEmpty, "epoch cut degenerate")
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == full, "per-epoch CMS matrices do not add to the full")
+  }
 }
