@@ -266,6 +266,47 @@ object TextOps {
       .select("a_id", "b_id").distinct()
   }
 
+  /** LSH-Ensemble stages for dedup_containment_ensemble — exposed so
+    * DedupScaleSpec can pin the candidate-volume scale law directly:
+    * (hashed shingle sets `e`, per-doc set sizes `sz`, directed
+    * size-partitioned candidates `cand` = (a_id, b_id, p)). Band rows
+    * for ALL three schemes come from ONE exploded pass over the
+    * sig⋈sz frame, shared+persisted — a per-(p, band) union would
+    * rebuild that frame 13× (measured: 2/3 of the query's cold cost).
+    */
+  private[graft] def ensembleStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = graft.Caches.shared(nearCloneShingles(s, d)
+      .select(col("doc_id"), xxhash64(col("sx")).as("s")).distinct())
+    val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ss = minhashSig(s, d).join(sz, Seq("doc_id"))
+      .withColumn("hp",
+        when(col("n") < 32, 0).when(col("n") < 64, 1).otherwise(2))
+    def h(i: Int) = col(s"h$i")
+    def bk(p: Int, b: Int, k: Column) =
+      struct(lit(p).as("p"), lit(b).as("band"), k.as("key"))
+    val allBands = array(
+      (bk(0, 0, concat(h(0), h(1), h(2), h(3)))
+        +: Seq(bk(1, 0, concat(h(0), h(1))), bk(1, 1, concat(h(2), h(3))))
+        ++: Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
+          .map { case ((i, j), b) => bk(2, b, concat(h(i), h(j))) }): _*)
+    val probe = graft.Caches.shared(ss
+      .select(col("doc_id"), col("n"), col("hp"),
+        explode(allBands).as("bks"))
+      .select(col("doc_id"), col("n"), col("hp"),
+        col("bks.p").as("p"), col("bks.band").as("band"),
+        col("bks.key").as("key")))
+    val idx = probe.filter(col("p") === col("hp"))
+    val cand = probe
+      .select(col("doc_id").as("a_id"), col("n").as("qn"),
+        col("p"), col("band"), col("key"))
+      .join(idx.select(col("doc_id").as("b_id"), col("n").as("inn"),
+        col("p"), col("band"), col("key")), Seq("p", "band", "key"))
+      .filter(col("a_id") =!= col("b_id") && col("qn") <= col("inn"))
+      .select("a_id", "b_id", "p").distinct()
+    (e, sz, cand)
+  }
+
   // ── shared SimHash pipeline stages (see dedup_simhash_pairs) ─────────
 
   /** Exploded tokens of the near-clone corpus, each carrying its 60-bit
@@ -789,37 +830,7 @@ object TextOps {
          |JOIN sz sb ON b_id = sb.doc_id
          |WHERE 5 * n_inter >= 4 * sa.n
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val e = graft.Caches.shared(nearCloneShingles(s, d)
-        .select(col("doc_id"), xxhash64(col("sx")).as("s")).distinct())
-      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ss = minhashSig(s, d).join(sz, Seq("doc_id"))
-        .withColumn("hp",
-          when(col("n") < 32, 0).when(col("n") < 64, 1).otherwise(2))
-      // every scheme's band rows from ONE pass (9 structs exploded per
-      // doc), shared+persisted — a per-(p, band) union would rebuild
-      // the sig⋈sz frame 13× (measured: 2/3 of the query's cold cost)
-      def h(i: Int) = col(s"h$i")
-      def bk(p: Int, b: Int, k: Column) =
-        struct(lit(p).as("p"), lit(b).as("band"), k.as("key"))
-      val allBands = array(
-        (bk(0, 0, concat(h(0), h(1), h(2), h(3)))
-          +: Seq(bk(1, 0, concat(h(0), h(1))), bk(1, 1, concat(h(2), h(3))))
-          ++: Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
-            .map { case ((i, j), b) => bk(2, b, concat(h(i), h(j))) }): _*)
-      val probe = graft.Caches.shared(ss
-        .select(col("doc_id"), col("n"), col("hp"),
-          explode(allBands).as("bks"))
-        .select(col("doc_id"), col("n"), col("hp"),
-          col("bks.p").as("p"), col("bks.band").as("band"),
-          col("bks.key").as("key")))
-      val idx = probe.filter(col("p") === col("hp"))
-      val cand = probe
-        .select(col("doc_id").as("a_id"), col("n").as("qn"),
-          col("p"), col("band"), col("key"))
-        .join(idx.select(col("doc_id").as("b_id"), col("n").as("inn"),
-          col("p"), col("band"), col("key")), Seq("p", "band", "key"))
-        .filter(col("a_id") =!= col("b_id") && col("qn") <= col("inn"))
-        .select("a_id", "b_id", "p").distinct()
+      val (e, sz, cand) = ensembleStages(s, d)
       val inter = cand
         .join(e.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
         .join(e.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))

@@ -205,4 +205,38 @@ class DedupScaleSpec extends SparkSuite {
       .filter(col("qid") === col("doc_id")).count()
     assert(hits >= 40, s"self recall collapsed under replication: $hits/50")
   }
+
+  test("ensemble containment candidates grow near-LINEARLY with the " +
+      "corpus (the dedup-side scale law, per size partition)") {
+    // dedup_containment_ensemble is a DEDUP operator (corpus is both
+    // probe and index), so its law is linearity, not flatness:
+    // replica-salted tokens keep signatures distinct across replicas,
+    // so a ×4 corpus adds ×4 new in-replica candidates — superlinear
+    // growth would mean a band scheme (the loose 6×2 partition first)
+    // degenerated into cross-replica mega-buckets.
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    def cands(d: String): Map[Long, Long] =
+      TextOps.ensembleStages(spark, d)._3
+        .groupBy("p").count()
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val (c1, t1) = timed(cands(d1))
+    val (c2, t2) = timed(cands(d2))
+    val k = Reps2.toDouble / Reps1
+    assert(c1.values.sum > 0, "no ensemble candidates on the base corpus")
+    for ((p, n1) <- c1) {
+      val n2 = c2.getOrElse(p, 0L)
+      assert(n2 <= n1 * k * 2 + 16,
+        s"partition $p candidates superlinear: $n1 -> $n2 (×4 corpus)")
+    }
+    assert(c2.values.sum >= c1.values.sum,
+      "candidates shrank under replication — fixture degenerate")
+    timeCheck(t2 <= t1 * k * 3 + 1.0,
+      s"ensemble candidate time superlinear: $t1 -> $t2")
+    // the planted source→clone pairs still confirm at ×40
+    val confirmed = SparkEntry.queries("dedup_containment_ensemble")(
+      spark, d2)
+      .filter(col("b_id") === col("a_id") + 10000L).count()
+    assert(confirmed > 0, "no planted containment pairs at the ×40 corpus")
+  }
 }
