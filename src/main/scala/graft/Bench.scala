@@ -108,7 +108,12 @@ object Bench {
         }
         val steady =
           if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min
-        (name, secs.head, steady, firstErr)
+        // cold = the FIRST SUCCESSFUL pass (first pass under REPEAT=1);
+        // negative only when no repeat succeeded, so `queries`, `value`
+        // and `errors` can never contradict each other on a query that
+        // failed pass 1 but recovered (transient OOM under REPEAT>1)
+        val cold = secs.find(_ >= 0).getOrElse(secs.head)
+        (name, cold, steady, firstErr)
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }

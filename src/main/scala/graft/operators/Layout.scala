@@ -208,14 +208,13 @@ object Layout {
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
-        val root = graft.LayoutCache.target("graft_part", d, "orders")
-        val path = root.getAbsolutePath
-        if (!graft.LayoutCache.ready(root)) {
+        val path = graft.LayoutCache.materialize("graft_part", d,
+          "orders") { stage =>
           Tables.orders(s, d)
             .select("o_orderkey", "o_orderstatus", "o_orderpriority",
               "o_totalprice")
             .write.mode("overwrite").partitionBy("o_orderstatus")
-            .parquet(path)
+            .parquet(stage)
         }
         s.read.parquet(path)
           .filter(col("o_orderstatus") === "F")
@@ -236,11 +235,15 @@ object Layout {
       table: String, key: String, cols: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     // collision-proof + content-fingerprinted name (LayoutCache): a
-    // regenerated fixture gets a fresh catalog table, never stale reads
+    // regenerated fixture gets a fresh catalog table, never stale reads.
+    // The PATH is additionally process-unique: the in-memory catalog is
+    // per-JVM, so a shared path never saved a second JVM the write — it
+    // only risked two writers interleaving task files in one directory.
     val name = s"graft_bkt_${table}_${graft.LayoutCache.key(d, table)}"
     if (!s.catalog.tableExists(name)) {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_buckets/$name").getAbsolutePath
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_buckets/${name}_p${java.lang.ProcessHandle.current().pid()}")
+        .getAbsolutePath
       Tables.read(s, d, table).select(cols.map(col): _*)
         .write.mode("overwrite")
         .bucketBy(8, key).sortBy(key)

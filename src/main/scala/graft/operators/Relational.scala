@@ -66,12 +66,11 @@ object Relational {
         |         AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, d) =>
-        val root = graft.LayoutCache.target("graft_orc", d, "orders")
-        val path = root.getAbsolutePath
-        if (!graft.LayoutCache.ready(root)) {
-          Tables.orders(s, d)
-            .select("o_orderkey", "o_orderstatus", "o_totalprice")
-            .write.mode("overwrite").orc(path)
+        val path = graft.LayoutCache.materialize("graft_orc", d, "orders") {
+          stage =>
+            Tables.orders(s, d)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice")
+              .write.mode("overwrite").orc(stage)
         }
         s.read.orc(path)
           .groupBy("o_orderstatus")
@@ -99,16 +98,15 @@ object Relational {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
         |         AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
-      val root = graft.LayoutCache.target("graft_schema_merge", d, "orders")
-      val path = root.getAbsolutePath
-      if (!graft.LayoutCache.ready(root, "e2/_SUCCESS")) {
+      val path = graft.LayoutCache.materialize("graft_schema_merge", d,
+        "orders", marker = "e2/_SUCCESS") { stage =>
         val o = Tables.orders(s, d)
         o.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
-          .write.mode("overwrite").parquet(s"$path/e1")
+          .write.mode("overwrite").parquet(s"$stage/e1")
         o.filter(col("o_orderkey") % 2 === 1)
           .select("o_orderkey", "o_totalprice", "o_orderstatus")
-          .write.mode("overwrite").parquet(s"$path/e2")
+          .write.mode("overwrite").parquet(s"$stage/e2")
       }
       s.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true").parquet(path)
@@ -137,13 +135,12 @@ object Relational {
         |       CAST(SUM(n_chars) AS BIGINT) AS chars,
         |       CAST(SUM(length(text)) AS BIGINT) AS chars_decoded
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val root = graft.LayoutCache.target("graft_jsonl", d, "documents")
-      val path = root.getAbsolutePath
-      if (!graft.LayoutCache.ready(root)) {
+      val path = graft.LayoutCache.materialize("graft_jsonl", d,
+        "documents") { stage =>
         Tables.documents(s, d)
           .select("doc_id", "text", "lang", "n_chars")
           .coalesce(4)
-          .write.mode("overwrite").option("compression", "gzip").json(path)
+          .write.mode("overwrite").option("compression", "gzip").json(stage)
       }
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")

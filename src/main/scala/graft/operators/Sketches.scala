@@ -329,13 +329,14 @@ object Sketches {
     // TakeOrdered, not a global sort. SketchSpec pins est ≥ exact on
     // every key and counter mergeability across an epoch split.
     Q("sketch_cms", {
-      val md5r = "md5(concat('cms', CAST(r4.r AS VARCHAR), '#', " +
-        "CAST(e.user_id AS VARCHAR)))"
       s"""WITH r4 AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
-         |hb AS (
+         |hb0 AS (
          |  SELECT e.user_id, r4.r,
-         |         (${hex13Sql(md5r)}) % 64 AS b
+         |         md5(concat('cms', CAST(r4.r AS VARCHAR), '#',
+         |                    CAST(e.user_id AS VARCHAR))) AS hh
          |  FROM events e CROSS JOIN r4
+         |), hb AS (
+         |  SELECT user_id, r, (${hex13Sql("hh")}) % 64 AS b FROM hb0
          |), cnt AS (
          |  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY r, b
          |), ex AS (

@@ -771,7 +771,7 @@ object TextOps {
     // through the SAME exact intersection gate as dedup_containment
     // (5·I ≥ 4·|A|), so looser banding can only add candidates, never
     // false results. Scale shape: per-partition band equi-joins —
-    // never all-pairs — and the probe side is |docs| × 7 band rows
+    // never all-pairs — and the probe side is |docs| × 9 band rows
     // (Σ bands over the 3 schemes), constant fan-out; the exact gate
     // touches candidates only. Size thresholds 32/64 split the
     // fixture's 9..95-bigram corpus at its median, exercising all

@@ -78,8 +78,12 @@ object StreamContamination {
     val isEval =
       substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
         .lt("10")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_contam_scores_").toString
+    // sink dir keyed by the corpus fingerprint (LayoutCache), not a
+    // fresh temp dir per call: repeated runs overwrite their own
+    // batch_id partitions idempotently instead of accumulating a
+    // corpus-sized orphan directory per invocation
+    val outDir = graft.LayoutCache
+      .target("graft_contam_scores", srcDir, "documents").getAbsolutePath
     val q = stream.filter(!isEval).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -94,7 +98,13 @@ object StreamContamination {
       .start()
     q.awaitTermination()
     registry.unpersist()
-    spark.read.parquet(outDir)
+    // explicit schema: a degenerate corpus (every doc in the eval
+    // split) leaves the sink with no parquet footers, and schema
+    // INFERENCE would throw where the contract is an empty frame
+    spark.read
+      .schema("doc_id BIGINT, n_shingles BIGINT, n_hit BIGINT, " +
+        "contamination DOUBLE, batch_id BIGINT")
+      .parquet(outDir)
       .select("doc_id", "n_shingles", "n_hit", "contamination")
   }
 }

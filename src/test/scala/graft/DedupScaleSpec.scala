@@ -224,7 +224,10 @@ class DedupScaleSpec extends SparkSuite {
     val (c2, t2) = timed(cands(d2))
     val k = Reps2.toDouble / Reps1
     assert(c1.values.sum > 0, "no ensemble candidates on the base corpus")
-    for ((p, n1) <- c1) {
+    // union of both keysets: a partition empty at ×10 that explodes at
+    // ×40 is exactly the degeneracy this law exists to catch
+    for (p <- c1.keySet ++ c2.keySet) {
+      val n1 = c1.getOrElse(p, 0L)
       val n2 = c2.getOrElse(p, 0L)
       assert(n2 <= n1 * k * 2 + 16,
         s"partition $p candidates superlinear: $n1 -> $n2 (×4 corpus)")
