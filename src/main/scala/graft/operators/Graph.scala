@@ -65,7 +65,7 @@ object Graph {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
     // LAZY checkpoints: the convergence probe is the action that
     // materializes each round, so a round costs one job, not two.
     // SER storage (VERDICT r6 perf note): the per-round label blocks
