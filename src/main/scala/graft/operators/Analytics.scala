@@ -726,54 +726,75 @@ object Analytics {
     // Days whose total deviates more than 2σ from their trailing 7-day
     // window — the data-quality tripwire a daily ingest runs before
     // publishing (a collapsed source or a double-load shows up as an
-    // anomalous day, not as a schema error). Parity strategy is
-    // agg_stats': the window carries EXACT decimal sufficient
-    // statistics (Σx, Σx² — association-order-free), cast to double
-    // once, then mean/σ/flag are one pinned double expression evaluated
-    // identically by both engines. No division by σ anywhere (a
+    // anomalous day, not as a schema error). Parity strategy REVISED
+    // in r8 after the sf0.1 oracle audit: the old form cast the
+    // scale-8 decimal Σx² to double, and DuckDB's nonzero-scale
+    // decimal→double (int128 ÷ 10^scale in float) double-rounds once
+    // the unscaled value passes 2⁵³ — measured 1-ulp sd7 drift at
+    // sf0.1 (7.9e9 with 8 decimals = 18 significant digits). The
+    // robust rule (fuzz-verified): only convert EXACT INTEGERS below
+    // 2⁶⁴ to double — both engines round those identically — and do
+    // any residual scaling as explicit double ops in the SAME order.
+    // So: totals become scale-4 longs t4; the variance numerator
+    // num = 7·Σt4² − (Σt4)² is computed EXACTLY in 38-digit integers
+    // (catastrophic-cancellation-free by construction — num is
+    // ~10⁴× smaller than Σx², ≈ 42·var·10⁸, inside 2⁶⁴ for daily σ
+    // up to ~65k units: the documented bound); every double is then
+    // derived from an int64/38-digit-exact value by the identical
+    // op sequence on both engines. No division by σ anywhere (a
     // constant window has σ = 0): the flag compares |x−μ| against 2σ
-    // directly. Warm-up days (window shorter than 7 rows) are excluded
-    // rather than emitted with unstable statistics.
+    // directly. Warm-up days (window shorter than 7 rows) are
+    // excluded rather than emitted with unstable statistics.
+    // StreamAnomaly mirrors this arithmetic bit-for-bit.
     Q("ts_anomaly",
       """WITH dly AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |         SUM(CAST(value AS DECIMAL(10,4))) AS total
+        |         CAST(SUM(CAST(value AS DECIMAL(10,4))) * 10000 AS BIGINT)
+        |           AS t4
         |  FROM events GROUP BY 1, 2
         |), w AS (
-        |  SELECT event_type, day,
-        |         CAST(total AS DOUBLE) AS td,
+        |  SELECT event_type, day, t4,
         |         COUNT(*) OVER w7 AS n,
-        |         CAST(SUM(total) OVER w7 AS DOUBLE) AS sxd,
-        |         CAST(SUM(total * total) OVER w7 AS DOUBLE) AS sx2d
+        |         CAST(SUM(t4) OVER w7 AS BIGINT) AS sx4,
+        |         SUM(CAST(t4 AS HUGEINT) * t4) OVER w7 AS sx2
         |  FROM dly
         |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
         |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), v AS (
+        |  SELECT event_type, day, t4, sx4, n,
+        |         7 * sx2 - CAST(sx4 AS HUGEINT) * sx4 AS num
+        |  FROM w
         |)
-        |SELECT event_type, CAST(day AS DATE) AS day, td AS total,
-        |       sxd / 7.0 AS mean7,
-        |       sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0)) AS sd7,
-        |       abs(td - sxd / 7.0) >
-        |         2.0 * sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0))
+        |SELECT event_type, CAST(day AS DATE) AS day,
+        |       CAST(t4 AS DOUBLE) / 1.0e4 AS total,
+        |       (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0 AS mean7,
+        |       sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4 AS sd7,
+        |       abs(CAST(t4 AS DOUBLE) / 1.0e4
+        |           - (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0) >
+        |         2.0 * (sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4)
         |         AS is_anomaly
-        |FROM w WHERE n = 7
+        |FROM v WHERE n = 7
         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val dly = Tables.events(s, d)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(sum(col("value").cast("decimal(10,4)")).as("total"))
+        .agg((sum(col("value").cast("decimal(10,4)")) * 10000)
+          .cast("long").as("t4"))
       val w7 = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(-6, Window.currentRow)
-      val stats = dly.select(col("event_type"), col("day"),
-        col("total").cast("double").as("td"),
+      val stats = dly.select(col("event_type"), col("day"), col("t4"),
         count(lit(1)).over(w7).as("n"),
-        sum(col("total")).over(w7).cast("double").as("sxd"),
-        sum(col("total") * col("total")).over(w7).cast("double").as("sx2d"))
-      val mean7 = col("sxd") / lit(7.0)
-      val sd7 = sqrt((col("sx2d") * lit(7.0) - col("sxd") * col("sxd"))
-        / (lit(7.0) * lit(6.0)))
+        sum(col("t4")).over(w7).as("sx4"),
+        sum(col("t4").cast(D38) * col("t4")).over(w7).as("sx2"))
+        .withColumn("num",
+          lit(7) * col("sx2") - col("sx4").cast(D38) * col("sx4"))
+      val td = col("t4").cast("double") / lit(1.0e4)
+      val mean7 = (col("sx4").cast("double") / lit(1.0e4)) / lit(7.0)
+      val sd7 = sqrt(col("num").cast("double") / lit(42.0)) / lit(1.0e4)
       stats.filter(col("n") === 7)
-        .select(col("event_type"), col("day"), col("td").as("total"),
+        .select(col("event_type"), col("day"), td.as("total"),
           mean7.as("mean7"), sd7.as("sd7"),
-          (abs(col("td") - mean7) > lit(2.0) * sd7).as("is_anomaly"))
+          (abs(td - mean7) > lit(2.0) * sd7).as("is_anomaly"))
         .orderBy("event_type", "day")
     },
 

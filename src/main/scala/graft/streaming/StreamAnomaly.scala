@@ -71,12 +71,19 @@ object StreamAnomaly {
 
   private def mkFlag(key: String, ring: List[(Long, Long)]): Flag = {
     val (day, tot4) = ring.last
-    val td = tot4.toDouble / 10000.0
-    val sxd = ring.map(_._2).sum.toDouble / 10000.0
-    val sx2 = ring.map(_._2).map(v => BigInt(v) * BigInt(v)).sum
-    val sx2d = new java.math.BigDecimal(sx2.bigInteger, 8).doubleValue()
-    val mean7 = sxd / 7.0
-    val sd7 = math.sqrt((sx2d * 7.0 - sxd * sxd) / (7.0 * 6.0))
+    // EXACTLY the batch ts_anomaly arithmetic (r8 revision): every
+    // double derives from an exact ≤38-digit integer via the same op
+    // sequence — the variance numerator 7·Σx² − (Σx)² is computed
+    // exactly in integers first (≈ 42·var·10⁸, far below the Σx²
+    // magnitude whose scale-8 decimal→double cast diverged between
+    // engines at sf0.1), then sqrt(num/42)/10⁴ matches the SQL
+    // character for character.
+    val td = tot4.toDouble / 1.0e4
+    val sx4 = ring.map(_._2).sum
+    val num = ring.map(_._2).map(v => BigInt(v) * BigInt(v)).sum * 7 -
+      BigInt(sx4) * BigInt(sx4)
+    val mean7 = (sx4.toDouble / 1.0e4) / 7.0
+    val sd7 = math.sqrt(num.toDouble / 42.0) / 1.0e4
     Flag(key, java.time.LocalDate.ofEpochDay(day).toString, td, mean7, sd7,
       is_anomaly = math.abs(td - mean7) > 2.0 * sd7)
   }
