@@ -22,11 +22,16 @@ def rows_key(rows):
         (tuple(str(type(x).__name__) + ":" + repr(norm(x)) for x in r))
         for r in rows)
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = fresh_con(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
@@ -34,16 +39,30 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark parquet output"); n_bad += 1; continue
-        try:
-            spark_rel = con.execute(
-                f"SELECT * FROM read_parquet({files!r})")
-            spark_cols = [c[0] for c in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            duck_cols = [c[0] for c in duck_rel.description]
-            duck_rows = duck_rel.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1; continue
+        # one retry on a FRESH connection: 250+ sequential oracles (some
+        # with heavy recursive CTEs) accumulate allocator state in one
+        # DuckDB connection, and a tiny later query can hit a spurious
+        # Out of Memory that a clean connection answers in a second —
+        # observed at sf0.001 on sim_ivf_recall_curve
+        err = None
+        for attempt in (0, 1):
+            if attempt:
+                con.close()
+                con = fresh_con(sf_dir)
+            try:
+                spark_rel = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})")
+                spark_cols = [c[0] for c in spark_rel.description]
+                spark_rows = spark_rel.fetchall()
+                duck_rel = con.execute(sql)
+                duck_cols = [c[0] for c in duck_rel.description]
+                duck_rows = duck_rel.fetchall()
+                err = None
+                break
+            except Exception as e:
+                err = e
+        if err is not None:
+            print(f"FAIL {name}: {type(err).__name__}: {err}"); n_bad += 1; continue
         # driver sorts columns by name before hashing — do the same
         s_ix = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
         d_ix = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
@@ -59,19 +78,29 @@ def main(sf_dir, out_dir):
         # DuckDB HUGEINT (SUM over ints -> float64 in .df()) vs Spark BIGINT
         # (int64) hashes differently even when fetchall() values are equal.
         # Catch that class here by comparing .df() dtypes on both sides.
-        try:
-            sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
-            ddt = con.execute(sql).df().dtypes
-            s_dt = {c: str(t) for c, t in sdt.items()}
-            d_dt = {c: str(t) for c, t in ddt.items()}
-            dtype_diffs = {c: (s_dt[c], d_dt[c])
-                           for c in s_dt if c in d_dt and s_dt[c] != d_dt[c]}
-            if dtype_diffs:
-                print(f"FAIL {name}: pandas dtype drift {dtype_diffs}")
-                n_bad += 1
-                continue
-        except Exception as e:
-            print(f"FAIL {name}: dtype check: {type(e).__name__}: {e}")
+        err = None
+        for attempt in (0, 1):
+            if attempt:
+                con.close()
+                con = fresh_con(sf_dir)
+            try:
+                sdt = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})").df().dtypes
+                ddt = con.execute(sql).df().dtypes
+                err = None
+                break
+            except Exception as e:
+                err = e
+        if err is not None:
+            print(f"FAIL {name}: dtype check: {type(err).__name__}: {err}")
+            n_bad += 1
+            continue
+        s_dt = {c: str(t) for c, t in sdt.items()}
+        d_dt = {c: str(t) for c, t in ddt.items()}
+        dtype_diffs = {c: (s_dt[c], d_dt[c])
+                       for c in s_dt if c in d_dt and s_dt[c] != d_dt[c]}
+        if dtype_diffs:
+            print(f"FAIL {name}: pandas dtype drift {dtype_diffs}")
             n_bad += 1
             continue
         sk, dk = rows_key(srows), rows_key(drows)
