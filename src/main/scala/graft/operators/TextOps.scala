@@ -307,6 +307,81 @@ object TextOps {
     (e, sz, cand)
   }
 
+  /** One BPE merge round as a CTE block (txt_bpe_merges): from
+    * `st{i-1}` (word, w, pos, tok) derive `pairs{i}` (weighted
+    * adjacent-pair counts), `best{i}` (deterministic argmax), and
+    * `st{i}` (the left-to-right non-overlapping rewrite — see the
+    * query scaladoc for the runs/odd-rank argument). */
+  private def bpeRoundSql(i: Int): String = {
+    val p = s"st${i - 1}"
+    s"""pairs$i AS (
+       |  SELECT a.tok AS l, b.tok AS r, CAST(SUM(a.w) AS BIGINT) AS c
+       |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2
+       |), best$i AS (
+       |  SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1
+       |), m$i AS (
+       |  SELECT a.word, a.pos,
+       |         row_number() OVER (PARTITION BY a.word ORDER BY a.pos) AS rn
+       |  FROM $p a
+       |  JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+       |  CROSS JOIN best$i t
+       |  WHERE a.tok = t.l AND b.tok = t.r
+       |), keep$i AS (
+       |  SELECT word, pos FROM (
+       |    SELECT word, pos,
+       |           row_number() OVER (PARTITION BY word, pos - rn
+       |                              ORDER BY pos) AS rk
+       |    FROM m$i) x
+       |  WHERE rk % 2 = 1
+       |), st$i AS (
+       |  SELECT s.word, s.w,
+       |         CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos)
+       |              AS BIGINT) AS pos,
+       |         CASE WHEN k1.pos IS NOT NULL THEN concat(t.l, t.r)
+       |              ELSE s.tok END AS tok
+       |  FROM $p s
+       |  CROSS JOIN best$i t
+       |  LEFT JOIN keep$i k1 ON s.word = k1.word AND s.pos = k1.pos
+       |  LEFT JOIN keep$i k2 ON s.word = k2.word AND s.pos = k2.pos + 1
+       |  WHERE k2.pos IS NULL
+       |)""".stripMargin
+  }
+
+  /** DataFrame mirror of [[bpeRoundSql]]: returns (best rule, rewritten
+    * state). The 1-row argmax broadcasts into both the match scan and
+    * the rewrite; windows partition by word. */
+  private def bpeRound(st: DataFrame): (DataFrame, DataFrame) = {
+    val nxt = st.select(col("word"), (col("pos") - 1).as("pos"),
+      col("tok").as("rtok"))
+    val adj = st.join(nxt, Seq("word", "pos"))
+    val best = adj.groupBy(col("tok").as("l"), col("rtok").as("r"))
+      .agg(sum("w").cast("long").as("c"))
+      .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+    val m = adj.join(broadcast(best),
+        col("tok") === col("l") && col("rtok") === col("r"))
+      .select("word", "pos")
+    val wrn = Window.partitionBy("word").orderBy("pos")
+    val keep = m.withColumn("rn", row_number().over(wrn))
+      .withColumn("grp", col("pos") - col("rn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("word", "grp").orderBy("pos")))
+      .filter(col("rk") % 2 === 1)
+      .select("word", "pos")
+    val k1 = keep.select(col("word"), col("pos"), lit(1).as("k1"))
+    val k2 = keep.select(col("word"), (col("pos") + 1).as("pos"),
+      lit(1).as("k2"))
+    val next = st.crossJoin(broadcast(best))
+      .join(k1, Seq("word", "pos"), "left")
+      .join(k2, Seq("word", "pos"), "left")
+      .filter(col("k2").isNull)
+      .select(col("word"), col("w"),
+        row_number().over(wrn).cast("long").as("pos"),
+        when(col("k1").isNotNull, concat(col("l"), col("r")))
+          .otherwise(col("tok")).as("tok"))
+    (best, next)
+  }
+
   // ── shared SimHash pipeline stages (see dedup_simhash_pairs) ─────────
 
   /** Exploded tokens of the near-clone corpus, each carrying its 60-bit
@@ -1493,6 +1568,77 @@ object TextOps {
     // Scale: the prefix sum partitions by stratum; for one giant
     // stratum the production form is Ranking.globalRowNumber's shape —
     // range-partition, per-partition local sums, broadcast offsets.
+    // ── BPE merge training (tokenizer fitting as a query) ──────────────
+
+    // The tokenizer-TRAINING kernel (Sennrich et al., ACL'16): learn
+    // the first 4 byte-pair merge rules from the corpus — the step
+    // every LLM data pipeline runs before txt_tokens/txt_pack can
+    // exist. Done the way a corpus-scale trainer actually does it:
+    // the corpus first collapses to (distinct word, count) — pair
+    // statistics are identical on the weighted vocabulary, and the
+    // vocab is orders of magnitude smaller than the corpus — then each
+    // round is (1) ONE map-side-combined adjacent-pair count weighted
+    // by word frequency, (2) a broadcast 1-row argmax (count DESC,
+    // then lexicographic — fully deterministic), (3) a LEFT-TO-RIGHT
+    // non-overlapping rewrite expressed in window SQL: positions whose
+    // (tok, next) equals the rule are grouped into runs of CONSECUTIVE
+    // match positions (overlaps only exist when l = r, and only inside
+    // such runs), and the odd ranks within each run merge — provably
+    // the greedy left-to-right fold ("aaaa" → [aa, aa], "aaa" →
+    // [aa, a]). Merged tokens are UNITS in later rounds, so rule 3 can
+    // legitimately pair a round-1 product with a letter. Scale shape:
+    // windows partition by WORD (bounded length), the pair table is
+    // token-vocabulary-sized, and the 4 rules broadcast — nothing
+    // corpus-scale shuffles after the initial vocab collapse.
+    // TextOpsSpec replays the whole trainer in plain Scala and pins
+    // rule-for-rule equality.
+    Q("txt_bpe_merges", {
+      val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n")
+      val out = (1 to 4).map(i =>
+        s"SELECT $i AS rank, l, r, c AS pair_count FROM best$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents) x
+         |  GROUP BY word
+         |), st0 AS (
+         |  SELECT word, w, CAST(r.pos AS BIGINT) AS pos,
+         |         substr(word, CAST(r.pos AS INTEGER), 1) AS tok
+         |  FROM vocab, UNNEST(range(1, len(word) + 1)) AS r(pos)
+         |),
+         |$rounds
+         |SELECT CAST(rank AS BIGINT) AS rank, l, r, pair_count
+         |FROM ($out) t ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("w"))
+      // each round's state and rule get a LAZY localCheckpoint (the CC
+      // loop's lineage discipline): every round reads st{i-1} several
+      // times (pair scan, match scan, rewrite) and embeds best{i}, so a
+      // pure lazy plan both re-executes ancestors multiplicatively AND
+      // nests the logical tree ~4× per round — by round 4 the un-cut
+      // tree is big enough that merely PRINTING it OOMs the driver.
+      // persist() alone doesn't help analysis cost (the plan still
+      // nests); the checkpoint truncates it to a leaf. Vocab-sized
+      // frames: the memory cost is the token state, never the corpus.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      var st = vocab
+        .select(col("word"), col("w"),
+          explode(sequence(lit(1L), length(col("word")).cast("long")))
+            .as("pos"))
+        .withColumn("tok", expr("substring(word, CAST(pos AS INT), 1)"))
+        .localCheckpoint(eager = false, lvl)
+      val bests = (1 to 4).map { i =>
+        val (best0, next) = bpeRound(st)
+        val best = best0.localCheckpoint(eager = false, lvl)
+        st = next.localCheckpoint(eager = false, lvl)
+        best.select(lit(i.toLong).as("rank"), col("l"), col("r"),
+          col("c").as("pair_count"))
+      }
+      bests.reduce(_ unionByName _).orderBy("rank")
+    },
+
     Q("txt_pack",
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents

@@ -163,6 +163,44 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("txt_bpe_merges ≡ plain-Scala BPE trainer on the same weighted " +
+      "vocabulary; max pair count non-increasing") {
+    val got = SparkEntry.queries("txt_bpe_merges")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.length == 4)
+    // independent trainer: greedy left-to-right fold, count-desc then
+    // lexicographic argmax — textbook BPE on (distinct word, count)
+    val vocab = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var words: Map[Vector[String], Long] =
+      vocab.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (t, m) => t -> m.values.sum }
+    val expect = (1 to 4).map { i =>
+      val counts = words.toSeq.flatMap { case (toks, w) =>
+        toks.sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1)) -> w)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.groupBy { case (toks, _) =>
+        toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == l && t == r)
+            acc.init :+ (l + r)
+          else acc :+ t
+        }
+      }.map { case (t, m) => t -> m.values.sum }
+      (i.toLong, l, r, c)
+    }
+    assert(got.toSeq == expect,
+      s"BPE rules diverge:\n  spark=${got.toSeq}\n  scala=$expect")
+    // merging can only remove occurrences of existing pairs, and a new
+    // pair's count is bounded by its creator's — the max is monotone
+    got.sliding(2).foreach { case Array((_, _, _, c1), (_, _, _, c2)) =>
+      assert(c2 <= c1, s"pair count rose $c1 -> $c2") }
+  }
+
   test("dedup_containment_ensemble: directed, sound vs the flat query, " +
       "all three size partitions live, planted recall ≥ 90%") {
     val ens = SparkEntry.queries("dedup_containment_ensemble")(
