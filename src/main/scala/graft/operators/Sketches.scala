@@ -382,6 +382,97 @@ object Sketches {
         .orderBy(col("n_exact").desc, col("user_id"))
     },
 
+    // ── HyperLogLog register sketch ────────────────────────────────────
+
+    // The industry-standard cardinality sketch (Flajolet et al.,
+    // AofA'07) beside the KMV twin: where KMV keeps the k smallest
+    // hashes (order statistics), HLL keeps ONE number per bucket — the
+    // max leading-zero run of the hashes landing there — so the state
+    // is m=64 small integers and the merge is element-wise MAX (the
+    // cheapest mergeable state there is; SketchSpec pins epoch-split
+    // registers folding by GREATEST into the full-corpus registers
+    // bit-for-bit). Everything stays deterministic and hash-oracle-able
+    // the way this module requires: registers are exact integers
+    // (md5 → 52-bit value, bucket = low 6 bits, rho = leading-zero
+    // count of the remaining 46-bit field via the length-of-bin
+    // identity — len(bin(x)) = floor(log2 x)+1 exactly, as a STRING
+    // length, in both engines), the harmonic-mean denominator
+    // Σ 2^(−M_j) is carried as the exact scaled integer Σ 2^(50−M_j)
+    // (≤ 64·2^50 = 2^56 — BIGINT→double below 2^64 is the NOTES rule-10
+    // safe channel), and the final α_64·m²/Σ is ONE identical
+    // double-literal expression on both sides. The ln-based
+    // linear-counting small-range branch is deliberately NOT applied
+    // (libm ulp differences across engines break hash parity — the
+    // v_zero column ships so a consumer can apply it); α_64 = 0.709 is
+    // Flajolet's published constant for m = 64. Scale shape: one
+    // map-side-combined MAX aggregate into ≤ groups×64 cells; the
+    // 64-row grid join is a broadcast; nothing corpus-scale shuffles
+    // past the distinct.
+    Q("sketch_hll", {
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |), hv AS (
+         |  SELECT event_type,
+         |         (${hex13Sql("md5(CAST(user_id AS VARCHAR))")}) AS h52
+         |  FROM d
+         |), rr AS (
+         |  SELECT event_type, h52 % 64 AS b,
+         |         CASE WHEN h52 // 64 = 0 THEN 47
+         |              ELSE 47 - len(bin(h52 // 64)) END AS rho
+         |  FROM hv
+         |), reg0 AS (
+         |  SELECT event_type, b, MAX(rho) AS m FROM rr GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT t.event_type, g.b
+         |  FROM (SELECT DISTINCT event_type FROM d) t,
+         |       (SELECT unnest(range(0, 64)) AS b) g
+         |), reg AS (
+         |  SELECT grid.event_type, grid.b, COALESCE(reg0.m, 0) AS m
+         |  FROM grid LEFT JOIN reg0
+         |    ON reg0.event_type = grid.event_type AND reg0.b = grid.b
+         |), agg AS (
+         |  SELECT event_type,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT)
+         |           AS s_scaled,
+         |         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS v_zero
+         |  FROM reg GROUP BY 1
+         |), ex AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT ex.event_type, ex.n_exact, agg.v_zero, agg.s_scaled,
+         |       0.709e0 * 4096e0 * 1125899906842624e0
+         |         / CAST(agg.s_scaled AS DOUBLE) AS hll_raw_est
+         |FROM ex JOIN agg ON agg.event_type = ex.event_type
+         |ORDER BY ex.event_type""".stripMargin
+    }) { (s, d) =>
+      val dd = Tables.events(s, d)
+        .select("event_type", "user_id").distinct()
+      val hv = dd.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h52"))
+      val rr = hv.select(col("event_type"), (col("h52") % 64).as("b"),
+        when(expr("h52 div 64") === 0, lit(47))
+          .otherwise(lit(47) - length(bin(expr("h52 div 64")))).as("rho"))
+      val reg0 = rr.groupBy("event_type", "b").agg(max("rho").as("m"))
+      val grid = dd.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(0, 64).select(col("id").as("b"))))
+      val reg = grid.join(reg0, Seq("event_type", "b"), "left")
+        .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+      val agg = reg.groupBy("event_type")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
+            .as("s_scaled"),
+          sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("v_zero"))
+      val ex = dd.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      ex.join(agg, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("v_zero"),
+          col("s_scaled"),
+          (lit(0.709) * lit(4096.0) * lit(1125899906842624.0)
+            / col("s_scaled").cast("double")).as("hll_raw_est"))
+        .orderBy("event_type")
+    },
+
     // Incremental aggregate maintenance — the pattern that completes
     // the incrementality trio (dedup_incremental admits new docs
     // against the index, snk_merge folds row upserts): a per-day

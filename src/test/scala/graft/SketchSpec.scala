@@ -369,4 +369,53 @@ class SketchSpec extends SparkSuite {
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == full, "per-epoch CMS matrices do not add to the full")
   }
+
+  test("sketch_hll: estimate within the m=64 error regime of the exact " +
+      "count, ledger columns consistent") {
+    val out = SparkEntry.queries("sketch_hll")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (et, exact, vZero, sScaled, est) =>
+      // Σ 2^(50-M) over 64 registers: at least 64·2^3 (all registers at
+      // the rho cap 47), at most 64·2^50 (all empty)
+      assert(sScaled >= 64L * 8 && sScaled <= (64L << 50),
+        s"$et: s_scaled $sScaled outside the register range")
+      assert(vZero >= 0 && vZero <= 64)
+      // relative error: σ ≈ 1.04/√64 = 13%; allow 3σ ≈ 40% (and only
+      // trust the raw estimate where linear counting wouldn't fire)
+      if (vZero == 0 && exact > 160)
+        assert(math.abs(est - exact) / exact < 0.4,
+          s"$et: HLL est $est vs exact $exact drifted > 40%")
+    }
+  }
+
+  test("sketch_hll registers MERGE: per-epoch register vectors fold by " +
+      "MAX into the full-corpus registers bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // the HLL merge law — registers of any corpus split combine by
+    // element-wise max; this is what lets 1000 executors sketch shards
+    // independently and a reduce fold 64 small ints per group
+    def regs(filter: org.apache.spark.sql.Column): Map[(String, Long), Int] =
+      Tables.events(spark, SparkSuite.Sf001)
+        .filter(filter)
+        .select("event_type", "user_id").distinct()
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h52"))
+        .select(col("event_type"), (col("h52") % 64).as("b"),
+          when(expr("h52 div 64") === 0, lit(47))
+            .otherwise(lit(47) - length(bin(expr("h52 div 64")))).as("rho"))
+        .groupBy("event_type", "b").agg(max("rho").as("m"))
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getInt(2))
+        .toMap
+    val full = regs(lit(true))
+    val a = regs(col("user_id") % 2 === 0)
+    val b = regs(col("user_id") % 2 =!= 0)
+    assert(a.nonEmpty && b.nonEmpty, "epoch cut degenerate")
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == full, "per-epoch HLL registers do not MAX-fold " +
+      "to the full-corpus registers")
+  }
 }
