@@ -1840,6 +1840,76 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── cross-document boilerplate strip (CCNet line dedup) ────────────
+
+    // The CCNet/RefinedWeb boilerplate pass: hash each document's
+    // fixed segments (the single-line synthetic corpus's analog of
+    // lines — non-overlapping 8-token windows), count how many DISTINCT
+    // documents each hash appears in, and strip segments shared across
+    // ≥ 2 documents (the CCNet within-shard default). This catches the
+    // nav-bars/footers/disclaimers class of duplication that DOCUMENT
+    // dedup can't (the host pages differ) and exact-substring dedup
+    // overpays for (it finds arbitrary-position spans; boilerplate is
+    // segment-aligned and a DF-threshold decision, not a pairwise one).
+    // Output is the per-doc retention ledger a curation pipeline logs:
+    // segments/boiler-segments/tokens before and after. Scale shape:
+    // segment hashing is map-only; the DF table is ONE
+    // map-side-combined two-level aggregate ((h, doc) dedup → count per
+    // h — the agg_skew_distinct shape, never count(DISTINCT) over a
+    // corpus-wide shuffle of raw occurrences); the verdict rejoins on
+    // the hash — a plain equi-join that AQE handles; the per-doc ledger
+    // re-aggregates by doc_id. Nothing is pairwise anywhere — that is
+    // the point vs dedup_substring. TextOpsSpec replays the whole pass
+    // in plain Scala and pins the conservation law.
+    Q("txt_boilerplate",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), n AS (
+         |  SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0
+         |), st AS (
+         |  SELECT doc_id, n, t, unnest(range(0, n, 8)) AS s FROM n
+         |), seg AS (
+         |  SELECT doc_id, CAST(LEAST(8, n - s) AS BIGINT) AS seg_len,
+         |         md5(array_to_string(list_slice(t, s + 1, s + 8), ' ')) AS h
+         |  FROM st
+         |), df AS (
+         |  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         |    SELECT DISTINCT h, doc_id FROM seg) x
+         |  GROUP BY h
+         |)
+         |SELECT seg.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_boiler,
+         |       CAST(SUM(seg_len) AS BIGINT) AS tokens_total,
+         |       CAST(SUM(CASE WHEN df.df >= 2 THEN 0 ELSE seg_len END)
+         |            AS BIGINT) AS tokens_kept
+         |FROM seg JOIN df ON df.h = seg.h
+         |GROUP BY seg.doc_id
+         |ORDER BY seg.doc_id""".stripMargin) { (s, d) =>
+      val seg = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"), col("t"),
+          explode(sequence(lit(0L), col("n") - 1, lit(8L))).as("s"))
+        .select(col("doc_id"),
+          least(lit(8L), col("n") - col("s")).as("seg_len"),
+          md5(array_join(slice(col("t"), (col("s") + 1).cast("int"), lit(8)),
+            " ")).as("h"))
+      val df = seg.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      seg.join(df, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast("long")
+            .as("n_boiler"),
+          sum("seg_len").as("tokens_total"),
+          sum(when(col("df") >= 2, 0L).otherwise(col("seg_len")))
+            .as("tokens_kept"))
+        .orderBy("doc_id")
+    },
+
     // ── RAG chunking: overlapping token windows ────────────────────────
 
     // Chunk each document into 8-token windows with stride 6 (overlap 2)

@@ -201,6 +201,39 @@ class TextOpsSpec extends SparkSuite {
       assert(c2 <= c1, s"pair count rose $c1 -> $c2") }
   }
 
+  test("txt_boilerplate ≡ plain-Scala CCNet segment-dedup replay; " +
+      "token conservation holds per doc") {
+    val got = SparkEntry.queries("txt_boilerplate")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // independent replay: 8-token non-overlapping segments, DF over
+    // distinct (segment, doc), boiler = shared by >= 2 docs
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val segs = docs.flatMap { case (id, t) =>
+      t.grouped(8).map(g => (id, g.mkString(" "), g.length.toLong)) }
+    val dfm = segs.map { case (id, s, _) => (s, id) }.distinct
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expect = segs.groupBy(_._1).map { case (id, xs) =>
+      val boiler = xs.count { case (_, s, _) => dfm(s) >= 2 }
+      val total = xs.map(_._3).sum
+      val kept = xs.filter { case (_, s, _) => dfm(s) < 2 }.map(_._3).sum
+      id -> (xs.length.toLong, boiler.toLong, total, kept)
+    }
+    assert(got == expect, "spark ledger diverges from the Scala replay")
+    // conservation: kept tokens + boiler-segment tokens = total tokens,
+    // and the corpus genuinely contains shared segments (non-degenerate)
+    got.foreach { case (id, (nSeg, nBoil, total, kept)) =>
+      assert(nBoil <= nSeg && kept <= total,
+        s"doc $id: ledger arithmetic broken")
+    }
+    assert(got.values.map(_._2).sum > 0,
+      "fixture degenerate: no cross-document segments at all")
+  }
+
   test("dedup_containment_ensemble: directed, sound vs the flat query, " +
       "all three size partitions live, planted recall ≥ 90%") {
     val ens = SparkEntry.queries("dedup_containment_ensemble")(
