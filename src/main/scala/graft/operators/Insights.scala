@@ -1089,6 +1089,72 @@ object Insights {
           ((col("sy").cast("double") - slope * col("sx").cast("double"))
             / col("n")).as("intercept_cents"))
         .orderBy("flag")
+    },
+
+    // ── Theil–Sen robust trend (the median-of-slopes estimator) ────────
+
+    // The robust companion to agg_corr_ols's least-squares slope: the
+    // median over all pairwise slopes (c_j − c_i)/(d_j − d_i) of each
+    // event type's daily-count series (Theil '50 / Sen '68, 29.3%
+    // breakdown point — one bursty outage day drags an OLS trend but
+    // not this one). Engine parity by construction: each slope is ONE
+    // double division of two exact integers (identical rounding both
+    // engines), ordering doubles is engine-identical, rank ties carry
+    // equal values so the median is tie-order-independent, and the
+    // even-count middle is one commutative add + halving. Scale shape:
+    // the pair table is a self-join of the DAILY dimension (calendar-
+    // bounded, ~days²/2 per key — the evt_cum_users bounded-dimension
+    // argument), built from one map-side-combined daily rollup; the
+    // corpus-scale events table is touched exactly once. The median
+    // rank window partitions by event_type.
+    Q("ts_theilsen",
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT event_type, (day - DATE '1970-01-01') AS d, c FROM dc
+        |), pr AS (
+        |  SELECT a.event_type,
+        |         CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+        |           AS slope
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND b.d > a.d
+        |), r AS (
+        |  SELECT event_type, slope,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |           AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM pr
+        |)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+        |       SUM(slope) / COUNT(*) AS ts_slope
+        |FROM r
+        |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY event_type, np
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).as("d"), col("c"))
+      val b = dc.select(col("event_type"), col("d").as("d2"),
+        col("c").as("c2"))
+      val pr = dc.join(b, Seq("event_type"))
+        .filter(col("d2") > col("d"))
+        .select(col("event_type"),
+          ((col("c2") - col("c")).cast("double")
+            / (col("d2") - col("d")).cast("double")).as("slope"))
+      val w = Window.partitionBy("event_type").orderBy("slope")
+      val wAll = Window.partitionBy("event_type")
+      pr.select(col("event_type"), col("slope"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("np"))
+        .filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .groupBy("event_type", "np")
+        .agg((sum("slope") / count(lit(1))).as("ts_slope"))
+        .select(col("event_type"), col("np").as("n_pairs"), col("ts_slope"))
+        .orderBy("event_type")
     }
   )
 }

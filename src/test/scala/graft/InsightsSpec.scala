@@ -369,4 +369,46 @@ class InsightsSpec extends SparkSuite {
       assert(math.abs(rr) <= 1.0, s"$flag |r| > 1")
     }
   }
+
+  test("ts_theilsen ≡ exact median-of-pairwise-slopes replay; robust to " +
+      "a planted outlier day where OLS is not") {
+    val got = q("ts_theilsen").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, SparkSuite.Sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).as("d"), col("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { case (et, nPairs, slope) =>
+      val pts = daily(et).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble).sorted
+      assert(nPairs == slopes.length.toLong, s"$et pair count")
+      val n = slopes.length
+      val med =
+        if (n % 2 == 1) slopes(n / 2)
+        else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+      assert(slope == med, s"$et: spark $slope vs replay $med")
+    }
+    // robustness: on a synthetic 10-day unit-slope series with one
+    // 100× outlier day, Theil-Sen's median-of-slopes stays ~1 while the
+    // OLS slope is dragged far off — the 29.3% breakdown point at work
+    val base = (0 until 10).map(d => (d, if (d == 9) 1000L else d.toLong))
+    val sl = (for {
+      i <- base.indices; j <- base.indices if j > i
+    } yield (base(j)._2 - base(i)._2).toDouble / (j - i)).sorted
+    val tsMed = (sl(sl.length / 2 - 1) + sl(sl.length / 2)) / 2
+    val n = base.length.toDouble
+    val (sx, sy) = (base.map(_._1).sum.toDouble, base.map(_._2).sum.toDouble)
+    val sxy = base.map(t => t._1 * t._2.toDouble).sum
+    val sxx = base.map(t => t._1.toDouble * t._1).sum
+    val ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(tsMed - 1.0) < 0.2, s"Theil-Sen dragged: $tsMed")
+    assert(ols > 30, s"outlier fixture too tame for the contrast: $ols")
+  }
 }
