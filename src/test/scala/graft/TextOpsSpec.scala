@@ -199,6 +199,23 @@ class TextOpsSpec extends SparkSuite {
     // pair's count is bounded by its creator's — the max is monotone
     got.sliding(2).foreach { case Array((_, _, _, c1), (_, _, _, c2)) =>
       assert(c2 <= c1, s"pair count rose $c1 -> $c2") }
+
+    // ── the APPLICATION half: txt_bpe_encode's token ledger must equal
+    // the replay's post-merge state aggregated the same way (top-20 by
+    // weighted occurrence, count-desc then token asc) — and because
+    // both queries consume ONE memoized fit, this also pins that the
+    // shared state is the post-round-4 one, not a stale round
+    val enc = SparkEntry.queries("txt_bpe_encode")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val ledger = words.toSeq.flatMap { case (toks, w) => toks.map(_ -> w) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map { case (t, n) => (t, n, t.length > 1) }
+    assert(enc.toSeq == ledger,
+      s"encode ledger diverges:\n  spark=${enc.toSeq}\n  scala=$ledger")
+    // the learned merges must actually absorb corpus mass: at least one
+    // multi-char token appears in the top-20
+    assert(enc.exists(_._3), "no merged token reached the top-20")
   }
 
   test("txt_boilerplate ≡ plain-Scala CCNet segment-dedup replay; " +
