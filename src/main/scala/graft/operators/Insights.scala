@@ -1155,6 +1155,253 @@ object Insights {
         .agg((sum("slope") / count(lit(1))).as("ts_slope"))
         .select(col("event_type"), col("np").as("n_pairs"), col("ts_slope"))
         .orderBy("event_type")
+    },
+
+    // ── Mann–Kendall trend test (the significance companion) ──────────
+
+    // ts_theilsen answers "how steep"; this answers "is there a trend
+    // at all": S = Σ_{i<j} sign(c_j − c_i) over each event type's
+    // daily-count series (Mann '45 / Kendall '75 — the standard
+    // nonparametric monotone-trend test in hydrology/climatology).
+    // Reported per series: S (exact integer), the pair count, and
+    // tau-b = S/√(D1·D2) as ONE pinned double expression, where D1 =
+    // all pairs (time never ties) and D2 = value-untied pairs — the
+    // tie-corrected Kendall correlation of count against time.
+    // Parity: sign() on integer differences, integer sums, one
+    // sqrt·sqrt division — identical in both engines. Scale shape:
+    // same calendar-bounded daily self-join as
+    // ts_theilsen (days²/2 per key); the events table is touched once
+    // by the map-side-combined daily rollup.
+    Q("ts_mann_kendall",
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT a.event_type,
+        |         CAST(CASE WHEN b.c > a.c THEN 1
+        |                   WHEN b.c < a.c THEN -1 ELSE 0 END AS BIGINT)
+        |           AS sg
+        |  FROM dc a JOIN dc b
+        |    ON a.event_type = b.event_type AND b.day > a.day
+        |), agg AS (
+        |  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(CASE WHEN sg <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_untied
+        |  FROM pr GROUP BY event_type
+        |)
+        |SELECT event_type, s_stat, n_pairs,
+        |       CAST(CAST(s_stat AS DOUBLE)
+        |            / (sqrt(CAST(n_pairs AS DOUBLE))
+        |               * sqrt(CAST(n_untied AS DOUBLE))) AS DOUBLE)
+        |         AS tau_b
+        |FROM agg ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = dc.select(col("event_type"), col("day").as("day2"),
+        col("c").as("c2"))
+      val pr = dc.join(b, Seq("event_type"))
+        .filter(col("day2") > col("day"))
+        .select(col("event_type"),
+          when(col("c2") > col("c"), 1L)
+            .when(col("c2") < col("c"), -1L).otherwise(0L).as("sg"))
+      pr.groupBy("event_type")
+        .agg(sum("sg").as("s_stat"), count(lit(1)).as("n_pairs"),
+          sum(when(col("sg") =!= 0, 1L).otherwise(0L)).as("n_untied"))
+        .select(col("event_type"), col("s_stat"), col("n_pairs"),
+          (col("s_stat").cast("double")
+            / (sqrt(col("n_pairs").cast("double"))
+              * sqrt(col("n_untied").cast("double")))).as("tau_b"))
+        .orderBy("event_type")
+    },
+
+    // ── STL-lite seasonal decomposition (trend + weekly + residual) ────
+
+    // Classical additive decomposition of each event type's daily
+    // revenue series (the moving-average skeleton of STL, Cleveland
+    // '90, without the loess robustness loop): trend = centered 7-day
+    // moving average (RANGE frame on the integer epoch day, so a
+    // missing calendar day shrinks the window rather than silently
+    // widening it — only complete windows qualify); weekly component =
+    // per-weekday mean of the detrended interior; residual = actual −
+    // trend − seasonal. Engine parity: daily totals are exact DECIMAL;
+    // the trend is ONE double cast + /7; the seasonal mean avoids
+    // double accumulation by summing the exact-decimal numerator
+    // 7·v − Σ₇v and casting ONCE; the residual is two pinned double
+    // subtractions. Weekday = epoch_day % 7 (integer arithmetic —
+    // dayofweek() numbering differs between engines). Scale shape: one
+    // map-side-combined daily rollup touches the events table once;
+    // everything after is calendar-bounded (windows partition by
+    // event_type over days, the seasonal join is a broadcast of
+    // |types|×7 rows).
+    Q("ts_stl",
+      """WITH dly AS (
+        |  SELECT event_type,
+        |         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS v
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, d, v,
+        |         SUM(v) OVER w AS t_sum,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS t_cnt
+        |  FROM dly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), interior AS (
+        |  SELECT event_type, d, d % 7 AS dow, v, t_sum,
+        |         v * 7 - t_sum AS dn
+        |  FROM tr WHERE t_cnt = 7
+        |), seas AS (
+        |  SELECT event_type, dow,
+        |         CAST(CAST(SUM(dn) AS DOUBLE)
+        |              / (7 * COUNT(*)) AS DOUBLE) AS seasonal
+        |  FROM interior GROUP BY 1, 2
+        |)
+        |SELECT i.event_type, CAST(i.d AS BIGINT) AS d,
+        |       CAST(i.v AS DOUBLE) AS actual,
+        |       CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE) AS trend,
+        |       s.seasonal,
+        |       CAST(CAST(i.v AS DOUBLE)
+        |            - CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE)
+        |            - s.seasonal AS DOUBLE) AS residual
+        |FROM interior i
+        |JOIN seas s ON i.event_type = s.event_type AND i.dow = s.dow
+        |ORDER BY i.event_type, d""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rangeBetween(-3, 3)
+      val interior = dly
+        .select(col("event_type"), col("d"), col("v"),
+          sum("v").over(w).as("t_sum"), count(lit(1)).over(w).as("t_cnt"))
+        .filter(col("t_cnt") === 7)
+        .select(col("event_type"), col("d"), (col("d") % 7).as("dow"),
+          col("v"), col("t_sum"), (col("v") * 7 - col("t_sum")).as("dn"))
+      val seas = interior.groupBy("event_type", "dow")
+        .agg((sum("dn").cast("double") / (count(lit(1)) * 7))
+          .as("seasonal"))
+      val trend = col("t_sum").cast("double") / 7
+      interior.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("d").cast("long").as("d"),
+          col("v").cast("double").as("actual"), trend.as("trend"),
+          col("seasonal"),
+          (col("v").cast("double") - trend - col("seasonal"))
+            .as("residual"))
+        .orderBy("event_type", "d")
+    },
+
+    // ── CUPED variance-reduced A/B lift ────────────────────────────────
+
+    // evt_ab_lift's modern production form (Deng et al., WSDM'13):
+    // split the fixture month at its calendar midpoint, use each
+    // user's PRE-period purchase revenue as the covariate X for their
+    // post-period metric Y, and report the experiment lift after
+    // subtracting θ·X with θ = cov(X,Y)/var(X) — the adjustment that
+    // cuts metric variance by ρ² without biasing the treatment
+    // difference (arm assignment user_id % 2 is independent of X).
+    // Exact-integer discipline throughout (the agg_corr_ols shape):
+    // per-user revenues become BIGINT ten-thousandths, moments are
+    // DECIMAL(38,0) products, and θ / means / lifts are pinned double
+    // expressions over those integers. The calendar midpoint is a
+    // 1-row broadcast scalar, not a literal — fixture-independent.
+    // Scale shape: one map-side-combined per-user rollup touches
+    // events once; everything downstream is one global aggregate row.
+    Q("evt_ab_cuped",
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
+        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
+        |           AS m
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            < (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            >= (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |           AS sxy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |           AS sxx,
+        |         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         SUM(CASE WHEN grp = 0 THEN CAST(x AS DECIMAL(38,0))
+        |             ELSE 0 END) AS sxa,
+        |         SUM(CASE WHEN grp = 0 THEN CAST(y AS DECIMAL(38,0))
+        |             ELSE 0 END) AS sya,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nb,
+        |         SUM(CASE WHEN grp = 1 THEN CAST(x AS DECIMAL(38,0))
+        |             ELSE 0 END) AS sxb,
+        |         SUM(CASE WHEN grp = 1 THEN CAST(y AS DECIMAL(38,0))
+        |             ELSE 0 END) AS syb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+        |         AS theta,
+        |       CAST((CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na)
+        |            / 10000 AS DOUBLE) AS lift_raw,
+        |       CAST((CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na
+        |             - CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                    / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+        |               * (CAST(sxb AS DOUBLE) / nb
+        |                  - CAST(sxa AS DOUBLE) / na)) / 10000 AS DOUBLE)
+        |         AS lift_cuped
+        |FROM g""".stripMargin) { (s, d) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
+      val mid = Tables.events(s, d)
+        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
+          .as("m"))
+      val vDec = col("value").cast("decimal(10,4)")
+      val u = Tables.events(s, d)
+        .crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("x"),
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("y"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val xD = col("x").cast(D)
+      val yD = col("y").cast(D)
+      val g = u.agg(count(lit(1)).as("n"),
+        sum(xD).as("sx"), sum(yD).as("sy"),
+        sum(xD * yD).as("sxy"), sum(xD * xD).as("sxx"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, xD).otherwise(lit(0).cast(D))).as("sxa"),
+        sum(when(col("grp") === 0, yD).otherwise(lit(0).cast(D))).as("sya"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, xD).otherwise(lit(0).cast(D))).as("sxb"),
+        sum(when(col("grp") === 1, yD).otherwise(lit(0).cast(D))).as("syb"))
+      val nD = col("n").cast(D)
+      val theta = (nD * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy = col("syb").cast("double") / col("nb") -
+        col("sya").cast("double") / col("na")
+      val dx = col("sxb").cast("double") / col("nb") -
+        col("sxa").cast("double") / col("na")
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        theta.as("theta"), (dy / 10000).as("lift_raw"),
+        ((dy - theta * dx) / 10000).as("lift_cuped"))
     }
   )
 }

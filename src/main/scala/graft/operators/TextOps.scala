@@ -1696,6 +1696,54 @@ object TextOps {
         .orderBy(col("n_occurrences").desc, col("tok")).limit(20)
     },
 
+    // The tokenizer's ECONOMICS: sequence-length compression by
+    // word-length bucket — the number a context-window budget actually
+    // buys. Per distinct word the post-merge state carries its token
+    // count (max pos); bucketed by character length, the ledger shows
+    // weighted chars vs weighted BPE tokens and the chars-per-token
+    // rate as parts-per-million (exact integers end-to-end — the
+    // double column is ONE final division). Third consumer of the
+    // memoized [[bpeFit]]; the word-level rollup is vocabulary-sized.
+    Q("txt_bpe_compression", {
+      val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n")
+      s"""WITH vocab AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents) x
+         |  GROUP BY word
+         |), st0 AS MATERIALIZED (
+         |  SELECT word, w, CAST(r.pos AS BIGINT) AS pos,
+         |         substr(word, CAST(r.pos AS INTEGER), 1) AS tok
+         |  FROM vocab, UNNEST(range(1, len(word) + 1)) AS r(pos)
+         |),
+         |$rounds, wl AS (
+         |  SELECT word, w, CAST(len(word) AS BIGINT) AS n_chr,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM st4 GROUP BY word, w
+         |)
+         |SELECT n_chr,
+         |       CAST(SUM(w) AS BIGINT) AS n_words,
+         |       CAST(SUM(w * n_chr) AS BIGINT) AS chars,
+         |       CAST(SUM(w * n_tok) AS BIGINT) AS tokens,
+         |       CAST(CAST(SUM(w * n_chr) AS DOUBLE)
+         |            / CAST(SUM(w * n_tok) AS DOUBLE) AS DOUBLE)
+         |         AS chars_per_token
+         |FROM wl GROUP BY n_chr ORDER BY n_chr""".stripMargin
+    }) { (s, d) =>
+      bpeFit(s, d)._2
+        .groupBy("word", "w")
+        .agg(count(lit(1)).as("n_tok"))
+        .select(col("w"), length(col("word")).cast("long").as("n_chr"),
+          col("n_tok"))
+        .groupBy("n_chr")
+        .agg(sum("w").as("n_words"),
+          sum(col("w") * col("n_chr")).as("chars"),
+          sum(col("w") * col("n_tok")).as("tokens"))
+        .select(col("n_chr"), col("n_words"), col("chars"), col("tokens"),
+          (col("chars").cast("double") / col("tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("n_chr")
+    },
+
     Q("txt_pack",
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents

@@ -411,4 +411,126 @@ class InsightsSpec extends SparkSuite {
     assert(math.abs(tsMed - 1.0) < 0.2, s"Theil-Sen dragged: $tsMed")
     assert(ols > 30, s"outlier fixture too tame for the contrast: $ols")
   }
+
+  test("ts_mann_kendall ≡ exact pairwise-sign replay; tau_b bounded and " +
+      "sign-consistent with S") {
+    val got = q("ts_mann_kendall").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, SparkSuite.Sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).as("d"), col("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { case (et, sStat, nPairs, tauB) =>
+      val pts = daily(et).map(t => (t._2, t._3)).sortBy(_._1)
+      val pairs = for {
+        i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+      } yield java.lang.Long.signum(pts(j)._2 - pts(i)._2).toLong
+      assert(sStat == pairs.sum, s"$et: S ${sStat} vs replay ${pairs.sum}")
+      assert(nPairs == pairs.length.toLong, s"$et pair count")
+      val untied = pairs.count(_ != 0)
+      val want = sStat.toDouble /
+        (math.sqrt(nPairs.toDouble) * math.sqrt(untied.toDouble))
+      assert(tauB == want, s"$et: tau_b $tauB vs replay $want")
+      assert(math.abs(tauB) <= 1.0, s"$et: |tau_b| > 1")
+      assert(java.lang.Long.signum(sStat).toDouble == math.signum(tauB)
+        || sStat == 0L, s"$et: tau sign disagrees with S")
+    }
+  }
+
+  test("ts_stl ≡ in-JVM decomposition replay; components reassemble " +
+      "exactly and the weekly profile is centered per series") {
+    val got = q("ts_stl").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // replay from the exact daily decimal totals
+    val daily = Tables.events(spark, SparkSuite.Sf0001)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+      .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        BigDecimal(r.getDecimal(2))))
+      .groupBy(_._1)
+    val expect = daily.flatMap { case (et, rows) =>
+      val byDay = rows.map(t => t._2 -> t._3).toMap
+      val interior = byDay.keys.toSeq.sorted.flatMap { d =>
+        val win = (d - 3 to d + 3).flatMap(byDay.get)
+        if (win.length == 7) {
+          val tSum = win.sum
+          Some((d, byDay(d), tSum, byDay(d) * 7 - tSum))
+        } else None
+      }
+      val seas = interior.groupBy(_._1 % 7).map { case (dow, xs) =>
+        dow -> xs.map(_._4).sum.toDouble / (7 * xs.length)
+      }
+      interior.map { case (d, v, tSum, _) =>
+        val trend = tSum.toDouble / 7
+        val sc = seas(d % 7)
+        (et, d.toLong) -> (v.toDouble, trend, sc, v.toDouble - trend - sc)
+      }
+    }
+    assert(got.toMap == expect, "STL ledger diverges from replay")
+    // structural invariants: exact reassembly row-by-row, and each
+    // series' seasonal components sum to ~0 over its interior days
+    got.foreach { case ((et, d), (actual, trend, seasonal, resid)) =>
+      assert(actual - trend - seasonal == resid, s"$et/$d reassembly")
+    }
+    // the seasonal component is exactly the per-weekday mean of the
+    // detrended series, so residuals must average to ~0 within every
+    // (series, weekday) cell — the defining property of the fit
+    got.groupBy { case ((et, d), _) => (et, d % 7) }.foreach {
+      case ((et, dow), rows) =>
+        val meanResid = rows.map(_._2._4).sum / rows.length
+        val scale = 1 + rows.map(r => math.abs(r._2._1)).max
+        assert(math.abs(meanResid) < 1e-9 * scale,
+          s"$et dow=$dow residual mean $meanResid not ~0")
+    }
+  }
+
+  test("evt_ab_cuped ≡ exact-integer replay; CUPED adjustment is the " +
+      "textbook theta * covariate-imbalance correction") {
+    val Array(row) = q("evt_ab_cuped").collect()
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val (theta, liftRaw, liftCuped) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    // replay with BigInt moments over per-user ten-thousandths
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"),
+        col("event_type"), col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        BigDecimal(r.getDecimal(3))))
+    val days = ev.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    val users = ev.groupBy(_._1).map { case (uid, xs) =>
+      def tot(p: Int => Boolean) = (xs.collect {
+        case (_, d, "purchase", v) if p(d) => v
+      }.sum * 10000).toBigInt
+      (uid, tot(_ < mid), tot(_ >= mid))
+    }.toSeq
+    val n = BigInt(users.length)
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val a = users.filter(_._1 % 2 == 0); val b = users.filter(_._1 % 2 == 1)
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val thetaW = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val dy = b.map(_._3).sum.toDouble / b.length -
+      a.map(_._3).sum.toDouble / a.length
+    val dx = b.map(_._2).sum.toDouble / b.length -
+      a.map(_._2).sum.toDouble / a.length
+    assert(theta == thetaW, s"theta $theta vs replay $thetaW")
+    assert(liftRaw == dy / 10000, s"lift_raw $liftRaw vs ${dy / 10000}")
+    assert(liftCuped == (dy - thetaW * dx) / 10000,
+      s"lift_cuped $liftCuped vs ${(dy - thetaW * dx) / 10000}")
+    // the adjustment direction: cuped differs from raw exactly by
+    // theta * covariate imbalance (non-degenerate on this fixture)
+    assert(dx != 0.0 && theta != 0.0, "degenerate CUPED fixture")
+  }
 }

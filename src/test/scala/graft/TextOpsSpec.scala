@@ -216,6 +216,30 @@ class TextOpsSpec extends SparkSuite {
     // the learned merges must actually absorb corpus mass: at least one
     // multi-char token appears in the top-20
     assert(enc.exists(_._3), "no merged token reached the top-20")
+
+    // ── the ECONOMICS half: txt_bpe_compression's per-length ledger
+    // must equal the replay state bucketed the same way, and tokens
+    // can never exceed chars (merges only shrink sequences)
+    val cmp = SparkEntry.queries("txt_bpe_compression")(
+        spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val wantCmp = words.toSeq
+      .map { case (toks, w) => (toks.map(_.length).sum.toLong,
+        toks.length.toLong, w) }
+      .groupBy(_._1).map { case (nChr, xs) =>
+        val nWords = xs.map(_._3).sum
+        val chars = nChr * nWords
+        val toksN = xs.map(t => t._2 * t._3).sum
+        nChr -> (nWords, chars, toksN, chars.toDouble / toksN.toDouble)
+      }
+    assert(cmp.toMap == wantCmp, "compression ledger diverges from replay")
+    cmp.foreach { case (nChr, (_, chars, toksN, ratio)) =>
+      assert(toksN <= chars, s"len $nChr: tokens exceed chars")
+      assert(ratio >= 1.0, s"len $nChr: ratio below 1")
+    }
+    // the merges must help somewhere: at least one bucket compresses
+    assert(cmp.exists(_._2._4 > 1.0), "no bucket compressed at all")
   }
 
   test("txt_boilerplate ≡ plain-Scala CCNet segment-dedup replay; " +
