@@ -799,6 +799,110 @@ object TextOps {
         .orderBy("a_id", "b_id")
     },
 
+    // ── b-bit minhash (Li & König, WWW'10) ─────────────────────────────
+
+    // The storage-collapsed signature: keep only the LOWEST BIT of each
+    // of 32 independent min-hashes, so a document's near-dup signature
+    // is ONE BIGINT (32 bits) instead of 32 full hashes — the 64×
+    // memory cut that makes billion-doc signature tables fit in RAM.
+    // For candidate pairs (the shared 2×2 MinHash banding), agreement
+    // A/32 estimates (1+J)/2, so Ĵ₁ = 2·A/32 − 1 (the r≈0 limit of the
+    // paper's C₁/C₂-corrected estimator — the bias at this shingle
+    // density is what the err column MEASURES against exact Jaccard).
+    // Engine parity: bits are "last md5 hex char odd", packing is an
+    // exact integer sum of power-of-two literals, agreement is
+    // 32 − bit_count(xor), and the two doubles are single pinned
+    // divisions. Scale shape: 32 min-aggs ride ONE map-side-combined
+    // doc_id pass; the xor-popcount runs on the bounded candidate set;
+    // the exact-Jaccard audit joins shingles only through candidates.
+    Q("dedup_bbit", {
+      val sigs = (0 until 32).map(k =>
+        s"list_min(list_transform(sh, x -> md5(concat('bb$k#', x)))) AS h$k")
+        .mkString(",\n         ")
+      val pack = (0 until 32).map(k =>
+        s"CASE WHEN substr(h$k, 32, 1) IN ('1','3','5','7','9','b','d','f')"
+          + s" THEN ${1L << k} ELSE 0 END").mkString("\n         + ")
+      s"""WITH $minhashCandSql,
+         |bsig AS (
+         |  SELECT doc_id,
+         |         $sigs
+         |  FROM t
+         |), packed AS (
+         |  SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM bsig
+         |), agree AS (
+         |  SELECT c.a_id, c.b_id,
+         |         CAST(32 - bit_count(xor(pa.sig, pb.sig)) AS BIGINT)
+         |           AS agree_bits
+         |  FROM cand c
+         |  JOIN packed pa ON c.a_id = pa.doc_id
+         |  JOIN packed pb ON c.b_id = pb.doc_id
+         |), e AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS s FROM t
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN e a ON a.doc_id = c.a_id
+         |  JOIN e b ON b.doc_id = c.b_id AND a.s = b.s
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT g.a_id, g.b_id, g.agree_bits,
+         |       CAST(CAST(g.agree_bits * 2 - 32 AS DOUBLE) / 32 AS DOUBLE)
+         |         AS j_bbit,
+         |       CAST(i.n_inter AS DOUBLE)
+         |         / (sa.n + sb.n - i.n_inter) AS j_exact,
+         |       CAST(CAST(g.agree_bits * 2 - 32 AS DOUBLE) / 32
+         |            - CAST(i.n_inter AS DOUBLE)
+         |              / (sa.n + sb.n - i.n_inter) AS DOUBLE) AS err
+         |FROM agree g
+         |JOIN inter i ON g.a_id = i.a_id AND g.b_id = i.b_id
+         |JOIN sz sa ON g.a_id = sa.doc_id
+         |JOIN sz sb ON g.b_id = sb.doc_id
+         |ORDER BY g.a_id, g.b_id""".stripMargin
+    }) { (s, d) =>
+      val sh = nearCloneShingles(s, d)
+      val sigAggs = (0 until 32).map(k =>
+        min(md5(concat(lit(s"bb$k#"), col("sx")))).as(s"h$k"))
+      val oddBit = (k: Int) => when(
+        substring(col(s"h$k"), 32, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        lit(1L << k)).otherwise(lit(0L))
+      val packed = sh.groupBy("doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(oddBit).reduce(_ + _).as("sig"))
+      val cand = minhashCandidates(s, d)
+      val agree = cand
+        .join(packed.select(col("doc_id").as("a_id"), col("sig").as("siga")),
+          Seq("a_id"))
+        .join(packed.select(col("doc_id").as("b_id"), col("sig").as("sigb")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (lit(32) - bit_count(col("siga").bitwiseXOR(col("sigb"))))
+            .cast("long").as("agree_bits"))
+      val e = sh.distinct()
+      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(e.select(col("doc_id").as("a_id"), col("sx")), Seq("a_id"))
+        .join(e.select(col("doc_id").as("b_id"), col("sx")),
+          Seq("b_id", "sx"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      val jExact = col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter"))
+      val jBbit = (col("agree_bits") * 2 - 32).cast("double") / 32
+      agree
+        .join(inter, Seq("a_id", "b_id"))
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")),
+          Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("agree_bits"),
+          jBbit.as("j_bbit"), jExact.as("j_exact"),
+          (jBbit - jExact).as("err"))
+        .orderBy("a_id", "b_id")
+    },
+
     // ── near-superset detection (Broder containment) ───────────────────
 
     // Jaccard misses the asymmetric dup: a short doc wrapped in
@@ -1291,6 +1395,76 @@ object TextOps {
         .filter(col("rn") <= 3)
         .select("doc_id", "rn", "term", "score")
         .orderBy("doc_id", "rn")
+    },
+
+    // ── feature-hashed document embeddings (the hashing trick) ─────────
+
+    // A 16-dim signed bag-of-words embedding per document (Weinberger
+    // et al., ICML'09): every token hashes to a dimension (md5 last hex
+    // digit) with a ±1 sign (second-to-last digit's parity — the
+    // variance-killing signed variant), counts accumulate per cell, and
+    // the vector is L2-normalized. This is the model-free text→vector
+    // bridge: downstream cosine machinery (sim_topk_bruteforce et al.)
+    // runs on it unchanged, with NO trained encoder and NO vocabulary
+    // state — the scale virtue of hashing embeddings. Engine parity:
+    // cells are exact integer sums, ‖v‖² is an exact integer, the norm
+    // is one correctly-rounded sqrt, each element one pinned division
+    // (all-cancelled docs normalize to NULLs via nullif, identically).
+    // Scale shape: explode → ONE map-side-combined (doc, dim) agg →
+    // doc-sized map assembly; no shuffle touches anything wider than
+    // 16 cells per doc.
+    Q("txt_hash_embed",
+      s"""WITH e AS (
+         |  SELECT doc_id, md5(concat('fh#', term)) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) x
+         |), c AS (
+         |  SELECT doc_id,
+         |         CAST(strpos('0123456789abcdef', substr(h, 32, 1)) - 1
+         |              AS BIGINT) AS dim,
+         |         CAST(SUM(CASE WHEN substr(h, 31, 1) IN
+         |                   ('1','3','5','7','9','b','d','f')
+         |                   THEN 1 ELSE -1 END) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2
+         |), g AS (
+         |  SELECT d.doc_id, CAST(r.i AS BIGINT) AS dim
+         |  FROM (SELECT DISTINCT doc_id FROM c) d,
+         |       UNNEST(range(0, 16)) AS r(i)
+         |), v AS (
+         |  SELECT g.doc_id, list(coalesce(c.c, 0) ORDER BY g.dim) AS counts
+         |  FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.dim = c.dim
+         |  GROUP BY g.doc_id
+         |), s AS (
+         |  SELECT doc_id, counts,
+         |         CAST(list_sum(list_transform(counts, x -> x * x))
+         |              AS BIGINT) AS ssq
+         |  FROM v
+         |)
+         |SELECT doc_id, counts, ssq,
+         |       list_transform(counts, x -> CAST(x AS DOUBLE)
+         |         / nullif(sqrt(CAST(ssq AS DOUBLE)), 0)) AS emb
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = md5(concat(lit("fh#"), col("term")))
+      val c = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .select(col("doc_id"),
+          conv(substring(h, 32, 1), 16, 10).cast("long").as("dim"),
+          when(substring(h, 31, 1)
+            .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L)
+            .otherwise(-1L).as("sg"))
+        .groupBy("doc_id", "dim").agg(sum("sg").as("c"))
+      c.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("c"))))
+          .as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(15L)),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"))
+        .select(col("doc_id"), col("counts"),
+          aggregate(col("counts"), lit(0L),
+            (acc, x) => acc + x * x).as("ssq"))
+        .select(col("doc_id"), col("counts"), col("ssq"),
+          transform(col("counts"), x => x.cast("double") /
+            nullif(sqrt(col("ssq").cast("double")), lit(0.0))).as("emb"))
+        .orderBy("doc_id")
     },
 
     // ── curriculum quality bins (per-stratum quartiles) ────────────────
@@ -2095,6 +2269,58 @@ object TextOps {
             < col("thr"))
         .select(col("doc_id"), col("lang"), col("r").as("rate"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-scaled language sampling weights — the multilingual
+    // mixing rule (p_l ∝ n_l^α, mBERT/XLM-R exponent family): α < 1
+    // upweights low-resource languages without flattening to uniform.
+    // α is pinned at 1/2 because IEEE sqrt is CORRECTLY ROUNDED (pow is
+    // not): w_l = floor(sqrt(n_l·10⁶)) is an EXACT BIGINT in both
+    // engines (an integer's true sqrt is never within a half-ulp of a
+    // different integer at this magnitude), so the weight vector, its
+    // total, and the ppm budget are integer-exact end-to-end; the
+    // double columns are pinned division/multiply chains over exact
+    // integers (boost = (w/Σw)·(Σn/n) — never w·Σn as an integer
+    // product, which passes 2⁶³ at corpus scale and wraps in Spark
+    // while DuckDB promotes to HUGEINT).
+    // Scale shape: one map-side-combined per-language rollup touches
+    // documents once; the total is a 1-row broadcast.
+    Q("txt_mix_temperature",
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang
+         |), w AS (
+         |  SELECT lang, n_docs, n_tok,
+         |         CAST(floor(sqrt(CAST(n_tok * 1000000 AS DOUBLE)))
+         |              AS BIGINT) AS wgt
+         |  FROM cnt
+         |), tot AS (
+         |  SELECT CAST(SUM(wgt) AS BIGINT) AS tw,
+         |         CAST(SUM(n_tok) AS BIGINT) AS tn
+         |  FROM w
+         |)
+         |SELECT lang, n_docs, n_tok, wgt,
+         |       (wgt * 1000000) // tw AS p_temp_ppm,
+         |       CAST(CAST(wgt AS DOUBLE) / tw AS DOUBLE) AS p_temp,
+         |       CAST((CAST(wgt AS DOUBLE) / tw)
+         |            * (CAST(tn AS DOUBLE) / n_tok) AS DOUBLE) AS boost
+         |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text")))).as("n_tok"))
+      val w = cnt.select(col("lang"), col("n_docs"), col("n_tok"),
+        floor(sqrt((col("n_tok") * 1000000L).cast("double"))).cast("long")
+          .as("wgt"))
+      val tot = w.agg(sum("wgt").as("tw"), sum("n_tok").as("tn"))
+      w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tok"), col("wgt"),
+          expr("(wgt * 1000000) div tw").as("p_temp_ppm"),
+          (col("wgt").cast("double") / col("tw")).as("p_temp"),
+          ((col("wgt").cast("double") / col("tw"))
+            * (col("tn").cast("double") / col("n_tok"))).as("boost"))
+        .orderBy("lang")
     },
 
     // Fractional-epoch source upsampling — the data-budget step of a

@@ -820,4 +820,117 @@ class TextOpsSpec extends SparkSuite {
     // the 2×2 banding's spec floor (dedup_minhash test): ≥ 80%
     assert(recallPpm >= 800000L, s"recall $recallPpm ppm below floor")
   }
+
+  test("dedup_bbit ≡ in-JVM 1-bit signature replay; estimator exact on " +
+      "identical-signature pairs and err is its own audit") {
+    val got = SparkEntry.queries("dedup_bbit")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // replay: near-clone corpus -> bigram shingles -> 32 salted minima
+    // -> last-hex-digit parity bits packed into one long
+    val base = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 10000, t + " zz9 qq8") }
+    val shingles = corpus.map { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      id -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val sig = shingles.map { case (id, sh) =>
+      id -> (0 until 32).map { k =>
+        val m = sh.map(x => md5hex(s"bb$k#" + x)).min
+        if ("13579bdf".contains(m.last)) 1L << k else 0L
+      }.sum
+    }
+    got.foreach { case ((a, b), (agree, jBbit, jExact, err)) =>
+      val want = 32 - java.lang.Long.bitCount(sig(a) ^ sig(b))
+      assert(agree == want.toLong, s"($a,$b) agree $agree vs replay $want")
+      assert(jBbit == (agree * 2 - 32).toDouble / 32, s"($a,$b) estimator")
+      assert(err == jBbit - jExact, s"($a,$b) err decomposition")
+      assert(jExact >= 0.0 && jExact <= 1.0, s"($a,$b) exact out of range")
+    }
+    // planted tail-padded clones share almost all shingles: their
+    // 1-bit signatures must agree on (nearly) every position
+    val clonePairs = got.keys.filter { case (a, b) => b == a + 10000L }
+    assert(clonePairs.nonEmpty, "no planted clone pair in candidates")
+    clonePairs.foreach { p =>
+      assert(got(p)._1 >= 28, s"clone pair $p agreement ${got(p)._1}") }
+    // the estimator is unbiased-ish in aggregate: mean err over all
+    // candidate pairs is small even though single pairs wobble (b=1)
+    val meanErr = got.values.map(_._4).sum / got.size
+    assert(math.abs(meanErr) < 0.2, s"mean estimator error $meanErr")
+  }
+
+  test("txt_mix_temperature ≡ exact integer-sqrt replay; low-resource " +
+      "languages boost, high-resource shrink, budget sums to ~one") {
+    val got = SparkEntry.queries("txt_mix_temperature")(
+        spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length >= 2)
+    val counts = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).map { case (l, xs) => l -> (xs.length.toLong,
+        xs.map(_._2).sum) }
+    val wants = counts.map { case (l, (nd, nt)) =>
+      l -> (nd, nt, math.sqrt(nt.toDouble * 1000000).toLong)
+    }
+    val tw = wants.values.map(_._3).sum
+    val tn = wants.values.map(_._2).sum
+    got.foreach { case (l, nDocs, nTok, w, ppm, p, boost) =>
+      val (wd, wt, ww) = wants(l)
+      assert((nDocs, nTok, w) == ((wd, wt, ww)), s"$l integer ledger")
+      assert(ppm == w * 1000000L / tw, s"$l ppm")
+      assert(p == w.toDouble / tw, s"$l p_temp")
+      assert(boost == (w.toDouble / tw) * (tn.toDouble / nTok), s"$l boost")
+    }
+    assert(math.abs(got.map(_._6).sum - 1.0) < 1e-12, "Σ p_temp ≠ 1")
+    // α = 1/2 compresses the distribution: the largest language's
+    // share shrinks, the smallest grows
+    val byTok = got.sortBy(_._3)
+    assert(byTok.head._7 > 1.0, "smallest language did not boost")
+    assert(byTok.last._7 < 1.0, "largest language did not shrink")
+  }
+
+  test("txt_hash_embed ≡ in-JVM hashing-trick replay; unit norm and " +
+      "dimension bounds hold") {
+    val got = SparkEntry.queries("txt_hash_embed")(spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getLong(2), r.getSeq[java.lang.Double](3)))
+      .toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val cells = Array.fill(16)(0L)
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val h = md5hex("fh#" + t)
+        val dim = Integer.parseInt(h.substring(31, 32), 16)
+        cells(dim) += (if ("13579bdf".contains(h(30))) 1L else -1L)
+      }
+      val (counts, ssq, emb) = got(id)
+      assert(counts == cells.toSeq, s"doc $id cells")
+      val wantSsq = cells.map(x => x * x).sum
+      assert(ssq == wantSsq, s"doc $id ssq")
+      if (wantSsq > 0) {
+        val norm = math.sqrt(wantSsq.toDouble)
+        emb.zip(cells).foreach { case (e, c) =>
+          assert(e.doubleValue == c.toDouble / norm, s"doc $id element") }
+        val n2 = emb.map(e => e.doubleValue * e.doubleValue).sum
+        assert(math.abs(n2 - 1.0) < 1e-12, s"doc $id norm² $n2")
+      } else emb.foreach(e => assert(e == null, s"doc $id null vector"))
+    }
+  }
 }
