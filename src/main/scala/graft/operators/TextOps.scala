@@ -199,6 +199,66 @@ object TextOps {
        |  FROM grp GROUP BY doc_id, gid
        |)""".stripMargin
 
+  // ── shared feature-hashing embedding kernel (txt_hash_embed +
+  // sim_hash_embed_topk) ───────────────────────────────────────────────
+
+  /** (doc_id, counts[16], ssq): the signed feature-hash cell vectors —
+    * every token lands in cell md5-last-hex-digit with sign
+    * second-to-last-digit-parity; counts are exact integer sums, ‖v‖²
+    * an exact integer. Scale shape: explode → one map-side-combined
+    * (doc, dim) agg → a doc-sized map assembly; nothing wider than 16
+    * cells per doc crosses a shuffle. */
+  private def hashCells(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("fh#"), col("term")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .select(col("doc_id"),
+        conv(substring(h, 32, 1), 16, 10).cast("long").as("dim"),
+        when(substring(h, 31, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L)
+          .otherwise(-1L).as("sg"))
+      .groupBy("doc_id", "dim").agg(sum("sg").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(15L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"))
+      .select(col("doc_id"), col("counts"),
+        aggregate(col("counts"), lit(0L),
+          (acc, x) => acc + x * x).as("ssq"))
+  }
+
+  /** SQL mirror of [[hashCells]] as a CTE chain ending in
+    * `cells(doc_id, counts, ssq)`. */
+  private val hashCellsSql: String =
+    s"""fh_e AS (
+       |  SELECT doc_id, md5(concat('fh#', term)) AS h
+       |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) x
+       |), fh_c AS (
+       |  SELECT doc_id,
+       |         CAST(strpos('0123456789abcdef', substr(h, 32, 1)) - 1
+       |              AS BIGINT) AS dim,
+       |         CAST(SUM(CASE WHEN substr(h, 31, 1) IN
+       |                   ('1','3','5','7','9','b','d','f')
+       |                   THEN 1 ELSE -1 END) AS BIGINT) AS c
+       |  FROM fh_e GROUP BY 1, 2
+       |), fh_g AS (
+       |  SELECT d.doc_id, CAST(r.i AS BIGINT) AS dim
+       |  FROM (SELECT DISTINCT doc_id FROM fh_c) d,
+       |       UNNEST(range(0, 16)) AS r(i)
+       |), fh_v AS (
+       |  SELECT g.doc_id, list(coalesce(c.c, 0) ORDER BY g.dim) AS counts
+       |  FROM fh_g g LEFT JOIN fh_c c
+       |    ON g.doc_id = c.doc_id AND g.dim = c.dim
+       |  GROUP BY g.doc_id
+       |), cells AS (
+       |  SELECT doc_id, counts,
+       |         CAST(list_sum(list_transform(counts, x -> x * x))
+       |              AS BIGINT) AS ssq
+       |  FROM fh_v
+       |)""".stripMargin
+
   // ── shared MinHash pipeline stages ───────────────────────────────────
   // dedup_minhash and dedup_pipeline embed the SAME
   // shingle→signature→band→candidate subplans; defining them once means
@@ -1414,57 +1474,76 @@ object TextOps {
     // doc-sized map assembly; no shuffle touches anything wider than
     // 16 cells per doc.
     Q("txt_hash_embed",
-      s"""WITH e AS (
-         |  SELECT doc_id, md5(concat('fh#', term)) AS h
-         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) x
-         |), c AS (
-         |  SELECT doc_id,
-         |         CAST(strpos('0123456789abcdef', substr(h, 32, 1)) - 1
-         |              AS BIGINT) AS dim,
-         |         CAST(SUM(CASE WHEN substr(h, 31, 1) IN
-         |                   ('1','3','5','7','9','b','d','f')
-         |                   THEN 1 ELSE -1 END) AS BIGINT) AS c
-         |  FROM e GROUP BY 1, 2
-         |), g AS (
-         |  SELECT d.doc_id, CAST(r.i AS BIGINT) AS dim
-         |  FROM (SELECT DISTINCT doc_id FROM c) d,
-         |       UNNEST(range(0, 16)) AS r(i)
-         |), v AS (
-         |  SELECT g.doc_id, list(coalesce(c.c, 0) ORDER BY g.dim) AS counts
-         |  FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.dim = c.dim
-         |  GROUP BY g.doc_id
-         |), s AS (
-         |  SELECT doc_id, counts,
-         |         CAST(list_sum(list_transform(counts, x -> x * x))
-         |              AS BIGINT) AS ssq
-         |  FROM v
-         |)
+      s"""WITH $hashCellsSql
          |SELECT doc_id, counts, ssq,
          |       list_transform(counts, x -> CAST(x AS DOUBLE)
          |         / nullif(sqrt(CAST(ssq AS DOUBLE)), 0)) AS emb
-         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = md5(concat(lit("fh#"), col("term")))
-      val c = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .select(col("doc_id"),
-          conv(substring(h, 32, 1), 16, 10).cast("long").as("dim"),
-          when(substring(h, 31, 1)
-            .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L)
-            .otherwise(-1L).as("sg"))
-        .groupBy("doc_id", "dim").agg(sum("sg").as("c"))
-      c.groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("dim"), col("c"))))
-          .as("m"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(15L)),
-            i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"))
-        .select(col("doc_id"), col("counts"),
-          aggregate(col("counts"), lit(0L),
-            (acc, x) => acc + x * x).as("ssq"))
+         |FROM cells ORDER BY doc_id""".stripMargin) { (s, d) =>
+      hashCells(s, d)
         .select(col("doc_id"), col("counts"), col("ssq"),
           transform(col("counts"), x => x.cast("double") /
             nullif(sqrt(col("ssq").cast("double")), lit(0.0))).as("emb"))
         .orderBy("doc_id")
+    },
+
+    // ── encoder-free similarity search over the hashed embeddings ──────
+
+    // Brute-force cosine top-3 neighbors for the probe docs, running
+    // entirely on txt_hash_embed's cell vectors — the end-to-end proof
+    // that the text→vector bridge FEEDS the similarity stack without a
+    // trained model. Cosine stays exact-integer as long as possible:
+    // the dot product is a FIXED 16-term chain of integer cell
+    // products (both engines evaluate the identical association
+    // order), and the one double step divides it by √(‖a‖²·‖b‖²) —
+    // whose integer product is bounded by (tokens/doc)⁴, far under
+    // 2⁶³ at any plausible doc length. Ties break on neighbor id.
+    // Scale shape: probes broadcast into a map-side scored pass over
+    // the cells (the sim_topk_bruteforce shape); the top-3 window
+    // partitions by probe.
+    Q("sim_hash_embed_topk", {
+      val dot = (1 to 16).map(i => s"p.counts[$i] * c.counts[$i]")
+        .mkString("\n           + ")
+      s"""WITH $hashCellsSql,
+         |probes AS (
+         |  SELECT doc_id, counts, ssq FROM cells
+         |  WHERE doc_id < 5 AND ssq > 0
+         |), scored AS (
+         |  SELECT p.doc_id AS q_id, c.doc_id AS n_id,
+         |         CAST($dot AS BIGINT) AS dot,
+         |         CAST(CAST($dot AS DOUBLE)
+         |              / sqrt(CAST(p.ssq * c.ssq AS DOUBLE)) AS DOUBLE)
+         |           AS cosine
+         |  FROM probes p JOIN cells c
+         |    ON c.doc_id <> p.doc_id AND c.ssq > 0
+         |), r AS (
+         |  SELECT q_id, n_id, dot, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cosine DESC, n_id) AS BIGINT) AS rk
+         |  FROM scored
+         |)
+         |SELECT q_id, rk, n_id, dot, cosine
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, d) =>
+      val cells = hashCells(s, d).filter(col("ssq") > 0)
+      val probes = cells.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("counts").as("qc"),
+          col("ssq").as("qs"))
+      val dot = (1 to 16)
+        .map(i => element_at(col("qc"), i) * element_at(col("counts"), i))
+        .reduce(_ + _)
+      val scored = cells.join(broadcast(probes),
+          col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id").as("n_id"), dot.as("dot"),
+          col("qs"), col("ssq"))
+        .select(col("q_id"), col("n_id"), col("dot"),
+          (col("dot").cast("double") /
+            sqrt((col("qs") * col("ssq")).cast("double"))).as("cosine"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "n_id", "dot", "cosine")
+        .orderBy("q_id", "rk")
     },
 
     // ── curriculum quality bins (per-stratum quartiles) ────────────────

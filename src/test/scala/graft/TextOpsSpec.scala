@@ -932,5 +932,29 @@ class TextOpsSpec extends SparkSuite {
         assert(math.abs(n2 - 1.0) < 1e-12, s"doc $id norm² $n2")
       } else emb.foreach(e => assert(e == null, s"doc $id null vector"))
     }
+
+    // ── the SEARCH half: sim_hash_embed_topk's neighbors must be the
+    // brute-force cosine top-3 over the same cell vectors, ties on id
+    val topk = SparkEntry.queries("sim_hash_embed_topk")(
+        spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val cellsOf = got.view.mapValues(_._1).toMap
+    val live = got.filter(_._2._2 > 0).keySet
+    val wantTop = live.filter(_ < 5).toSeq.sorted.flatMap { q =>
+      val qc = cellsOf(q)
+      val scored = (live - q).toSeq.map { n =>
+        val dot = qc.zip(cellsOf(n)).map { case (a, b) => a * b }.sum
+        val cos = dot.toDouble /
+          math.sqrt((got(q)._2 * got(n)._2).toDouble)
+        (n, dot, cos)
+      }.sortBy { case (n, _, cos) => (-cos, n) }.take(3)
+      scored.zipWithIndex.map { case ((n, dot, cos), i) =>
+        (q, (i + 1).toLong, n, dot, cos) }
+    }
+    assert(topk.toSeq == wantTop, "top-3 neighbor set diverges")
+    // neighbor lists are cosine-sorted and self-free
+    topk.foreach { case (q, _, n, _, cos) =>
+      assert(n != q && cos <= 1.0 + 1e-12, s"($q,$n) cosine $cos") }
   }
 }
