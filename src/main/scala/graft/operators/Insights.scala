@@ -1402,6 +1402,127 @@ object Insights {
       g.select(col("na").as("n_a"), col("nb").as("n_b"),
         theta.as("theta"), (dy / 10000).as("lift_raw"),
         ((dy - theta * dx) / 10000).as("lift_cuped"))
+    },
+
+    // ── matched-pairs lift (nearest-covariate matching) ────────────────
+
+    // The observational companion to evt_ab_cuped: each treated user
+    // (arm 1) is matched to the control whose PRE-period revenue is
+    // nearest WITHIN the same activity stratum (distinct pre-period
+    // active days — exact-match on the stratum, nearest-neighbor on
+    // the covariate, the standard coarsened-matching shape), and the
+    // effect is the mean treated−matched post-period difference. The
+    // nearest match is the as-of kernel run BACKWARD then FORWARD over
+    // the covariate axis (join_asof_near's convention, backward wins
+    // ties); controls tied at the same (stratum, x) dedupe to the
+    // min-user representative first (the kernel's uniqueness
+    // contract). Exact-integer ledger: revenues are BIGINT
+    // ten-thousandths, distances integer, and the two doubles are
+    // single pinned division chains. Scale shape: one per-user rollup
+    // touches events; matching is two as-of merges partitioned by
+    // stratum — no all-pairs anything.
+    Q("evt_matched_lift",
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
+        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
+        |           AS m
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            < (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            >= (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS y,
+        |         CAST(COUNT(DISTINCT CASE
+        |                WHEN (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                     < (SELECT m FROM mid)
+        |                THEN CAST(ts AS DATE) END) AS BIGINT) AS stratum
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT user_id, x, y, stratum FROM u WHERE grp = 1
+        |), c AS (
+        |  SELECT stratum, x, arg_min(y, user_id) AS c_y
+        |  FROM u WHERE grp = 0 GROUP BY stratum, x
+        |), b AS (
+        |  SELECT t.user_id, t.x, t.y, t.stratum,
+        |         c.x AS bx, c.c_y AS b_y
+        |  FROM t ASOF LEFT JOIN c
+        |    ON t.stratum = c.stratum AND t.x >= c.x
+        |), f AS (
+        |  SELECT t.user_id, c.x AS fx, c.c_y AS f_y
+        |  FROM t ASOF LEFT JOIN c
+        |    ON t.stratum = c.stratum AND t.x <= c.x
+        |), m2 AS (
+        |  SELECT b.user_id, b.x, b.y,
+        |         CASE WHEN bx IS NULL THEN f_y
+        |              WHEN fx IS NULL THEN b_y
+        |              WHEN b.x - bx <= fx - b.x THEN b_y
+        |              ELSE f_y END AS m_y,
+        |         CASE WHEN bx IS NULL THEN fx - b.x
+        |              WHEN fx IS NULL THEN b.x - bx
+        |              WHEN b.x - bx <= fx - b.x THEN b.x - bx
+        |              ELSE fx - b.x END AS dist
+        |  FROM b JOIN f ON b.user_id = f.user_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+        |       CAST(COUNT(m_y) AS BIGINT) AS n_matched,
+        |       CAST(CAST(SUM(y - m_y) AS DOUBLE)
+        |            / nullif(COUNT(m_y), 0) / 10000 AS DOUBLE) AS att,
+        |       CAST(CAST(SUM(dist) AS DOUBLE)
+        |            / nullif(COUNT(m_y), 0) / 10000 AS DOUBLE)
+        |         AS mean_dist
+        |FROM m2""".stripMargin) { (s, d) =>
+      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
+      val mid = Tables.events(s, d)
+        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
+          .as("m"))
+      val vDec = col("value").cast("decimal(10,4)")
+      val u = Tables.events(s, d)
+        .crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("x"),
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("y"),
+          count_distinct(when(epochDay < col("m"), col("ts").cast("date")))
+            .as("stratum"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val t = u.filter(col("grp") === 1)
+        .select("user_id", "x", "y", "stratum")
+      val c = u.filter(col("grp") === 0)
+        .groupBy("stratum", "x")
+        .agg(min(struct(col("user_id"), col("y"))).getField("y").as("c_y"))
+      val back = Temporal.asOf(t, c, Seq("stratum"), "x", Seq("c_y"))
+        .withColumnRenamed("asof_x", "bx")
+        .withColumnRenamed("asof_c_y", "b_y")
+      val both = Temporal.asOfForward(back, c, Seq("stratum"), "x",
+          Seq("c_y"))
+        .withColumnRenamed("asof_x", "fx")
+        .withColumnRenamed("asof_c_y", "f_y")
+      val backWins = col("bx").isNotNull && (col("fx").isNull ||
+        col("x") - col("bx") <= col("fx") - col("x"))
+      val m2 = both.select(col("user_id"), col("x"), col("y"),
+        when(backWins, col("b_y")).otherwise(col("f_y")).as("m_y"),
+        when(backWins, col("x") - col("bx"))
+          .otherwise(col("fx") - col("x")).as("dist"))
+      m2.agg(count(lit(1)).as("n_treated"),
+          count(col("m_y")).as("n_matched"),
+          sum(col("y") - col("m_y")).as("sdiff"),
+          sum(col("dist")).as("sdist"))
+        .select(col("n_treated"), col("n_matched"),
+          (col("sdiff").cast("double")
+            / nullif(col("n_matched"), lit(0L)) / 10000).as("att"),
+          (col("sdist").cast("double")
+            / nullif(col("n_matched"), lit(0L)) / 10000).as("mean_dist"))
     }
   )
 }

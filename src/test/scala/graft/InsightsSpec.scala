@@ -533,4 +533,59 @@ class InsightsSpec extends SparkSuite {
     // theta * covariate imbalance (non-degenerate on this fixture)
     assert(dx != 0.0 && theta != 0.0, "degenerate CUPED fixture")
   }
+
+  test("evt_matched_lift ≡ exact nearest-covariate matching replay " +
+      "(stratum-exact, backward-wins ties, min-user dedup)") {
+    val Array(row) = q("evt_matched_lift").collect()
+    val (nT, nM) = (row.getLong(0), row.getLong(1))
+    val (att, meanDist) = (row.getDouble(2), row.getDouble(3))
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"),
+        col("event_type"), col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        BigDecimal(r.getDecimal(3))))
+    val days = ev.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    val users = ev.groupBy(_._1).map { case (uid, xs) =>
+      def tot(p: Int => Boolean) = (xs.collect {
+        case (_, dd, "purchase", v) if p(dd) => v
+      }.sum * 10000).toLongExact
+      val stratum = xs.collect { case (_, dd, _, _) if dd < mid => dd }
+        .distinct.length.toLong
+      (uid, tot(_ < mid), tot(_ >= mid), stratum)
+    }.toSeq
+    val treated = users.filter(_._1 % 2 == 1)
+    val controls = users.filter(_._1 % 2 == 0)
+      .groupBy(u => (u._4, u._2)) // (stratum, x) → min-user representative
+      .map { case ((st, x), xs) => (st, x) -> xs.minBy(_._1)._3 }
+    val byStratum = controls.keys.groupBy(_._1)
+      .map { case (st, ks) => st -> ks.map(_._2).toSeq.sorted }
+    assert(nT == treated.length.toLong)
+    val matches = treated.flatMap { case (_, x, y, st) =>
+      byStratum.get(st).flatMap { xs =>
+        val back = xs.filter(_ <= x).lastOption
+        val fwd = xs.find(_ >= x)
+        val pick = (back, fwd) match {
+          case (None, None) => None
+          case (Some(b), None) => Some(b)
+          case (None, Some(f)) => Some(f)
+          case (Some(b), Some(f)) =>
+            Some(if (x - b <= f - x) b else f)
+        }
+        pick.map(cx => (y - controls((st, cx)), math.abs(x - cx)))
+      }
+    }
+    assert(nM == matches.length.toLong, s"matched $nM vs ${matches.length}")
+    val wantAtt =
+      matches.map(_._1).sum.toDouble / matches.length / 10000
+    val wantDist =
+      matches.map(_._2).sum.toDouble / matches.length / 10000
+    assert(att == wantAtt, s"att $att vs replay $wantAtt")
+    assert(meanDist == wantDist, s"mean_dist $meanDist vs $wantDist")
+    // non-degenerate: some treated actually matched, and matching is
+    // genuinely nearest (distance 0 exists for same-x pairs if any)
+    assert(nM > 0 && nM <= nT)
+  }
 }
