@@ -49,6 +49,73 @@ object Insights {
     (grid, dayVal)
   }
 
+  /** Shared STL-lite decomposition kernel (ts_stl + ts_stl_anomaly):
+    * per (event_type, interior day) the additive components
+    * (actual, trend, seasonal, residual) as pinned doubles over exact
+    * DECIMAL daily totals — see ts_stl's scaladoc for the parity
+    * argument. */
+  private def stlParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val dly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+      .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rangeBetween(-3, 3)
+    val interior = dly
+      .select(col("event_type"), col("d"), col("v"),
+        sum("v").over(w).as("t_sum"), count(lit(1)).over(w).as("t_cnt"))
+      .filter(col("t_cnt") === 7)
+      .select(col("event_type"), col("d"), (col("d") % 7).as("dow"),
+        col("v"), col("t_sum"), (col("v") * 7 - col("t_sum")).as("dn"))
+    val seas = interior.groupBy("event_type", "dow")
+      .agg((sum("dn").cast("double") / (count(lit(1)) * 7))
+        .as("seasonal"))
+    val trend = col("t_sum").cast("double") / 7
+    interior.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("d").cast("long").as("d"),
+        col("v").cast("double").as("actual"), trend.as("trend"),
+        col("seasonal"),
+        (col("v").cast("double") - trend - col("seasonal"))
+          .as("residual"))
+  }
+
+  /** SQL mirror of [[stlParts]] as a CTE chain ending in
+    * `stl(event_type, d, actual, trend, seasonal, residual)`. */
+  private val stlSql: String =
+    """stl_dly AS (
+      |  SELECT event_type,
+      |         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+      |         SUM(CAST(value AS DECIMAL(10,4))) AS v
+      |  FROM events GROUP BY 1, 2
+      |), stl_tr AS (
+      |  SELECT event_type, d, v,
+      |         SUM(v) OVER w AS t_sum,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS t_cnt
+      |  FROM stl_dly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), stl_int AS (
+      |  SELECT event_type, d, d % 7 AS dow, v, t_sum,
+      |         v * 7 - t_sum AS dn
+      |  FROM stl_tr WHERE t_cnt = 7
+      |), stl_seas AS (
+      |  SELECT event_type, dow,
+      |         CAST(CAST(SUM(dn) AS DOUBLE)
+      |              / (7 * COUNT(*)) AS DOUBLE) AS seasonal
+      |  FROM stl_int GROUP BY 1, 2
+      |), stl AS (
+      |  SELECT i.event_type, CAST(i.d AS BIGINT) AS d,
+      |         CAST(i.v AS DOUBLE) AS actual,
+      |         CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE) AS trend,
+      |         s.seasonal,
+      |         CAST(CAST(i.v AS DOUBLE)
+      |              - CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE)
+      |              - s.seasonal AS DOUBLE) AS residual
+      |  FROM stl_int i
+      |  JOIN stl_seas s ON i.event_type = s.event_type AND i.dow = s.dow
+      |)""".stripMargin
+
   /** Anti-join orphan count for one FK edge, as a 1-row frame. Parents
     * that are genuine dimensions broadcast; fact→fact edges (lineitem→
     * orders) hash-join on the key both sides are bucketed by at scale. */
@@ -1237,60 +1304,82 @@ object Insights {
     // event_type over days, the seasonal join is a broadcast of
     // |types|×7 rows).
     Q("ts_stl",
-      """WITH dly AS (
-        |  SELECT event_type,
-        |         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
-        |         SUM(CAST(value AS DECIMAL(10,4))) AS v
-        |  FROM events GROUP BY 1, 2
-        |), tr AS (
-        |  SELECT event_type, d, v,
-        |         SUM(v) OVER w AS t_sum,
-        |         CAST(COUNT(*) OVER w AS BIGINT) AS t_cnt
-        |  FROM dly
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
-        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-        |), interior AS (
-        |  SELECT event_type, d, d % 7 AS dow, v, t_sum,
-        |         v * 7 - t_sum AS dn
-        |  FROM tr WHERE t_cnt = 7
-        |), seas AS (
-        |  SELECT event_type, dow,
-        |         CAST(CAST(SUM(dn) AS DOUBLE)
-        |              / (7 * COUNT(*)) AS DOUBLE) AS seasonal
-        |  FROM interior GROUP BY 1, 2
-        |)
-        |SELECT i.event_type, CAST(i.d AS BIGINT) AS d,
-        |       CAST(i.v AS DOUBLE) AS actual,
-        |       CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE) AS trend,
-        |       s.seasonal,
-        |       CAST(CAST(i.v AS DOUBLE)
-        |            - CAST(CAST(i.t_sum AS DOUBLE) / 7 AS DOUBLE)
-        |            - s.seasonal AS DOUBLE) AS residual
-        |FROM interior i
-        |JOIN seas s ON i.event_type = s.event_type AND i.dow = s.dow
-        |ORDER BY i.event_type, d""".stripMargin) { (s, d) =>
-      val dly = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
-        .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
-      val w = Window.partitionBy("event_type").orderBy("d")
-        .rangeBetween(-3, 3)
-      val interior = dly
-        .select(col("event_type"), col("d"), col("v"),
-          sum("v").over(w).as("t_sum"), count(lit(1)).over(w).as("t_cnt"))
-        .filter(col("t_cnt") === 7)
-        .select(col("event_type"), col("d"), (col("d") % 7).as("dow"),
-          col("v"), col("t_sum"), (col("v") * 7 - col("t_sum")).as("dn"))
-      val seas = interior.groupBy("event_type", "dow")
-        .agg((sum("dn").cast("double") / (count(lit(1)) * 7))
-          .as("seasonal"))
-      val trend = col("t_sum").cast("double") / 7
-      interior.join(broadcast(seas), Seq("event_type", "dow"))
-        .select(col("event_type"), col("d").cast("long").as("d"),
-          col("v").cast("double").as("actual"), trend.as("trend"),
-          col("seasonal"),
-          (col("v").cast("double") - trend - col("seasonal"))
-            .as("residual"))
+      s"""WITH $stlSql
+         |SELECT event_type, d, actual, trend, seasonal, residual
+         |FROM stl ORDER BY event_type, d""".stripMargin) { (s, d) =>
+      stlParts(s, d).orderBy("event_type", "d")
+    },
+
+    // ── STL-residual anomaly flags (the detector the decomposition
+    // buys) ────────────────────────────────────────────────────────────
+
+    // evt_mad_anomaly on the RIGHT signal: raw daily values trip on
+    // weekly seasonality (every Sunday looks anomalous), so the robust
+    // 3×MAD rule runs on ts_stl's RESIDUALS — what's left after trend
+    // and weekly shape are explained. Medians are exact order
+    // statistics per series ((n+1)/2, (n+2)/2 ranks with (residual, d)
+    // tie-order; the even-count middle is one commutative 2-term add +
+    // halving), deviations and the 3×MAD threshold are pinned double
+    // ops — no division anywhere. Scale shape: everything downstream
+    // of the daily rollup is calendar-bounded; windows partition by
+    // event_type.
+    Q("ts_stl_anomaly",
+      s"""WITH $stlSql,
+         |rr AS (
+         |  SELECT event_type, d, actual, residual,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY residual, d) AS rn,
+         |         COUNT(*) OVER (PARTITION BY event_type) AS np
+         |  FROM stl
+         |), med AS (
+         |  SELECT event_type,
+         |         CAST(SUM(residual) / COUNT(*) AS DOUBLE) AS m
+         |  FROM rr WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+         |  GROUP BY event_type
+         |), dev AS (
+         |  SELECT r.event_type, r.d, r.actual, r.residual,
+         |         abs(r.residual - m.m) AS dv
+         |  FROM rr r JOIN med m ON r.event_type = m.event_type
+         |), dr AS (
+         |  SELECT event_type, d, actual, residual, dv,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY dv, d) AS rn,
+         |         COUNT(*) OVER (PARTITION BY event_type) AS np
+         |  FROM dev
+         |), mad AS (
+         |  SELECT event_type,
+         |         CAST(SUM(dv) / COUNT(*) AS DOUBLE) AS mad
+         |  FROM dr WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+         |  GROUP BY event_type
+         |)
+         |SELECT v.event_type, v.d, v.actual, v.residual, v.dv,
+         |       m.mad, v.dv > 3 * m.mad AS is_anomaly
+         |FROM dev v JOIN mad m ON v.event_type = m.event_type
+         |ORDER BY v.event_type, v.d""".stripMargin) { (s, d) =>
+      val stl = graft.Caches.shared(stlParts(s, d))
+      val wr = Window.partitionBy("event_type").orderBy("residual", "d")
+      val wAll = Window.partitionBy("event_type")
+      val rr = stl.select(col("event_type"), col("d"), col("actual"),
+        col("residual"), row_number().over(wr).as("rn"),
+        count(lit(1)).over(wAll).as("np"))
+      val med = rr.filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .groupBy("event_type")
+        .agg((sum("residual") / count(lit(1))).as("m"))
+      val dev = rr.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("d"), col("actual"),
+          col("residual"), abs(col("residual") - col("m")).as("dv"))
+      val wd = Window.partitionBy("event_type").orderBy("dv", "d")
+      val dr = dev.select(col("event_type"), col("d"), col("dv"),
+        row_number().over(wd).as("rn"), count(lit(1)).over(wAll).as("np"))
+      val mad = dr.filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .groupBy("event_type")
+        .agg((sum("dv") / count(lit(1))).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("d"), col("actual"),
+          col("residual"), col("dv"), col("mad"),
+          (col("dv") > col("mad") * 3).as("is_anomaly"))
         .orderBy("event_type", "d")
     },
 
@@ -1523,6 +1612,107 @@ object Insights {
             / nullif(col("n_matched"), lit(0L)) / 10000).as("att"),
           (col("sdist").cast("double")
             / nullif(col("n_matched"), lit(0L)) / 10000).as("mean_dist"))
+    },
+
+    // ── Poisson-bootstrap confidence intervals ─────────────────────────
+
+    // The one-pass distributed bootstrap (Chamandy et al., Google
+    // '12): resampling n rows WITH replacement decomposes into an
+    // independent Poisson(1) weight per (row, replica), so B = 32
+    // replica means of each event type's value ride ONE exploded
+    // map-side-combined aggregate — no per-replica passes, no RNG
+    // state. Weights are DETERMINISTIC: u = first 8 md5 hex chars of
+    // (replica, event_id), inverse-CDF'd through Poisson(1) cumulative
+    // thresholds embedded as hex literals (computed once from e⁻¹,
+    // capped at w = 5 — P(w>5) ≈ 6·10⁻⁴, and the cap is what makes
+    // both engines produce the identical integer weight). Replica
+    // means are exact-integer num/den pairs with single pinned double
+    // divisions; the 90% interval is the (2nd, 31st) ORDER STATISTIC
+    // of the 32 means ((B+1)·5% — rank-based, no interpolation to
+    // disagree across engines). Scale shape: the ×32 explode feeds a
+    // (type, replica)-keyed partial agg — at 100 TB this is the
+    // standard production bootstrap plan.
+    Q("agg_bootstrap_ci", {
+      val p = math.exp(-1.0)
+      val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
+      val t = cum.map(c =>
+        f"${math.floor(c * 4294967296.0).toLong}%08x")
+      s"""WITH xr AS (
+         |  SELECT event_type, event_id,
+         |         CAST(CAST(value AS DECIMAL(10,4)) * 10000 AS BIGINT)
+         |           AS x
+         |  FROM events
+         |), wts AS (
+         |  SELECT event_type, x, b,
+         |         CAST(CASE
+         |           WHEN u < '${t(0)}' THEN 0 WHEN u < '${t(1)}' THEN 1
+         |           WHEN u < '${t(2)}' THEN 2 WHEN u < '${t(3)}' THEN 3
+         |           WHEN u < '${t(4)}' THEN 4 ELSE 5 END AS BIGINT) AS w
+         |  FROM (
+         |    SELECT event_type, x, r.b AS b,
+         |           substr(md5(concat('boot', CAST(r.b AS VARCHAR), '#',
+         |                  CAST(event_id AS VARCHAR))), 1, 8) AS u
+         |    FROM xr, UNNEST(range(0, 32)) AS r(b)) y
+         |), rep AS (
+         |  SELECT event_type, CAST(b AS BIGINT) AS b,
+         |         SUM(CAST(w * x AS DECIMAL(38,0))) AS num,
+         |         CAST(SUM(w) AS BIGINT) AS den
+         |  FROM wts GROUP BY 1, 2
+         |), means AS (
+         |  SELECT event_type,
+         |         CAST(CAST(num AS DOUBLE) / nullif(den, 0) / 10000
+         |              AS DOUBLE) AS mb,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY CAST(CAST(num AS DOUBLE) / nullif(den, 0)
+         |                         / 10000 AS DOUBLE), b) AS rn
+         |  FROM rep
+         |), pt AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 10000
+         |              AS DOUBLE) AS mean
+         |  FROM xr GROUP BY event_type
+         |)
+         |SELECT p.event_type, p.n_rows, p.mean,
+         |       MAX(CASE WHEN rn = 2 THEN mb END) AS ci_lo,
+         |       MAX(CASE WHEN rn = 31 THEN mb END) AS ci_hi
+         |FROM pt p JOIN means m ON p.event_type = m.event_type
+         |GROUP BY p.event_type, p.n_rows, p.mean
+         |ORDER BY p.event_type""".stripMargin
+    }) { (s, d) =>
+      val p = math.exp(-1.0)
+      val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
+      val t = cum.map(c =>
+        f"${math.floor(c * 4294967296.0).toLong}%08x")
+      val xr = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(10,4)") * 10000).cast("long")
+            .as("x"))
+      val u = substring(md5(concat(lit("boot"), col("b").cast("string"),
+        lit("#"), col("event_id").cast("string"))), 1, 8)
+      val w = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+        .when(u < t(3), 3L).when(u < t(4), 4L).otherwise(5L)
+      val rep = xr
+        .select(col("event_type"), col("event_id"), col("x"),
+          explode(sequence(lit(0L), lit(31L))).as("b"))
+        .select(col("event_type"), col("b"), col("x"), w.as("w"))
+        .groupBy("event_type", "b")
+        .agg(sum((col("w") * col("x"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("num"), sum("w").as("den"))
+      val mb = col("num").cast("double") /
+        nullif(col("den"), lit(0L)) / 10000
+      val wr = Window.partitionBy("event_type").orderBy(mb, col("b"))
+      val means = rep.select(col("event_type"), mb.as("mb"),
+        row_number().over(wr).as("rn"))
+      val pt = xr.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum("x").as("sx"))
+        .select(col("event_type"), col("n_rows"),
+          (col("sx").cast("double") / col("n_rows") / 10000).as("mean"))
+      pt.join(means, Seq("event_type"))
+        .groupBy("event_type", "n_rows", "mean")
+        .agg(max(when(col("rn") === 2, col("mb"))).as("ci_lo"),
+          max(when(col("rn") === 31, col("mb"))).as("ci_hi"))
+        .orderBy("event_type")
     }
   )
 }

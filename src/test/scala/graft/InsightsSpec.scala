@@ -588,4 +588,78 @@ class InsightsSpec extends SparkSuite {
     // genuinely nearest (distance 0 exists for same-x pairs if any)
     assert(nM > 0 && nM <= nT)
   }
+
+  test("ts_stl_anomaly ≡ exact MAD-of-residuals replay over the ts_stl " +
+      "ledger; the flag rule is 3xMAD on the deviation") {
+    val stl = q("ts_stl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(5)))
+    val got = q("ts_stl_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))
+      .toMap
+    assert(got.size == stl.length, "row sets differ")
+    def medianBy(xs: Seq[(Double, Long)]): Double = {
+      val s = xs.sortBy(identity)
+      val n = s.length
+      if (n % 2 == 1) s(n / 2)._1
+      else (s(n / 2 - 1)._1 + s(n / 2)._1) / 2
+    }
+    stl.groupBy(_._1).foreach { case (et, rows) =>
+      val m = medianBy(rows.map(r => (r._4, r._2)).toSeq)
+      val devs = rows.map(r => (r._1, r._2, r._3, r._4,
+        math.abs(r._4 - m)))
+      val mad = medianBy(devs.map(d => (d._5, d._2)).toSeq)
+      devs.foreach { case (_, d, actual, resid, dv) =>
+        val (gActual, gResid, gDv, gMad, gFlag) = got((et, d))
+        assert(gActual == actual && gResid == resid, s"$et/$d passthrough")
+        assert(gDv == dv, s"$et/$d deviation $gDv vs $dv")
+        assert(gMad == mad, s"$et/$d mad $gMad vs $mad")
+        assert(gFlag == (dv > 3 * mad), s"$et/$d flag")
+      }
+    }
+    // the detector is non-trivial on this fixture: at least one series
+    // flags at least one residual outlier
+    assert(got.values.exists(_._5), "no anomaly flagged anywhere")
+  }
+
+  test("agg_bootstrap_ci ≡ exact Poisson-weight replay; interval " +
+      "brackets the point estimate with rank-based endpoints") {
+    val got = q("agg_bootstrap_ci").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p = math.exp(-1.0)
+    val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
+    val thr = cum.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    val rows = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDecimal(2)) * 10000).toLongExact))
+    rows.groupBy(_._1).foreach { case (et, xs) =>
+      val (n, mean, lo, hi) = got(et)
+      assert(n == xs.length.toLong)
+      assert(mean == xs.map(x => BigInt(x._3)).sum.toDouble / n / 10000)
+      val means = (0 until 32).map { b =>
+        var num = BigInt(0); var den = 0L
+        xs.foreach { case (_, id, x) =>
+          val u = md5hex(s"boot$b#$id").substring(0, 8)
+          val w = thr.indexWhere(u < _) match {
+            case -1 => 5L; case k => k.toLong
+          }
+          num += BigInt(w) * x; den += w
+        }
+        (num.toDouble / den / 10000, b)
+      }.sortBy(identity)
+      assert(lo == means(1)._1, s"$et ci_lo")
+      assert(hi == means(30)._1, s"$et ci_hi")
+      assert(lo <= hi && lo <= means(15)._1 && hi >= means(15)._1)
+    }
+  }
 }
