@@ -237,4 +237,46 @@ class VectorsSpec extends SparkSuite {
     // the curve must actually climb on this corpus
     assert(curve.head._2 < curve.last._2, "flat curve - fixture degenerate")
   }
+
+  test("vec_binary_sign ≡ in-JVM sign-pack replay; sim_binary_hamming " +
+      "is the exact Hamming top-5 over those signatures") {
+    val sig = SparkEntry.queries("vec_binary_sign")(spark, Sf001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val embs = Tables.embeddings(spark, Sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(sig.size == embs.size)
+    embs.foreach { case (id, e) =>
+      var lo = 0L; var hi = 0L; var np = 0L
+      e.zipWithIndex.foreach { case (x, p) =>
+        if (x > 0) {
+          np += 1
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        }
+      }
+      val (gLo, gHi, gNp) = sig(id)
+      assert((gLo, gHi, gNp) == ((lo, hi, np)), s"vec $id signature")
+      // n_pos IS the signature popcount — the packing is lossless
+      assert(java.lang.Long.bitCount(gLo) + java.lang.Long.bitCount(gHi)
+        == gNp, s"vec $id popcount")
+    }
+    val topk = SparkEntry.queries("sim_binary_hamming")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val want = sig.keys.filter(_ < 5).toSeq.sorted.flatMap { q =>
+      val (ql, qh, _) = sig(q)
+      (sig - q).toSeq.map { case (n, (nl, nh, _)) =>
+        (n, (java.lang.Long.bitCount(ql ^ nl)
+          + java.lang.Long.bitCount(qh ^ nh)).toLong)
+      }.sortBy(identity).sortBy(_._2).take(5).zipWithIndex
+        .map { case ((n, hd), i) => (q, (i + 1).toLong, n, hd) }
+    }
+    assert(topk.map(t => (t._1, t._2, t._3, t._4)).toSeq == want,
+      "Hamming top-5 diverges from replay")
+    topk.foreach { case (q, _, n, hd, cos) =>
+      assert(hd >= 0 && hd <= 64 && n != q)
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12, s"($q,$n) $cos")
+    }
+  }
 }
