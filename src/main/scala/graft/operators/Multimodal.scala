@@ -350,6 +350,77 @@ object Multimodal {
             / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
+    },
+
+    // ── scene segmentation over the frame stream ───────────────────────
+
+    // Shot-boundary detection as a query: each payload's ordered
+    // 32-byte frames carry an 8-bit content value (first md5 byte —
+    // production swaps in a real frame histogram at the same seam), a
+    // CUT fires where consecutive values jump by more than 96, and a
+    // running sum of cuts numbers the scenes — sessionization over the
+    // frame axis. The ledger (first/last frame, length) is what a
+    // video curator samples keyframes from. Integer arithmetic only.
+    // Scale shape: frames are a map-only explode; both windows
+    // partition by doc (frame counts are payload-bounded); one final
+    // per-scene hash agg.
+    Q("mm_scene_cuts", {
+      val len = "octet_length(encode(text))"
+      val hx = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |         ${hx("substr(m, 1, 1)")} * 16
+         |           + ${hx("substr(m, 2, 1)")} AS sv
+         |  FROM (
+         |    SELECT doc_id, i,
+         |           md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS m
+         |    FROM (
+         |      SELECT doc_id, text,
+         |             unnest(range(0, CAST(ceil($len / 32.0) AS INTEGER)))
+         |               AS i
+         |      FROM documents WHERE $len > 0) t) u
+         |), cuts AS (
+         |  SELECT doc_id, i, sv,
+         |         CASE WHEN lag(sv) OVER w IS NULL THEN 1
+         |              WHEN abs(sv - lag(sv) OVER w) > 96 THEN 1
+         |              ELSE 0 END AS cut
+         |  FROM fr
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+         |), sc AS (
+         |  SELECT doc_id, i,
+         |         SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS scene
+         |  FROM cuts
+         |)
+         |SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+         |       CAST(MIN(i) AS BIGINT) AS first_frame,
+         |       CAST(MAX(i) AS BIGINT) AS last_frame,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames
+         |FROM sc GROUP BY doc_id, scene
+         |ORDER BY doc_id, scene""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            ceil(length(col("text")) / 32.0).cast("int") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          conv(substring(md5(expr("substring(text, i * 32 + 1, 32)")),
+            1, 2), 16, 10).cast("int").as("sv"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val cuts = fr.withColumn("prev", lag(col("sv"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNull, 1)
+            .when(abs(col("sv") - col("prev")) > 96, 1).otherwise(0))
+      cuts
+        .withColumn("scene", sum("cut").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene").cast("long").as("scene"))
+        .agg(min("i").as("first_frame"), max("i").as("last_frame"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("doc_id", "scene")
     }
   )
 }

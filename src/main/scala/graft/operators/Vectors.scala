@@ -950,6 +950,36 @@ object Vectors {
     // only float op is the `x > 0` comparison, identical in both
     // engines. Scale shape: one per-row map (posexplode → map-side-
     // combined per-vec sum) — nothing wider than 2 longs leaves a row.
+    // The label-skew audit a training set ships with: per-class count,
+    // ppm share, ratio to the majority class, and a 2× minority flag —
+    // all exact integers plus one pinned division. One map-side agg +
+    // a 1-row broadcast; trivially 100 TB-safe.
+    Q("chk_label_balance",
+      """WITH cnt AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY label
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(MAX(n) AS BIGINT) AS mx
+        |  FROM cnt
+        |)
+        |SELECT label, n,
+        |       (n * 1000000) // t AS share_ppm,
+        |       CAST(CAST(n AS DOUBLE) / mx AS DOUBLE) AS ratio_to_max,
+        |       n * 2 < mx AS is_minority
+        |FROM cnt CROSS JOIN tot ORDER BY label""".stripMargin) { (s, d) =>
+      val cnt = Tables.embeddings(s, d)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum("n").as("t"), max("n").as("mx"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          expr("(n * 1000000) div t").as("share_ppm"),
+          (col("n").cast("double") / col("mx")).as("ratio_to_max"),
+          (col("n") * 2 < col("mx")).as("is_minority"))
+        .orderBy("label")
+    },
+
     Q("vec_binary_sign",
       s"""WITH $binarySigSql
          |SELECT vec_id, sig_lo, sig_hi, n_pos

@@ -116,4 +116,44 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
     assert(f1.forall(_.getInt(1) % 3 == 0))
   }
+
+  test("mm_scene_cuts ≡ in-JVM shot-boundary replay; scenes tile each " +
+      "payload's frame range contiguously") {
+    val got = SparkEntry.queries("mm_scene_cuts")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    def md5hex(s: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    val want = docs.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val svs = bytes.grouped(32).map(g =>
+        Integer.parseInt(md5hex(g).substring(0, 2), 16)).toVector
+      var scene = 0L
+      val scenes = svs.zipWithIndex.map { case (sv, i) =>
+        if (i == 0 || math.abs(sv - svs(i - 1)) > 96) scene += 1
+        (scene, i.toLong)
+      }
+      scenes.groupBy(_._1).toSeq.map { case (sc, fs) =>
+        (id, sc, fs.map(_._2).min, fs.map(_._2).max, fs.length.toLong)
+      }
+    }
+    assert(got.toSet == want.toSet, "scene ledger diverges from replay")
+    // scenes tile: each doc's scenes are consecutive, disjoint, and
+    // cover frames 0..max with no gap
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val s = rows.sortBy(_._2)
+      assert(s.head._2 == 1L && s.head._3 == 0L, s"doc $id start")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1 && b._3 == a._4 + 1, s"doc $id gap")
+        case _ => ()
+      }
+      s.foreach { r => assert(r._5 == r._4 - r._3 + 1, s"doc $id len") }
+    }
+  }
 }

@@ -238,6 +238,24 @@ class VectorsSpec extends SparkSuite {
     assert(curve.head._2 < curve.last._2, "flat curve - fixture degenerate")
   }
 
+  test("chk_label_balance ≡ exact per-class ledger; shares and flags " +
+      "internally consistent") {
+    val got = SparkEntry.queries("chk_label_balance")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val want = Tables.embeddings(spark, Sf001)
+      .select("label").collect().map(_.getInt(0).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = want.values.sum; val mx = want.values.max
+    assert(got.map(g => g._1 -> g._2).toMap == want)
+    got.foreach { case (l, n, ppm, ratio, minority) =>
+      assert(ppm == n * 1000000L / t, s"label $l ppm")
+      assert(ratio == n.toDouble / mx, s"label $l ratio")
+      assert(minority == (n * 2 < mx), s"label $l flag")
+    }
+    assert(got.exists(_._4 == 1.0), "no majority class at ratio 1")
+  }
+
   test("vec_binary_sign ≡ in-JVM sign-pack replay; sim_binary_hamming " +
       "is the exact Hamming top-5 over those signatures") {
     val sig = SparkEntry.queries("vec_binary_sign")(spark, Sf001)
