@@ -1383,6 +1383,67 @@ object Insights {
         .orderBy("event_type", "d")
     },
 
+    // ── Pareto concentration curve (distributed prefix scan) ───────────
+
+    // "What share of revenue do the top-10%/20%/… customers carry?" —
+    // the concentration curve behind every 80/20 claim, computed with
+    // NO global window over customers: the rank comes from the
+    // range-partition + zipWithIndex ranker, deciles are integer
+    // arithmetic against a broadcast total, and the cumulative sum
+    // runs over the TEN decile rows (bounded dimension — the
+    // documented partition-less-window exception), not the customer
+    // axis. Revenue is exact BIGINT ten-thousandths end-to-end;
+    // cum_share is one pinned division. This is evt_gini's quantile-
+    // resolution companion and the distributed form of a prefix scan
+    // any 100 TB ranking pipeline needs.
+    Q("win_pareto_curve",
+      """WITH sp AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 10000
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), t AS (
+        |  SELECT custkey, cents,
+        |         row_number() OVER (ORDER BY cents DESC, custkey) AS rn
+        |  FROM sp
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS tc
+        |  FROM sp
+        |), dec AS (
+        |  SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |         CAST(SUM(cents) AS BIGINT) AS c
+        |  FROM t CROSS JOIN tot GROUP BY 1
+        |)
+        |SELECT decile, n_cust, c AS decile_rev,
+        |       CAST(CAST(c AS DOUBLE) / tc AS DOUBLE) AS decile_share,
+        |       CAST(CAST(SUM(c) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) / tc AS DOUBLE) AS cum_share
+        |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin) { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg((sum(col("o_totalprice").cast(Tables.M)) * 10000)
+          .cast("long").as("cents"))
+      val ranked = Ranking.globalRowNumber(
+        sp.withColumn("neg", -col("cents")), Seq("neg", "custkey"), 8)
+      val tot = sp.agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .select(expr("(row_num - 1) * 10 div n + 1").as("decile"),
+          col("cents"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("c"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"), col("c").as("decile_rev"),
+          (col("c").cast("double") / col("tc")).as("decile_share"),
+          (sum("c").over(wCum).cast("double") / col("tc"))
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+
     // ── CUPED variance-reduced A/B lift ────────────────────────────────
 
     // evt_ab_lift's modern production form (Deng et al., WSDM'13):

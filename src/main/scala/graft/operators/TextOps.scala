@@ -739,6 +739,66 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ── vocabulary coverage curve (tokenizer sizing) ───────────────────
+
+    // "How big a vocabulary buys how much of the corpus?": for k ∈
+    // {1,2,4,…,64}, the fraction of all corpus tokens covered by the
+    // top-k terms — the curve that sizes a tokenizer vocabulary /
+    // stopword list before training one. Ranks come from the
+    // distributed ranker (txt_zipf_rank's discipline — never a global
+    // window over the term dictionary); the k-grid is a 7-row
+    // broadcast; counts are exact integers with ppm via integer
+    // division and ONE pinned double. Scale shape: the dictionary agg
+    // is map-side combined; everything after the rank is
+    // 64-row-bounded.
+    Q("txt_vocab_coverage",
+      s"""WITH wc AS (
+         |  SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($toksSql) AS x FROM documents) t GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS t FROM wc
+         |), top AS (
+         |  SELECT term, n, rank FROM (
+         |    SELECT term, n,
+         |           CAST(row_number() OVER (ORDER BY n DESC, term)
+         |                AS BIGINT) AS rank
+         |    FROM wc) r WHERE rank <= 64
+         |)
+         |SELECT CAST(k.k AS BIGINT) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(SUM(n) AS BIGINT) AS covered_tokens,
+         |       (CAST(SUM(n) AS BIGINT) * 1000000) // MAX(t)
+         |         AS coverage_ppm,
+         |       CAST(CAST(SUM(n) AS DOUBLE) / MAX(t) AS DOUBLE)
+         |         AS coverage
+         |FROM UNNEST([1, 2, 4, 8, 16, 32, 64]) AS k(k)
+         |JOIN top ON top.rank <= k.k
+         |CROSS JOIN tot
+         |GROUP BY k.k ORDER BY k""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val tot = wc.agg(sum("n").as("t"))
+      val top = Ranking.globalRowNumber(
+          wc.withColumn("neg_n", -col("n")), Seq("neg_n", "term"), 8)
+        .filter(col("row_num") <= 64)
+        .select(col("term"), col("n"), col("row_num").as("rank"))
+      val kdf = {
+        import s.implicits._
+        Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).toDF("k")
+      }
+      top.join(broadcast(kdf), col("rank") <= col("k"))
+        .crossJoin(broadcast(tot))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_terms"), sum("n").as("covered_tokens"),
+          max("t").as("t"))
+        .select(col("k"), col("n_terms"), col("covered_tokens"),
+          expr("(covered_tokens * 1000000) div t").as("coverage_ppm"),
+          (col("covered_tokens").cast("double") / col("t"))
+            .as("coverage"))
+        .orderBy("k")
+    },
+
     // ── document fingerprinting ────────────────────────────────────────
 
     // Order-insensitive content fingerprint: md5 of the sorted distinct

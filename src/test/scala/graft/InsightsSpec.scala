@@ -589,6 +589,46 @@ class InsightsSpec extends SparkSuite {
     assert(nM > 0 && nM <= nT)
   }
 
+  test("win_pareto_curve ≡ exact sorted-replay; shares concave-monotone " +
+      "and the curve ends at 1") {
+    val got = q("win_pareto_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val spends = Tables.orders(spark, SparkSuite.Sf0001)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(Tables.M)).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), (BigDecimal(r.getDecimal(1)) * 10000)
+        .toLongExact))
+    val n = spends.length
+    val ranked = spends.sortBy { case (id, c) => (-c, id) }.zipWithIndex
+    val byDec = ranked.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+      .view.mapValues(xs => (xs.length.toLong,
+        xs.map(x => BigInt(x._1._2)).sum)).toMap
+    val tc = spends.map(s => BigInt(s._2)).sum
+    var cum = BigInt(0)
+    got.foreach { case (dec, nCust, rev, share, cumShare) =>
+      val (wn, wc) = byDec(dec)
+      cum += wc
+      assert(nCust == wn, s"decile $dec count")
+      assert(BigInt(rev) == wc, s"decile $dec revenue")
+      assert(share == wc.toDouble / tc.toDouble, s"decile $dec share")
+      assert(cumShare == cum.toDouble / tc.toDouble, s"decile $dec cum")
+    }
+    // rank order ⇒ the PER-CUSTOMER average is non-increasing across
+    // deciles (raw decile sums can cross when sizes differ by ±1),
+    // and the cumulative curve is monotone ending at exactly Σ/Σ
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3.toDouble / a._2 >= b._3.toDouble / b._2,
+          s"avg spend rose ${a._1}→${b._1}")
+        assert(a._5 <= b._5, "cum_share fell")
+      case _ => ()
+    }
+    assert(got.last._5 == 1.0, "curve does not end at 1")
+  }
+
   test("ts_stl_anomaly ≡ exact MAD-of-residuals replay over the ts_stl " +
       "ledger; the flag rule is 3xMAD on the deviation") {
     val stl = q("ts_stl").collect()

@@ -821,6 +821,35 @@ class TextOpsSpec extends SparkSuite {
     assert(recallPpm >= 800000L, s"recall $recallPpm ppm below floor")
   }
 
+  test("txt_vocab_coverage ≡ exact ranked-dictionary replay; coverage " +
+      "monotone in k and consistent with txt_zipf_rank's ordering") {
+    val got = SparkEntry.queries("txt_vocab_coverage")(
+        spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    val counts = Tables.documents(spark, SparkSuite.Sf0001)
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val tot = counts.map(_._2).sum
+    got.foreach { case (k, nTerms, covered, ppm, cov) =>
+      val top = counts.take(k.toInt)
+      assert(nTerms == math.min(k, counts.length.toLong), s"k=$k terms")
+      assert(covered == top.map(_._2).sum, s"k=$k covered")
+      assert(ppm == covered * 1000000L / tot, s"k=$k ppm")
+      assert(cov == covered.toDouble / tot, s"k=$k coverage")
+    }
+    // more vocabulary never covers less, and the fixture is
+    // non-degenerate: the largest k covers strictly more than k = 1
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3, s"coverage fell at ${b._1}")
+      case _ => ()
+    }
+    assert(got.last._3 > got.head._3, "flat coverage curve")
+  }
+
   test("dedup_bbit ≡ in-JVM 1-bit signature replay; estimator exact on " +
       "identical-signature pairs and err is its own audit") {
     val got = SparkEntry.queries("dedup_bbit")(spark, SparkSuite.Sf0001)
