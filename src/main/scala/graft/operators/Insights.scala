@@ -1675,6 +1675,172 @@ object Insights {
             / nullif(col("n_matched"), lit(0L)) / 10000).as("mean_dist"))
     },
 
+    // ── difference-in-differences (the third causal estimator) ─────────
+
+    // Completes the causal trio (evt_ab_lift's z-test, evt_ab_cuped's
+    // variance reduction, evt_matched_lift's matching): the classic
+    // 2×2 DiD — per-arm mean revenue in the pre and post halves of the
+    // month, effect = (Δ treated) − (Δ control), which nets out both
+    // the arm-level baseline difference and the common time trend.
+    // Same exact-integer user spine as evt_ab_cuped (BIGINT
+    // ten-thousandths, broadcast calendar midpoint); the four cell
+    // means and the DiD are pinned double division/subtraction chains.
+    // One per-user rollup touches events; the output is one row.
+    Q("evt_did",
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
+        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
+        |           AS m
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            < (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+        |                            >= (SELECT m FROM mid)
+        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+        |              * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
+        |           AS sxa,
+        |         CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+        |           AS sya,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nb,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
+        |           AS sxb,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+        |           AS syb
+        |  FROM u
+        |)
+        |SELECT na AS n_ctrl, nb AS n_treat,
+        |       CAST(CAST(sxa AS DOUBLE) / na / 10000 AS DOUBLE) AS pre_ctrl,
+        |       CAST(CAST(sya AS DOUBLE) / na / 10000 AS DOUBLE)
+        |         AS post_ctrl,
+        |       CAST(CAST(sxb AS DOUBLE) / nb / 10000 AS DOUBLE) AS pre_treat,
+        |       CAST(CAST(syb AS DOUBLE) / nb / 10000 AS DOUBLE)
+        |         AS post_treat,
+        |       CAST((CAST(syb AS DOUBLE) / nb / 10000
+        |             - CAST(sxb AS DOUBLE) / nb / 10000)
+        |            - (CAST(sya AS DOUBLE) / na / 10000
+        |               - CAST(sxa AS DOUBLE) / na / 10000) AS DOUBLE)
+        |         AS did
+        |FROM g""".stripMargin) { (s, d) =>
+      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
+      val mid = Tables.events(s, d)
+        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
+          .as("m"))
+      val vDec = col("value").cast("decimal(10,4)")
+      val u = Tables.events(s, d)
+        .crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("x"),
+          (sum(when(col("event_type") === "purchase" &&
+              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
+            .cast("long").as("y"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val g = u.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("grp") === 0, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("syb"))
+      def mean(sc: String, nc: String) =
+        col(sc).cast("double") / col(nc) / 10000
+      g.select(col("na").as("n_ctrl"), col("nb").as("n_treat"),
+        mean("sxa", "na").as("pre_ctrl"), mean("sya", "na").as("post_ctrl"),
+        mean("sxb", "nb").as("pre_treat"), mean("syb", "nb").as("post_treat"),
+        ((mean("syb", "nb") - mean("sxb", "nb"))
+          - (mean("sya", "na") - mean("sxa", "na"))).as("did"))
+    },
+
+    // ── degree assortativity of the co-purchase graph ──────────────────
+
+    // Newman's assortativity coefficient: the Pearson correlation of
+    // endpoint degrees over the DIRECTED edge set (each undirected
+    // co-purchase edge contributes both orientations — the standard
+    // symmetric treatment). Positive r = hubs co-purchase with hubs
+    // (assortative mixing); negative = hub-and-spoke. Same exact-
+    // integer moment discipline as agg_corr_ols: degrees are BIGINTs,
+    // moments DECIMAL(38,0) products, r ONE pinned double expression.
+    // Scale shape: the edge build is graph_degree_dist's windowed
+    // equi-join, the degree table joins back by key twice, and the
+    // moments are one map-side-combined global aggregate.
+    Q("graph_assortativity",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |), deg AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) x
+        |  GROUP BY p
+        |), de AS (
+        |  SELECT da.deg AS dx, db.deg AS dy
+        |  FROM (SELECT p1 AS u, p2 AS v FROM e
+        |        UNION ALL SELECT p2 AS u, p1 AS v FROM e) dir
+        |  JOIN deg da ON da.p = dir.u
+        |  JOIN deg db ON db.p = dir.v
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+        |           AS sxy,
+        |         SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+        |           AS sxx,
+        |         SUM(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+        |           AS syy
+        |  FROM de
+        |)
+        |SELECT n // 2 AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |         AS DOUBLE) AS r
+        |FROM m""".stripMargin) { (s, d) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+      val deg = e.select(col("p1").as("p"))
+        .unionByName(e.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("deg"))
+      val dir = e.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e.select(col("p2").as("u"), col("p1").as("v")))
+      val de = dir
+        .join(deg.select(col("p").as("u"), col("deg").as("dx")), Seq("u"))
+        .join(deg.select(col("p").as("v"), col("deg").as("dy")), Seq("v"))
+      val dx = col("dx").cast(D); val dy = col("dy").cast(D)
+      val m = de.agg(count(lit(1)).as("n"),
+        sum(dx).as("sx"), sum(dy).as("sy"), sum(dx * dy).as("sxy"),
+        sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nD = col("n").cast(D)
+      val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+      val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val vy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+      m.crossJoin(broadcast(nNodes))
+        .select(expr("n div 2").as("n_edges"), col("n_nodes"),
+          (num / (sqrt(vx) * sqrt(vy))).as("r"))
+    },
+
     // ── Poisson-bootstrap confidence intervals ─────────────────────────
 
     // The one-pass distributed bootstrap (Chamandy et al., Google

@@ -629,6 +629,76 @@ class InsightsSpec extends SparkSuite {
     assert(got.last._5 == 1.0, "curve does not end at 1")
   }
 
+  test("evt_did ≡ exact cell-mean replay; the estimate is the literal " +
+      "difference of arm deltas") {
+    val Array(row) = q("evt_did").collect()
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val (preC, postC, preT, postT, did) = (row.getDouble(2),
+      row.getDouble(3), row.getDouble(4), row.getDouble(5),
+      row.getDouble(6))
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"),
+        col("event_type"), col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        BigDecimal(r.getDecimal(3))))
+    val days = ev.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    val users = ev.groupBy(_._1).map { case (uid, xs) =>
+      def tot(p: Int => Boolean) = (xs.collect {
+        case (_, dd, "purchase", v) if p(dd) => v
+      }.sum * 10000).toBigInt
+      (uid, tot(_ < mid), tot(_ >= mid))
+    }.toSeq
+    val a = users.filter(_._1 % 2 == 0); val b = users.filter(_._1 % 2 == 1)
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    def m(s: BigInt, n: Int) = s.toDouble / n / 10000
+    val (wPreC, wPostC) = (m(a.map(_._2).sum, a.length),
+      m(a.map(_._3).sum, a.length))
+    val (wPreT, wPostT) = (m(b.map(_._2).sum, b.length),
+      m(b.map(_._3).sum, b.length))
+    assert((preC, postC, preT, postT) == ((wPreC, wPostC, wPreT, wPostT)),
+      "cell means diverge from replay")
+    assert(did == (wPostT - wPreT) - (wPostC - wPreC), "did identity")
+    // the estimate nets out a common additive time trend by
+    // construction: shifting both arms' post means by +c cancels
+    assert(((wPostT + 5.0) - wPreT) - ((wPostC + 5.0) - wPreC)
+      == (wPostT - wPreT) - (wPostC - wPreC) ||
+      math.abs((((wPostT + 5.0) - wPreT) - ((wPostC + 5.0) - wPreC))
+        - ((wPostT - wPreT) - (wPostC - wPreC))) < 1e-9)
+  }
+
+  test("graph_assortativity ≡ exact degree-moment replay; |r| ≤ 1") {
+    val Array(row) = q("graph_assortativity").collect()
+    val (nE, nN, r) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(nE == edges.size.toLong && nN == deg.size.toLong)
+    val pairs = edges.toSeq.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = BigInt(pairs.length)
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble)
+        * math.sqrt((n * syy - sy * sy).toDouble))
+    assert(r == want, s"r $r vs replay $want")
+    assert(math.abs(r) <= 1.0, s"|r| > 1: $r")
+  }
+
   test("ts_stl_anomaly ≡ exact MAD-of-residuals replay over the ts_stl " +
       "ledger; the flag rule is 3xMAD on the deviation") {
     val stl = q("ts_stl").collect()
