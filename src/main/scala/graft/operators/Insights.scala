@@ -116,6 +116,61 @@ object Insights {
       |  JOIN stl_seas s ON i.event_type = s.event_type AND i.dow = s.dow
       |)""".stripMargin
 
+  /** Shared exact-integer user spine of the causal trio (evt_ab_cuped /
+    * evt_matched_lift / evt_did): per user the arm (user_id % 2), the
+    * PRE- and POST-midpoint purchase revenues as BIGINT
+    * ten-thousandths, and the pre-period activity stratum (distinct
+    * active days). The calendar midpoint is a 1-row broadcast scalar,
+    * never a literal. One map-side-combined rollup touches events. */
+  private def causalUsers(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
+    val mid = Tables.events(s, d)
+      .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
+        .as("m"))
+    val vDec = col("value").cast("decimal(10,4)")
+    Tables.events(s, d)
+      .crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") === "purchase" &&
+            epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
+          .cast("long").as("x"),
+        (sum(when(col("event_type") === "purchase" &&
+            epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
+          .cast("long").as("y"),
+        count_distinct(when(epochDay < col("m"), col("ts").cast("date")))
+          .as("stratum"))
+      .withColumn("grp", (col("user_id") % 2).cast("int"))
+  }
+
+  /** SQL mirror of [[causalUsers]]: `mid` + `u(user_id, grp, x, y,
+    * stratum)` CTEs. */
+  private val causalUsersSql: String =
+    """mid AS (
+      |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
+      |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
+      |           AS m
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+      |                            < (SELECT m FROM mid)
+      |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+      |              * 10000 AS BIGINT) AS x,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
+      |                            >= (SELECT m FROM mid)
+      |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
+      |              * 10000 AS BIGINT) AS y,
+      |         CAST(COUNT(DISTINCT CASE
+      |                WHEN (CAST(ts AS DATE) - DATE '1970-01-01')
+      |                     < (SELECT m FROM mid)
+      |                THEN CAST(ts AS DATE) END) AS BIGINT) AS stratum
+      |  FROM events GROUP BY user_id
+      |)""".stripMargin
+
   /** Anti-join orphan count for one FK edge, as a 1-row frame. Parents
     * that are genuine dimensions broadcast; fact→fact edges (lineitem→
     * orders) hash-join on the key both sides are bucketed by at scale. */
@@ -1461,25 +1516,7 @@ object Insights {
     // Scale shape: one map-side-combined per-user rollup touches
     // events once; everything downstream is one global aggregate row.
     Q("evt_ab_cuped",
-      """WITH mid AS (
-        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
-        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
-        |           AS m
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            < (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS x,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            >= (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS y
-        |  FROM events GROUP BY user_id
-        |), g AS (
+      s"""WITH $causalUsersSql, g AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
         |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
@@ -1515,22 +1552,7 @@ object Insights {
         |         AS lift_cuped
         |FROM g""".stripMargin) { (s, d) =>
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
-      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
-      val mid = Tables.events(s, d)
-        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
-          .as("m"))
-      val vDec = col("value").cast("decimal(10,4)")
-      val u = Tables.events(s, d)
-        .crossJoin(broadcast(mid))
-        .groupBy("user_id")
-        .agg(
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("x"),
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("y"))
-        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val u = causalUsers(s, d)
       val xD = col("x").cast(D)
       val yD = col("y").cast(D)
       val g = u.agg(count(lit(1)).as("n"),
@@ -1572,29 +1594,7 @@ object Insights {
     // touches events; matching is two as-of merges partitioned by
     // stratum — no all-pairs anything.
     Q("evt_matched_lift",
-      """WITH mid AS (
-        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
-        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
-        |           AS m
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            < (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS x,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            >= (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS y,
-        |         CAST(COUNT(DISTINCT CASE
-        |                WHEN (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                     < (SELECT m FROM mid)
-        |                THEN CAST(ts AS DATE) END) AS BIGINT) AS stratum
-        |  FROM events GROUP BY user_id
-        |), t AS (
+      s"""WITH $causalUsersSql, t AS (
         |  SELECT user_id, x, y, stratum FROM u WHERE grp = 1
         |), c AS (
         |  SELECT stratum, x, arg_min(y, user_id) AS c_y
@@ -1628,24 +1628,7 @@ object Insights {
         |            / nullif(COUNT(m_y), 0) / 10000 AS DOUBLE)
         |         AS mean_dist
         |FROM m2""".stripMargin) { (s, d) =>
-      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
-      val mid = Tables.events(s, d)
-        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
-          .as("m"))
-      val vDec = col("value").cast("decimal(10,4)")
-      val u = Tables.events(s, d)
-        .crossJoin(broadcast(mid))
-        .groupBy("user_id")
-        .agg(
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("x"),
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("y"),
-          count_distinct(when(epochDay < col("m"), col("ts").cast("date")))
-            .as("stratum"))
-        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val u = causalUsers(s, d)
       val t = u.filter(col("grp") === 1)
         .select("user_id", "x", "y", "stratum")
       val c = u.filter(col("grp") === 0)
@@ -1687,25 +1670,7 @@ object Insights {
     // means and the DiD are pinned double division/subtraction chains.
     // One per-user rollup touches events; the output is one row.
     Q("evt_did",
-      """WITH mid AS (
-        |  SELECT (MIN(CAST(ts AS DATE) - DATE '1970-01-01')
-        |          + MAX(CAST(ts AS DATE) - DATE '1970-01-01') + 1) // 2
-        |           AS m
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            < (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS x,
-        |         CAST(SUM(CASE WHEN event_type = 'purchase'
-        |                        AND (CAST(ts AS DATE) - DATE '1970-01-01')
-        |                            >= (SELECT m FROM mid)
-        |                   THEN CAST(value AS DECIMAL(10,4)) ELSE 0 END)
-        |              * 10000 AS BIGINT) AS y
-        |  FROM events GROUP BY user_id
-        |), g AS (
+      s"""WITH $causalUsersSql, g AS (
         |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |           AS na,
         |         CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
@@ -1733,22 +1698,7 @@ object Insights {
         |               - CAST(sxa AS DOUBLE) / na / 10000) AS DOUBLE)
         |         AS did
         |FROM g""".stripMargin) { (s, d) =>
-      val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
-      val mid = Tables.events(s, d)
-        .agg((((min(epochDay) + max(epochDay) + 1) / 2).cast("int"))
-          .as("m"))
-      val vDec = col("value").cast("decimal(10,4)")
-      val u = Tables.events(s, d)
-        .crossJoin(broadcast(mid))
-        .groupBy("user_id")
-        .agg(
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay < col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("x"),
-          (sum(when(col("event_type") === "purchase" &&
-              epochDay >= col("m"), vDec).otherwise(lit(0))) * 10000)
-            .cast("long").as("y"))
-        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val u = causalUsers(s, d)
       val g = u.agg(
         sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
         sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("sxa"),
@@ -1887,12 +1837,12 @@ object Insights {
          |  FROM wts GROUP BY 1, 2
          |), means AS (
          |  SELECT event_type,
-         |         CAST(CAST(num AS DOUBLE) / nullif(den, 0) / 10000
+         |         CAST(CAST(num AS DOUBLE) / den / 10000
          |              AS DOUBLE) AS mb,
          |         row_number() OVER (PARTITION BY event_type
-         |           ORDER BY CAST(CAST(num AS DOUBLE) / nullif(den, 0)
+         |           ORDER BY CAST(CAST(num AS DOUBLE) / den
          |                         / 10000 AS DOUBLE), b) AS rn
-         |  FROM rep
+         |  FROM rep WHERE den > 0
          |), pt AS (
          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |         CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 10000
@@ -1926,11 +1876,15 @@ object Insights {
         .agg(sum((col("w") * col("x"))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("num"), sum("w").as("den"))
-      val mb = col("num").cast("double") /
-        nullif(col("den"), lit(0L)) / 10000
+      // a replica whose Poisson weights sum to 0 (possible on tiny
+      // groups) has NO mean — DROP it identically in both engines
+      // rather than ranking a NULL (Spark windows sort NULLS FIRST,
+      // DuckDB NULLS LAST — a latent cross-engine divergence)
+      val mb = col("num").cast("double") / col("den") / 10000
       val wr = Window.partitionBy("event_type").orderBy(mb, col("b"))
-      val means = rep.select(col("event_type"), mb.as("mb"),
-        row_number().over(wr).as("rn"))
+      val means = rep.filter(col("den") > 0)
+        .select(col("event_type"), mb.as("mb"),
+          row_number().over(wr).as("rn"))
       val pt = xr.groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"), sum("x").as("sx"))
         .select(col("event_type"), col("n_rows"),

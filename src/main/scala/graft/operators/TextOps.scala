@@ -981,7 +981,9 @@ object TextOps {
          |JOIN sz sb ON g.b_id = sb.doc_id
          |ORDER BY g.a_id, g.b_id""".stripMargin
     }) { (s, d) =>
-      val sh = nearCloneShingles(s, d)
+      // the exploded shingle stage feeds the 32-min signature aggregate
+      // AND the exact-Jaccard audit below — persist once per session
+      val sh = graft.Caches.shared(nearCloneShingles(s, d))
       val sigAggs = (0 until 32).map(k =>
         min(md5(concat(lit(s"bb$k#"), col("sx")))).as(s"h$k"))
       val oddBit = (k: Int) => when(
@@ -1584,7 +1586,10 @@ object TextOps {
          |SELECT q_id, rk, n_id, dot, cosine
          |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
     }) { (s, d) =>
-      val cells = hashCells(s, d).filter(col("ssq") > 0)
+      // cell vectors feed both the probe branch and the scan branch (and
+      // txt_hash_embed in the same session) — persist once
+      val cells = graft.Caches.shared(hashCells(s, d))
+        .filter(col("ssq") > 0)
       val probes = cells.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("counts").as("qc"),
           col("ssq").as("qs"))

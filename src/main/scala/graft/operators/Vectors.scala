@@ -939,17 +939,8 @@ object Vectors {
         .orderBy("vec_id", "dim")
     },
 
-    // ── binary (sign-bit) quantization ─────────────────────────────────
+    // ── label-balance audit ────────────────────────────────────────────
 
-    // The 1-bit-per-dimension vector compression (256× vs float32 —
-    // the format modern binary-embedding search serves from, cf.
-    // b-bit minhash's identical trick on set signatures): each of the
-    // 64 dimensions contributes its SIGN, packed into two 32-bit
-    // BIGINT halves, so a whole vector is 8 bytes and similarity
-    // becomes xor+popcount. Exact integer arithmetic end-to-end; the
-    // only float op is the `x > 0` comparison, identical in both
-    // engines. Scale shape: one per-row map (posexplode → map-side-
-    // combined per-vec sum) — nothing wider than 2 longs leaves a row.
     // The label-skew audit a training set ships with: per-class count,
     // ppm share, ratio to the majority class, and a 2× minority flag —
     // all exact integers plus one pinned division. One map-side agg +
@@ -980,6 +971,17 @@ object Vectors {
         .orderBy("label")
     },
 
+    // ── binary (sign-bit) quantization ─────────────────────────────────
+
+    // The 1-bit-per-dimension vector compression (256× vs float32 —
+    // the format modern binary-embedding search serves from, cf.
+    // b-bit minhash's identical trick on set signatures): each of the
+    // 64 dimensions contributes its SIGN, packed into two 32-bit
+    // BIGINT halves, so a whole vector is 8 bytes and similarity
+    // becomes xor+popcount. Exact integer arithmetic end-to-end; the
+    // only float op is the `x > 0` comparison, identical in both
+    // engines. Scale shape: one per-row map (posexplode → map-side-
+    // combined per-vec sum) — nothing wider than 2 longs leaves a row.
     Q("vec_binary_sign",
       s"""WITH $binarySigSql
          |SELECT vec_id, sig_lo, sig_hi, n_pos
@@ -1025,7 +1027,9 @@ object Vectors {
          |JOIN nrm a ON a.vec_id = r.q_id
          |JOIN nrm b ON b.vec_id = r.n_id
          |WHERE r.rk <= 5 ORDER BY r.q_id, r.rk""".stripMargin) { (s, d) =>
-      val bsig = binarySig(s, d)
+      // shared by the signature scan and the probe side (and by a prior
+      // vec_binary_sign run in the same session) — persist once
+      val bsig = graft.Caches.shared(binarySig(s, d))
       val qs = bsig.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("sig_lo").as("ql"),
           col("sig_hi").as("qh"))
