@@ -571,4 +571,63 @@ class PlanSpec extends SparkSuite {
       "PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
       "status filter did not reach PartitionFilters:\n" + p.take(1200))
   }
+
+  test("txt_hash_embed: one documents scan, no join anywhere (the cell " +
+      "assembly is pure aggregation)") {
+    val p = plan("txt_hash_embed")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+    assert(!p.contains("Join"), "unexpected join in the cell assembly:\n"
+      + p.take(1200))
+  }
+
+  test("sim_binary_hamming / sim_hash_embed_topk: probes broadcast; " +
+      "no cartesian or sort-merge join in the search") {
+    for (q <- Seq("sim_binary_hamming", "sim_hash_embed_topk")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: no broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(!p.contains("SortMergeJoin"), s"$q: sort-merge in the " +
+        "bounded search path")
+    }
+  }
+
+  test("agg_bootstrap_ci: the x32 replica explode is map-side combined " +
+      "(partial aggregate under the Generate), no shuffle explosion") {
+    val p = plan("agg_bootstrap_ci")
+    assert(p.contains("Generate explode"), p.take(1200))
+    // partial-then-final two-phase agg: the exploded rows combine
+    // BEFORE the exchange, so only (type, replica) partials shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("win_pareto_curve / txt_vocab_coverage: global ranks come from " +
+      "the distributed ranker; the only windows are bounded-row frames") {
+    for (q <- Seq("win_pareto_curve", "txt_vocab_coverage")) {
+      val opt = SparkEntry.queries(q)(spark, Sf001)
+        .queryExecution.optimizedPlan
+      val wins = opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      // win_pareto_curve keeps ONE partition-less window — over the
+      // ten decile rows (bounded dimension); the customer/term axes
+      // must never see a global window, which would show as a SECOND
+      // Window node (rank) in the plan
+      assert(wins.length <= 1, s"$q: ${wins.length} windows")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: cartesian")
+    }
+  }
+
+  test("causal trio shares one spine shape: per-user rollup, broadcast " +
+      "midpoint scalar, no sort-merge join on the user axis") {
+    for (q <- Seq("evt_ab_cuped", "evt_did")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: midpoint did not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian")
+    }
+  }
 }
