@@ -1791,6 +1791,78 @@ object Insights {
           (num / (sqrt(vx) * sqrt(vy))).as("r"))
     },
 
+    // ── delta-method variance for ratio metrics ────────────────────────
+
+    // The analytic companion to agg_bootstrap_ci: revenue-per-event is
+    // a RATIO of sums (Σy/Σx over users), whose naive per-row variance
+    // is wrong because the denominator is random too. The delta method
+    // (a.k.a. linearization, the standard production fix) writes
+    // d_u = y_u − R̂·x_u and Var(R̂) ≈ n·s²_d / (Σx)², all computable
+    // from five exact DECIMAL(38,0) moments in ONE pass — no resample,
+    // no second scan. R̂, s²_d, se, and the ±1.96·se bounds are pinned
+    // double chains over those exact integers. Scale shape: one
+    // map-side-combined per-user rollup, then a per-type moment
+    // aggregate — two tiny shuffles on corpus-bounded keys.
+    Q("agg_ratio_delta",
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |         CAST(COUNT(*) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(value AS DECIMAL(10,4))) * 10000
+        |              AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, user_id
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |           AS sxx,
+        |         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |           AS syy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |           AS sxy
+        |  FROM u GROUP BY event_type
+        |), s AS (
+        |  SELECT event_type, n,
+        |         CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS rr,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+        |         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m
+        |), v AS (
+        |  SELECT event_type, n, rr,
+        |         sqrt((syyd - 2 * rr * sxyd + rr * rr * sxxd) / (n - 1)
+        |              * n / (sxd * sxd)) AS se
+        |  FROM s
+        |)
+        |SELECT event_type, n AS n_users,
+        |       CAST(rr / 10000 AS DOUBLE) AS revenue_per_event,
+        |       CAST(se / 10000 AS DOUBLE) AS se,
+        |       CAST(rr / 10000 - 1.96 * (se / 10000) AS DOUBLE) AS ci_lo,
+        |       CAST(rr / 10000 + 1.96 * (se / 10000) AS DOUBLE) AS ci_hi
+        |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("x"),
+          (sum(col("value").cast("decimal(10,4)")) * 10000)
+            .cast("long").as("y"))
+      val xD = col("x").cast(D); val yD = col("y").cast(D)
+      val m = u.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(xD).as("sx"), sum(yD).as("sy"),
+          sum(xD * xD).as("sxx"), sum(yD * yD).as("syy"),
+          sum(xD * yD).as("sxy"))
+      val rr = col("sy").cast("double") / col("sx").cast("double")
+      val sxd = col("sx").cast("double")
+      val se = sqrt((col("syy").cast("double")
+        - lit(2) * rr * col("sxy").cast("double")
+        + rr * rr * col("sxx").cast("double")) / (col("n") - 1)
+        * col("n") / (sxd * sxd))
+      m.select(col("event_type"), col("n").as("n_users"),
+          (rr / 10000).as("revenue_per_event"), (se / 10000).as("se"),
+          (rr / 10000 - lit(1.96) * (se / 10000)).as("ci_lo"),
+          (rr / 10000 + lit(1.96) * (se / 10000)).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
     // ── Poisson-bootstrap confidence intervals ─────────────────────────
 
     // The one-pass distributed bootstrap (Chamandy et al., Google

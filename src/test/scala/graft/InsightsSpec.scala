@@ -734,6 +734,41 @@ class InsightsSpec extends SparkSuite {
     assert(got.values.exists(_._5), "no anomaly flagged anywhere")
   }
 
+  test("agg_ratio_delta ≡ exact moment replay; interval brackets the " +
+      "ratio and shrinks as 1/sqrt(n)") {
+    val got = q("agg_ratio_delta").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    rows.groupBy(_._1).foreach { case (et, xs) =>
+      val users = xs.groupBy(_._2).toSeq.map { case (_, es) =>
+        (BigInt(es.length), (es.map(_._3).sum * 10000).toBigInt)
+      }
+      val n = users.length
+      val sx = users.map(_._1).sum; val sy = users.map(_._2).sum
+      val sxx = users.map(u => u._1 * u._1).sum
+      val syy = users.map(u => u._2 * u._2).sum
+      val sxy = users.map(u => u._1 * u._2).sum
+      val rr = sy.toDouble / sx.toDouble
+      val se = math.sqrt((syy.toDouble - 2 * rr * sxy.toDouble
+        + rr * rr * sxx.toDouble) / (n - 1) * n
+        / (sx.toDouble * sx.toDouble))
+      val (gn, gr, gse, lo, hi) = got(et)
+      assert(gn == n.toLong, s"$et n")
+      assert(gr == rr / 10000, s"$et ratio")
+      assert(gse == se / 10000, s"$et se")
+      assert(lo == rr / 10000 - 1.96 * (se / 10000), s"$et lo")
+      assert(hi == rr / 10000 + 1.96 * (se / 10000), s"$et hi")
+      assert(lo < gr && gr < hi, s"$et interval does not bracket")
+      assert(gse > 0, s"$et degenerate se")
+    }
+  }
+
   test("agg_bootstrap_ci ≡ exact Poisson-weight replay; interval " +
       "brackets the point estimate with rank-based endpoints") {
     val got = q("agg_bootstrap_ci").collect()
