@@ -477,6 +477,67 @@ object Graph {
         .orderBy("p")
     },
 
+    // ── global clustering coefficient ──────────────────────────────────
+
+    // Transitivity of the co-purchase graph: C = 3·T / W, the fraction
+    // of 2-paths (wedges, W = Σ d(d−1)/2) that close into triangles —
+    // the one-number summary of graph_triangles' per-node ledger and
+    // the standard small-world diagnostic. T counts each triangle once
+    // (the a<b<c orientation of the shared kernel); counts stay exact
+    // BIGINTs and the coefficient is ONE pinned division guarded by
+    // nullif for the wedge-free degenerate graph. Scale shape: the
+    // triangle join is the id-oriented kernel (the degree-oriented
+    // O(|E|^1.5) variant beside it is the hub-safe swap-in); the wedge
+    // sum is a map-side-combined degree aggregate.
+    Q("graph_clustering",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |), tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.p1 = e1.p2
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |), deg AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) x
+        |  GROUP BY p
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+        |         AS n_wedges,
+        |       CAST(CAST(3 * (SELECT COUNT(*) FROM tri) AS DOUBLE)
+        |            / nullif((SELECT SUM(d * (d - 1) // 2) FROM deg), 0)
+        |         AS DOUBLE) AS global_cc""".stripMargin) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select("p1", "p2").distinct()
+      val eC = graft.Caches.shared(e)
+      val tri = eC.select(col("p1").as("a"), col("p2").as("b"))
+        .join(eC.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
+        .join(eC.select(col("p1").as("a"), col("p2").as("c")),
+          Seq("a", "c"))
+      val deg = eC.select(col("p1").as("p"))
+        .unionByName(eC.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+      val nT = tri.agg(count(lit(1)).as("n_triangles"))
+      val nE = eC.agg(count(lit(1)).as("n_edges"))
+      val nN = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      nN.crossJoin(broadcast(nE)).crossJoin(broadcast(nT))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          ((col("n_triangles") * 3).cast("double")
+            / nullif(col("n_wedges"), lit(0L))).as("global_cc"))
+    },
+
     // The DEGREE-ORIENTATION variant graph_triangles' scaladoc only
     // promised: edges oriented low→high under the total order
     // (degree, id), so every triangle materializes exactly once as a

@@ -456,4 +456,33 @@ class GraphSpec extends SparkSuite {
     // strictly below the raw max degree on this fixture
     assert(outDeg.max < deg.values.max, "orientation did not rebalance")
   }
+
+  test("graph_clustering ≡ 3T/W over graph_triangles' own ledger and " +
+      "an independent wedge count; 0 ≤ C ≤ 1") {
+    val Array(row) = SparkEntry.queries("graph_clustering")(
+      spark, SparkSuite.Sf0001).collect()
+    val (nN, nE, nT, nW, cc) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    // per-node triangle ledger sums to 3T (each triangle at 3 corners)
+    val perNode = SparkEntry.queries("graph_triangles")(
+      spark, SparkSuite.Sf0001).collect().map(_.getLong(1)).sum
+    assert(perNode == 3 * nT, s"corner sum $perNode vs 3T=${3 * nT}")
+    // independent wedge count from the raw degree sequence
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(nN == deg.size.toLong && nE == edges.size.toLong)
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(nW == wedges, s"wedges $nW vs replay $wedges")
+    assert(cc == (3 * nT).toDouble / nW, "coefficient identity")
+    assert(cc >= 0.0 && cc <= 1.0, s"C out of range: $cc")
+  }
 }
