@@ -580,6 +580,55 @@ object Analytics {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // ── new vs returning daily split ───────────────────────────────────
+
+    // The acquisition/retention split every growth dashboard pairs
+    // with DAU: per day, how many active users are NEW (first-ever
+    // activity) vs RETURNING, and how many events each cohort drives.
+    // First-seen day is one map-side-combined MIN per user joined back
+    // onto the deduped user-day table (at 100 TB the first-seen
+    // dimension is the classic incrementally-maintained table; here it
+    // derives in-query). Integer day arithmetic, exact counts, no
+    // windows.
+    Q("evt_new_vs_returning",
+      """WITH ud AS (
+        |  SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1, 2
+        |), fs AS (
+        |  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        |)
+        |SELECT CAST(ud.day AS BIGINT) AS day,
+        |       CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS new_users,
+        |       CAST(SUM(CASE WHEN ud.day > fs.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS returning_users,
+        |       CAST(SUM(CASE WHEN ud.day = fs.first_day THEN n_ev
+        |                ELSE 0 END) AS BIGINT) AS events_new,
+        |       CAST(SUM(CASE WHEN ud.day > fs.first_day THEN n_ev
+        |                ELSE 0 END) AS BIGINT) AS events_returning
+        |FROM ud JOIN fs ON ud.user_id = fs.user_id
+        |GROUP BY ud.day ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n_ev"))
+      val fs = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(fs, Seq("user_id"))
+        .groupBy("day")
+        .agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"),
+          sum(when(col("day") === col("first_day"), col("n_ev"))
+            .otherwise(0L)).as("events_new"),
+          sum(when(col("day") > col("first_day"), col("n_ev"))
+            .otherwise(0L)).as("events_returning"))
+        .orderBy("day")
+    },
+
     // ── DAU / WAU / stickiness ─────────────────────────────────────────
 
     // Daily active users, trailing-7-day active users, and their ratio

@@ -481,4 +481,29 @@ class AnalyticsSpec extends SparkSuite {
         s"pattern $i does not discriminate on the fixture")
     }
   }
+
+  test("evt_new_vs_returning ≡ first-seen replay; every user is new " +
+      "exactly once and the daily split conserves the event total") {
+    val got = SparkEntry.queries("evt_new_vs_returning")(
+        spark, SparkSuite.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val firstSeen = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.groupBy(_._2).map { case (day, xs) =>
+      val users = xs.map(_._1).distinct
+      val (nu, ru) = users.partition(u => firstSeen(u) == day)
+      val (en, er) = xs.partition { case (u, _) => firstSeen(u) == day }
+      day -> (nu.length.toLong, ru.length.toLong,
+        en.length.toLong, er.length.toLong)
+    }
+    assert(got == want, "daily split diverges from replay")
+    // every user contributes exactly one "new" day across the ledger
+    assert(got.values.map(_._1).sum == firstSeen.size.toLong)
+    // conservation: new + returning events = all events
+    assert(got.values.map(v => v._3 + v._4).sum == ev.length.toLong)
+  }
 }
