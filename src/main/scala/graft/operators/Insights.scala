@@ -1499,6 +1499,117 @@ object Insights {
         .orderBy("decile")
     },
 
+    // ── Tukey-fence outliers (the IQR robust-stats classic) ────────────
+
+    // The boxplot rule beside ts_stl_anomaly's MAD rule: daily revenue
+    // flagged outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per event type.
+    // Quartiles are NEAREST-RANK order statistics (ranks ⌈n/4⌉ and
+    // ⌈3n/4⌉ over the (value, day) total order — no interpolation
+    // shape for engines to disagree on), daily totals exact DECIMAL,
+    // and the fences are pinned double chains. Scale shape: windows
+    // partition by event_type over the calendar-bounded daily frame;
+    // the quartile table broadcasts back.
+    Q("ts_iqr_outliers",
+      """WITH dly AS (
+        |  SELECT event_type,
+        |         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+        |         SUM(CAST(value AS DECIMAL(10,4))) AS v
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, d, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY v, d) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dly
+        |), q AS (
+        |  SELECT a.event_type,
+        |         CAST(MAX(CASE WHEN a.rn = (a.n + 3) // 4 THEN a.v END)
+        |              AS DOUBLE) AS q1,
+        |         CAST(MAX(CASE WHEN a.rn = (3 * a.n + 3) // 4 THEN a.v
+        |              END) AS DOUBLE) AS q3
+        |  FROM r a GROUP BY a.event_type
+        |)
+        |SELECT r.event_type, CAST(r.d AS BIGINT) AS d,
+        |       CAST(r.v AS DOUBLE) AS actual, q.q1, q.q3,
+        |       CAST(r.v AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+        |         OR CAST(r.v AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+        |         AS is_outlier
+        |FROM r JOIN q ON r.event_type = q.event_type
+        |ORDER BY r.event_type, d""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+        .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
+      val wr = Window.partitionBy("event_type").orderBy("v", "d")
+      val wAll = Window.partitionBy("event_type")
+      val r = dly.select(col("event_type"), col("d"), col("v"),
+        row_number().over(wr).as("rn"), count(lit(1)).over(wAll).as("n"))
+      val q = r.groupBy("event_type")
+        .agg(
+          max(when(col("rn") === expr("(n + 3) div 4"), col("v")))
+            .cast("double").as("q1"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v")))
+            .cast("double").as("q3"))
+      val actual = col("v").cast("double")
+      val iqr = col("q3") - col("q1")
+      r.join(broadcast(q), Seq("event_type"))
+        .select(col("event_type"), col("d").cast("long").as("d"),
+          actual.as("actual"), col("q1"), col("q3"),
+          (actual < col("q1") - lit(1.5) * iqr ||
+            actual > col("q3") + lit(1.5) * iqr).as("is_outlier"))
+        .orderBy("event_type", "d")
+    },
+
+    // ── co-purchase recommendations ("also bought") ────────────────────
+
+    // The collaborative-filtering classic as a query: for every part,
+    // the top-3 parts most often sharing an order with it, weighted by
+    // the number of SHARED ORDERS (not distinct-collapsed — frequency
+    // is the signal), ties to the smaller recommendation id. This is
+    // the item-item neighborhood model an "also bought" shelf serves
+    // from. Exact integer weights; no floats at all. Scale shape: pair
+    // weights come from the per-order self-join (work Σ basket², the
+    // mba_assoc_rules bound); the top-3 window partitions by source
+    // part — at catalog scale the same plan swaps in TopKPerKey.
+    Q("graph_copurchase_recs",
+      """WITH pw AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+        |  GROUP BY 1, 2
+        |), dir AS (
+        |  SELECT p1 AS src, p2 AS rec, w FROM pw
+        |  UNION ALL
+        |  SELECT p2 AS src, p1 AS rec, w FROM pw
+        |), r AS (
+        |  SELECT src, rec, w,
+        |         CAST(row_number() OVER (PARTITION BY src
+        |              ORDER BY w DESC, rec) AS BIGINT) AS rk
+        |  FROM dir
+        |)
+        |SELECT src, rk, rec, w AS n_shared_orders
+        |FROM r WHERE rk <= 3 ORDER BY src, rk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pw = li.select(col("ok"), col("p").as("p1"))
+        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+      val dir = pw.select(col("p1").as("src"), col("p2").as("rec"),
+          col("w"))
+        .unionByName(pw.select(col("p2").as("src"), col("p1").as("rec"),
+          col("w")))
+      val wTop = Window.partitionBy("src")
+        .orderBy(col("w").desc, col("rec"))
+      dir.withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk"), col("rec"),
+          col("w").as("n_shared_orders"))
+        .orderBy("src", "rk")
+    },
+
     // ── CUPED variance-reduced A/B lift ────────────────────────────────
 
     // evt_ab_lift's modern production form (Deng et al., WSDM'13):

@@ -629,6 +629,65 @@ class InsightsSpec extends SparkSuite {
     assert(got.last._5 == 1.0, "curve does not end at 1")
   }
 
+  test("ts_iqr_outliers ≡ nearest-rank quartile replay; fences honor " +
+      "the 1.5-IQR rule row for row") {
+    val got = q("ts_iqr_outliers").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(got.nonEmpty)
+    val dly = Tables.events(spark, SparkSuite.Sf0001)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+      .agg(sum(col("value").cast("decimal(10,4)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong,
+        BigDecimal(r.getDecimal(2))))
+    dly.groupBy(_._1).foreach { case (et, rows) =>
+      val sorted = rows.map(r => (r._3, r._2)).sortBy(identity)
+      val n = sorted.length
+      val q1 = sorted((n + 3) / 4 - 1)._1.toDouble
+      val q3 = sorted((3 * n + 3) / 4 - 1)._1.toDouble
+      val iqr = q3 - q1
+      rows.foreach { case (_, d, v) =>
+        val (ga, g1, g3, flag) = got((et, d))
+        assert(ga == v.toDouble && g1 == q1 && g3 == q3,
+          s"$et/$d quartiles")
+        assert(flag == (v.toDouble < q1 - 1.5 * iqr
+          || v.toDouble > q3 + 1.5 * iqr), s"$et/$d flag")
+      }
+      assert(q1 <= q3, s"$et quartile order")
+    }
+  }
+
+  test("graph_copurchase_recs ≡ exact weighted top-3 replay; " +
+      "recommendation weights are symmetric") {
+    val got = q("graph_copurchase_recs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, SparkSuite.Sf0001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pw = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2)
+      for (i <- ps.indices; j <- ps.indices
+           if ps(i) < ps(j)) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dir = pw.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val want = dir.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      xs.sortBy { case (_, rec, w) => (-w, rec) }.take(3).zipWithIndex
+        .map { case ((_, rec, w), i) => (src, (i + 1).toLong, rec, w) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, "top-3 recs diverge from replay")
+    // symmetry of the underlying weights: w(a,b) = w(b,a) by build
+    got.foreach { case (src, _, rec, w) =>
+      val key = if (src < rec) (src, rec) else (rec, src)
+      assert(pw(key) == w, s"($src,$rec) weight")
+    }
+  }
+
   test("evt_did ≡ exact cell-mean replay; the estimate is the literal " +
       "difference of arm deltas") {
     val Array(row) = q("evt_did").collect()
