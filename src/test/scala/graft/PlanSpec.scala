@@ -616,8 +616,11 @@ class PlanSpec extends SparkSuite {
       // Window node (rank) in the plan
       assert(wins.length <= 1, s"$q: ${wins.length} windows")
       val p = plan(q)
-      assert(!p.contains("CartesianProduct") ||
-        p.contains("BroadcastNestedLoopJoin"), s"$q: cartesian")
+      // unconditional (ADVICE r8): broadcast scalar joins render as
+      // BroadcastNestedLoopJoin, never CartesianProduct, so any
+      // CartesianProduct here is a real regression — the disjunctive
+      // form passed whenever a BNLJ happened to be present too
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian")
     }
   }
 

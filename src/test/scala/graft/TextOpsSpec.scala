@@ -931,10 +931,20 @@ class TextOpsSpec extends SparkSuite {
 
   test("txt_hash_embed ≡ in-JVM hashing-trick replay; unit norm and " +
       "dimension bounds hold") {
-    val got = SparkEntry.queries("txt_hash_embed")(spark, SparkSuite.Sf0001)
-      .collect().map(r => r.getLong(0) ->
-        (r.getSeq[Long](1), r.getLong(2), r.getSeq[java.lang.Double](3)))
-      .toMap
+    // long form (doc_id, dim, cnt, emb_val) — reassemble per-doc cell
+    // vectors; row order within a doc is the dim order, pinned by the
+    // query's ORDER BY
+    val rows = SparkEntry.queries("txt_hash_embed")(spark, SparkSuite.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val got = rows.groupBy(_._1).map { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until 16L), s"doc $id dims")
+      val counts = sorted.map(_._3).toSeq
+      val ssq = counts.map(x => x * x).sum
+      id -> (counts, ssq,
+        sorted.map(_._4.map(Double.box).orNull).toSeq)
+    }
     assert(got.nonEmpty)
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")
