@@ -297,4 +297,43 @@ class VectorsSpec extends SparkSuite {
       assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12, s"($q,$n) $cos")
     }
   }
+
+  test("IVF sample-fit quantizer: fixed-seed KMeans centroid fingerprint " +
+      "is pinned (sim_ivf_bucketed's rows-only entry gets a deterministic " +
+      "anchor)") {
+    // sim_ivf_bucketed is the one registry entry without a DuckDB oracle
+    // (a sample-fit KMeans is not SQL-expressible). Its determinism was
+    // previously same-session only (two runs, one JVM); this pins the
+    // FIT itself across sessions: a fixture-independent LCG corpus,
+    // explicit hash partitioning (sample() is per-partition, so layout
+    // is part of the contract), fixed sample/fit seeds — the centroid
+    // set's order-canonicalized 6-sig-digit fingerprint must equal the
+    // recorded constant. Drift means the quantizer contract changed
+    // (Spark upgrade, parameter edit) and the rows-only entry's
+    // documented determinism claim needs re-validation.
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 256).map { i =>
+      var st = lcg(i.toLong + 99L)
+      val v = Array.fill(8) {
+        st = lcg(st); (st >>> 40).toDouble / (1L << 24).toDouble
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .repartition(4, col("vec_id"))
+      .withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(8).setSeed(42L).setFeaturesCol("v")
+      .setMaxIter(5)
+    val model = km.fit(df.sample(withReplacement = false, 0.5, 7L))
+    val canon = model.clusterCenters
+      .map(_.toArray.map(x => f"$x%.6e").mkString(","))
+      .sorted.mkString(";")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == "cf99ea28a9f8c7c62232e9dca23b5399",
+      s"quantizer fingerprint drifted: $fp\ncentroids: $canon")
+  }
 }

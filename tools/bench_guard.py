@@ -39,6 +39,14 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 BASELINE = REPO / "BENCH_BASELINE.json"
 RATIO = 2.0
 ABS_FLOOR_SEC = 0.5
+# hard per-query bound (VERDICT r8 #6): no query may exceed 3x its
+# baseline at matched host factor — and the factor credited to the
+# host is CAPPED at the 1.5x sanity bound, so a heavily loaded run
+# cannot normalize away a dedup_cc-style single-query excursion (r8:
+# 3.9x raw read as "host sensitivity" and only surfaced in the
+# verdict; this makes it exit non-zero)
+HARD_RATIO = 3.0
+FACTOR_CAP = 1.5
 
 
 def run_bench() -> dict:
@@ -90,6 +98,12 @@ def main() -> int:
         b = base.get(name)
         if b is None:
             new.append((name, sec))
+        elif (sec > b * min(factor, FACTOR_CAP) * HARD_RATIO
+              and sec > b + ABS_FLOOR_SEC):
+            regressions.append(
+                (name, sec, b,
+                 f"HARD >{HARD_RATIO:.0f}x: {sec / b:.1f}x raw, "
+                 f"{sec / (b * factor):.1f}x host-adjusted"))
         elif sec > b * factor * RATIO and sec > b + ABS_FLOOR_SEC:
             regressions.append(
                 (name, sec, b, f"{sec / b:.1f}x raw, {sec / (b * factor):.1f}x host-adjusted"))

@@ -30,15 +30,18 @@ def fresh_con(sf_dir):
     return con
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = fresh_con(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
+    results = {}
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark parquet output"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark parquet output"); n_bad += 1
+            results[name] = {"ok": False, "err": "no spark parquet output"}
+            continue
         # one retry on a FRESH connection: 250+ sequential oracles (some
         # with heavy recursive CTEs) accumulate allocator state in one
         # DuckDB connection, and a tiny later query can hit a spurious
@@ -62,18 +65,27 @@ def main(sf_dir, out_dir):
             except Exception as e:
                 err = e
         if err is not None:
-            print(f"FAIL {name}: {type(err).__name__}: {err}"); n_bad += 1; continue
+            print(f"FAIL {name}: {type(err).__name__}: {err}"); n_bad += 1
+            results[name] = {"ok": False,
+                             "err": f"{type(err).__name__}: {err}"}
+            continue
         # driver sorts columns by name before hashing — do the same
         s_ix = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
         d_ix = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
-            n_bad += 1; continue
+            n_bad += 1
+            results[name] = {"ok": False, "err":
+                f"columns {sorted(spark_cols)} != {sorted(duck_cols)}"}
+            continue
         srows = [[r[i] for i in s_ix] for r in spark_rows]
         drows = [[r[i] for i in d_ix] for r in duck_rows]
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            n_bad += 1; continue
+            n_bad += 1
+            results[name] = {"ok": False, "err":
+                f"rowcount spark={len(srows)} duck={len(drows)}"}
+            continue
         # pandas-dtype drift check: the driver compares pandas frames, so a
         # DuckDB HUGEINT (SUM over ints -> float64 in .df()) vs Spark BIGINT
         # (int64) hashes differently even when fetchall() values are equal.
@@ -94,6 +106,8 @@ def main(sf_dir, out_dir):
         if err is not None:
             print(f"FAIL {name}: dtype check: {type(err).__name__}: {err}")
             n_bad += 1
+            results[name] = {"ok": False,
+                             "err": f"dtype check: {type(err).__name__}: {err}"}
             continue
         s_dt = {c: str(t) for c, t in sdt.items()}
         d_dt = {c: str(t) for c, t in ddt.items()}
@@ -102,6 +116,8 @@ def main(sf_dir, out_dir):
         if dtype_diffs:
             print(f"FAIL {name}: pandas dtype drift {dtype_diffs}")
             n_bad += 1
+            results[name] = {"ok": False,
+                             "err": f"pandas dtype drift {dtype_diffs}"}
             continue
         sk, dk = rows_key(srows), rows_key(drows)
         if sk != dk:
@@ -109,11 +125,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: value mismatch; first diffs:")
             for a, b in diffs:
                 print(f"   spark={a}\n   duck ={b}")
-            n_bad += 1; continue
+            n_bad += 1
+            results[name] = {"ok": False, "err": "value mismatch",
+                             "first_diff": [repr(d) for d in diffs[:1]]}
+            continue
         print(f"ok   {name} ({len(srows)} rows)")
         n_ok += 1
+        results[name] = {"ok": True, "rows": len(srows)}
     print(f"\n{n_ok} ok, {n_bad} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_bad,
+                       "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
