@@ -2077,6 +2077,367 @@ object Insights {
         .agg(max(when(col("rn") === 2, col("mb"))).as("ci_lo"),
           max(when(col("rn") === 31, col("mb"))).as("ci_hi"))
         .orderBy("event_type")
+    },
+
+    // ── Ljung–Box portmanteau test on the daily-revenue ACF ────────────
+
+    // The whiteness test that belongs beside ts_acf: Q_h = n(n+2)
+    // Σ_{k=1..7} r_k²/(n−k), where r_k is exactly ts_acf's lag-k
+    // estimate (Pearson over CALENDAR-shifted pairs in integer $1000
+    // units — every sufficient statistic an int64 below 2⁵³, so each
+    // r_k is bit-equal across engines by the ts_acf argument). The
+    // 7-term sum is a hand-unrolled LEFT-ASSOCIATED chain, identical
+    // text on both sides (SUM over doubles would be order-arbitrary —
+    // rule 3); n is the series length (day count). The verdict column
+    // compares Q_7 against the χ²(7) 95% critical value as a pinned
+    // literal — daily revenue is strongly autocorrelated, so the
+    // fixture rejects whiteness at every SF (the spec pins that, plus
+    // an exact in-JVM replay). Scale shape: everything downstream of
+    // the one map-side-combined daily rollup is calendar-bounded —
+    // 7 lag rows fold into ONE output row.
+    Q("ts_ljung_box",
+      """WITH dly AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |           CAST(o_orderdate AS DATE)) AS di,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100
+        |           AS BIGINT) // 100000 AS rev
+        |  FROM orders GROUP BY 1
+        |), n0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dly
+        |), lags AS (
+        |  SELECT unnest(generate_series(1, 7)) AS k
+        |), p AS (
+        |  SELECT l.k, a.rev AS x, b.rev AS y
+        |  FROM lags l JOIN dly b ON TRUE
+        |  JOIN dly a ON a.di = b.di + l.k
+        |), st AS (
+        |  SELECT k, COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY k
+        |), r AS (
+        |  SELECT k,
+        |         CAST((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                 * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |           AS DOUBLE) AS acf
+        |  FROM st
+        |), piv AS (
+        |  SELECT MAX(CASE WHEN k = 1 THEN acf END) AS r1,
+        |         MAX(CASE WHEN k = 2 THEN acf END) AS r2,
+        |         MAX(CASE WHEN k = 3 THEN acf END) AS r3,
+        |         MAX(CASE WHEN k = 4 THEN acf END) AS r4,
+        |         MAX(CASE WHEN k = 5 THEN acf END) AS r5,
+        |         MAX(CASE WHEN k = 6 THEN acf END) AS r6,
+        |         MAX(CASE WHEN k = 7 THEN acf END) AS r7
+        |  FROM r
+        |)
+        |SELECT n0.n AS n_days,
+        |       CAST(CAST(n0.n AS DOUBLE) * (CAST(n0.n AS DOUBLE) + 2.0)
+        |         * (r1 * r1 / (CAST(n0.n AS DOUBLE) - 1.0)
+        |            + r2 * r2 / (CAST(n0.n AS DOUBLE) - 2.0)
+        |            + r3 * r3 / (CAST(n0.n AS DOUBLE) - 3.0)
+        |            + r4 * r4 / (CAST(n0.n AS DOUBLE) - 4.0)
+        |            + r5 * r5 / (CAST(n0.n AS DOUBLE) - 5.0)
+        |            + r6 * r6 / (CAST(n0.n AS DOUBLE) - 6.0)
+        |            + r7 * r7 / (CAST(n0.n AS DOUBLE) - 7.0)) AS DOUBLE)
+        |         AS q7,
+        |       CAST(n0.n AS DOUBLE) * (CAST(n0.n AS DOUBLE) + 2.0)
+        |         * (r1 * r1 / (CAST(n0.n AS DOUBLE) - 1.0)
+        |            + r2 * r2 / (CAST(n0.n AS DOUBLE) - 2.0)
+        |            + r3 * r3 / (CAST(n0.n AS DOUBLE) - 3.0)
+        |            + r4 * r4 / (CAST(n0.n AS DOUBLE) - 4.0)
+        |            + r5 * r5 / (CAST(n0.n AS DOUBLE) - 5.0)
+        |            + r6 * r6 / (CAST(n0.n AS DOUBLE) - 6.0)
+        |            + r7 * r7 / (CAST(n0.n AS DOUBLE) - 7.0))
+        |         > 14.067140449340169 AS reject_white
+        |FROM n0, piv""".stripMargin) { (s, d) =>
+      val dly = Tables.orders(s, d)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).as("di"))
+        .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+          .cast("long").as("cents"))
+        .select(col("di"), expr("cents div 100000").as("rev"))
+      val lags = s.range(1, 8).select(col("id").as("k"))
+      val shifted = dly.select(col("di").as("bdi"), col("rev").as("y"))
+        .crossJoin(broadcast(lags))
+        .select(col("k"), (col("bdi") + col("k")).as("di"), col("y"))
+      val st = dly.select(col("di"), col("rev").as("x"))
+        .join(shifted, Seq("di"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val acf =
+        (col("np").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("np").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("np").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))
+      val rAggs = (1 to 7).map(k =>
+        max(when(col("k") === k, col("acf"))).as(s"r$k"))
+      val piv = st.select(col("k"), acf.as("acf"))
+        .agg(rAggs.head, rAggs.tail: _*)
+      val n0 = dly.agg(count(lit(1)).as("n_days"))
+      val nD = col("n_days").cast("double")
+      val q7 = nD * (nD + lit(2.0)) *
+        (1 to 7).map(k =>
+          col(s"r$k") * col(s"r$k") / (nD - lit(k.toDouble)))
+          .reduce(_ + _)
+      n0.crossJoin(broadcast(piv))
+        .select(col("n_days"), q7.as("q7"),
+          (q7 > lit(14.067140449340169)).as("reject_white"))
+    },
+
+    // ── seasonal / trend strength of the STL decomposition ─────────────
+
+    // Hyndman's strength-of-component summary on ts_stl's ledger:
+    // F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0,
+    // 1 − Var(R)/Var(T+R)) per series — the one-number answer to "is
+    // this series worth seasonally adjusting". Parity route: the STL
+    // components are pinned doubles (bit-identical across engines — the
+    // ts_stl hash gate proves it), so QUANTIZE each to exact centi-unit
+    // integers via floor(x·100) — floor of a bit-identical double is
+    // engine-exact — and compute every variance numerator n·Σx²−(Σx)²
+    // in DECIMAL(38,0) with the ts_anomaly 2⁶³ raise_error bound before
+    // the one double conversion per ratio. Variances share n, so the
+    // ratio of numerators IS the variance ratio. Scale shape: third
+    // consumer of the Caches.shared stlParts kernel; per-series
+    // aggregates over calendar-bounded interior days.
+    Q("ts_seasonal_strength", {
+      def vnum(x: String) =
+        s"COUNT(*) * SUM(CAST($x AS HUGEINT) * $x) - CAST(SUM($x) AS HUGEINT) * SUM($x)"
+      s"""WITH $stlSql, qz AS (
+         |  SELECT event_type,
+         |         CAST(floor(residual * 100) AS BIGINT) AS rc,
+         |         CAST(floor((seasonal + residual) * 100) AS BIGINT) AS sc,
+         |         CAST(floor((trend + residual) * 100) AS BIGINT) AS tc
+         |  FROM stl
+         |), v AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |         ${vnum("rc")} AS nr,
+         |         ${vnum("sc")} AS ns,
+         |         ${vnum("tc")} AS nt
+         |  FROM qz GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |       greatest(0.0e0, 1.0e0 - CAST(nr AS DOUBLE)
+         |                / CAST(nullif(ns, 0) AS DOUBLE)) AS f_seasonal,
+         |       greatest(0.0e0, 1.0e0 - CAST(nr AS DOUBLE)
+         |                / CAST(nullif(nt, 0) AS DOUBLE)) AS f_trend
+         |FROM v ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def guard(c: Column, what: String): Column =
+        when(c < lit(Long.MaxValue).cast(D38) &&
+          c > lit(Long.MinValue).cast(D38), c)
+          .otherwise(raise_error(concat(
+            lit(s"ts_seasonal_strength: $what passed the exact " +
+              "double-conversion bound 2^63 — "), c.cast("string"))))
+      def vnum(x: Column) = count(lit(1)) * sum(x.cast(D38) * x) -
+        sum(x).cast(D38) * sum(x)
+      val qz = graft.Caches.shared(stlParts(s, d))
+        .select(col("event_type"),
+          floor(col("residual") * 100).cast("long").as("rc"),
+          floor((col("seasonal") + col("residual")) * 100).cast("long")
+            .as("sc"),
+          floor((col("trend") + col("residual")) * 100).cast("long")
+            .as("tc"))
+      qz.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), vnum(col("rc")).as("nr"),
+          vnum(col("sc")).as("ns"), vnum(col("tc")).as("nt"))
+        .select(col("event_type"), col("n"),
+          greatest(lit(0.0), lit(1.0) - guard(col("nr"), "Var(R) numerator")
+            .cast("double") / nullif(guard(col("ns"),
+              "Var(S+R) numerator"), lit(0)).cast("double")).as("f_seasonal"),
+          greatest(lit(0.0), lit(1.0) - guard(col("nr"), "Var(R) numerator")
+            .cast("double") / nullif(guard(col("nt"),
+              "Var(T+R) numerator"), lit(0)).cast("double")).as("f_trend"))
+        .orderBy("event_type")
+    },
+
+    // ── IPW / stratified lift ledger (the fifth causal estimator) ──────
+
+    // Inverse-propensity weighting with the stratum-frequency propensity
+    // p̂(s) = n_t(s)/n(s) — which is algebraically the classic stratified
+    // estimator: ATE = Σ_s (n_s/N)·(ȳ_t,s − ȳ_c,s). The engine emits the
+    // PER-STRATUM ledger (exact integer counts and revenue sums off the
+    // shared causalUsers spine, the actual IPW weights n/n_t and n/n_c,
+    // and the stratum lift as pinned double chains) rather than the
+    // single folded scalar: the fold is a ≤16-row driver-side reduction
+    // (strata = distinct pre-period active-day counts, calendar-bounded),
+    // while a SQL SUM over the per-stratum doubles would be
+    // order-arbitrary (rule 3). Degenerate strata (one arm empty) carry
+    // NULL means via nullif on both engines instead of diverging
+    // error/null behavior. Scale shape: one map-side user rollup → one
+    // ≤16-group aggregate; nothing corpus-scale past the spine.
+    Q("evt_ipw_lift",
+      s"""WITH $causalUsersSql, g AS (
+         |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_treated,
+         |         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_control,
+         |         CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+         |           AS yt,
+         |         CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+         |           AS yc
+         |  FROM u GROUP BY stratum
+         |)
+         |SELECT stratum, n_users, n_treated, n_control,
+         |       CAST(n_users AS DOUBLE) / nullif(n_treated, 0) AS w_treated,
+         |       CAST(n_users AS DOUBLE) / nullif(n_control, 0) AS w_control,
+         |       CAST(yt AS DOUBLE) / nullif(n_treated, 0) / 10000
+         |         AS mean_treated,
+         |       CAST(yc AS DOUBLE) / nullif(n_control, 0) / 10000
+         |         AS mean_control,
+         |       CAST(yt AS DOUBLE) / nullif(n_treated, 0) / 10000
+         |         - CAST(yc AS DOUBLE) / nullif(n_control, 0) / 10000
+         |         AS lift
+         |FROM g ORDER BY stratum""".stripMargin) { (s, d) =>
+      val u = causalUsers(s, d)
+      val g = u.groupBy("stratum")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_treated"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_control"),
+          sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("yt"),
+          sum(when(col("grp") === 0, col("y")).otherwise(0L)).as("yc"))
+      val mt = col("yt").cast("double") / nullif(col("n_treated"), lit(0)) /
+        10000
+      val mc = col("yc").cast("double") / nullif(col("n_control"), lit(0)) /
+        10000
+      g.select(col("stratum"), col("n_users"), col("n_treated"),
+          col("n_control"),
+          (col("n_users").cast("double") / nullif(col("n_treated"), lit(0)))
+            .as("w_treated"),
+          (col("n_users").cast("double") / nullif(col("n_control"), lit(0)))
+            .as("w_control"),
+          mt.as("mean_treated"), mc.as("mean_control"),
+          (mt - mc).as("lift"))
+        .orderBy("stratum")
+    },
+
+    // ── experiment sizing: post-hoc MDE of the A/B split ───────────────
+
+    // The minimum detectable effect the evt_ab_lift experiment could
+    // have resolved at α = 0.05 (two-sided) / power 0.80: MDE =
+    // (z_{0.975} + z_{0.80})·se with se = √(p̄(1−p̄)(1/n_a+1/n_b)) — the
+    // answer to "was this test even big enough", computed from the SAME
+    // four exact integers as the z-test. The z-quantile sum is ONE
+    // Scala-side double literal interpolated into BOTH engine texts
+    // (double toString round-trips, so DuckDB parses the identical
+    // bits); everything after is a pinned chain. One row out.
+    Q("evt_power_mde", {
+      val zsum = 1.959963984540054 + 0.8416212335729143
+      """WITH u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |       CAST(CAST(ca + cb AS DOUBLE) / (na + nb) AS DOUBLE) AS p_pool,
+        |       sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |            * (1.0e0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |            * (1.0e0 / na + 1.0e0 / nb)) AS se,
+        |       """.stripMargin +
+        s"""$zsum * sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+           |            * (1.0e0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+           |            * (1.0e0 / na + 1.0e0 / nb)) AS mde_abs,
+           |       $zsum * sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+           |            * (1.0e0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+           |            * (1.0e0 / na + 1.0e0 / nb))
+           |         / nullif(CAST(ca AS DOUBLE) / na, 0.0e0) AS mde_rel
+           |FROM g""".stripMargin
+    }) { (s, d) =>
+      val zsum = 1.959963984540054 + 0.8416212335729143
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val g = u.agg(
+        sum(when(col("grp") === 0, 1).otherwise(0)).as("na"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0)).as("ca"),
+        sum(when(col("grp") === 1, 1).otherwise(0)).as("nb"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0)).as("cb"))
+      val pPool = (col("ca") + col("cb")).cast("double") /
+        (col("na") + col("nb"))
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        pPool.as("p_pool"), se.as("se"),
+        (lit(zsum) * se).as("mde_abs"),
+        (lit(zsum) * se /
+          nullif(col("ca").cast("double") / col("na"), lit(0.0)))
+          .as("mde_rel"))
+    },
+
+    // ── rank AUC: does pre-period spend predict post-period purchase ───
+
+    // The offline-eval staple, exactly: AUC of the score "pre-period
+    // revenue" against the label "post-period revenue > $200" via the
+    // Mann–Whitney rank identity AUC = (Σ_pos midrank − n_p(n_p+1)/2)
+    // /(n_p·n_n), with ties at midranks. Everything is exact integers:
+    // DOUBLED midranks (2·mid = rmin + rmax per tied score group) avoid
+    // the /2, auc_ppm = 10⁶·(Σ2mid − n_p(n_p+1)) div (2·n_p·n_n) — all
+    // operands non-negative, so Spark's truncating div ≡ DuckDB's
+    // flooring // — and the one double is a single division of two
+    // exact int64s. The $200 threshold keeps both classes populated at
+    // every SF (y > 0 is degenerate: every fixture user purchases
+    // post-period). Scale shape: the global score ordering rides
+    // Ranking.globalRowNumber (range partition + zipWithIndex — no
+    // partition-less window over users), tie-group stats are a hash agg
+    // on the score, and the ledger folds to one row.
+    Q("evt_score_auc",
+      s"""WITH $causalUsersSql, rk AS (
+         |  SELECT user_id, x, CASE WHEN y > 2000000 THEN 1 ELSE 0 END AS pos,
+         |         rank() OVER (ORDER BY x) AS rmin,
+         |         COUNT(*) OVER (PARTITION BY x) AS cnt
+         |  FROM u
+         |), tot AS (
+         |  SELECT CAST(SUM(pos) AS BIGINT) AS np,
+         |         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn,
+         |         CAST(SUM(CASE WHEN pos = 1
+         |                  THEN 2 * rmin + cnt - 1 ELSE 0 END) AS BIGINT)
+         |           AS sdr
+         |  FROM rk
+         |)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |       CAST((1000000 * (sdr - np * (np + 1)))
+         |            // nullif(2 * np * nn, 0) AS BIGINT) AS auc_ppm,
+         |       CAST(CAST(sdr - np * (np + 1) AS DOUBLE)
+         |            / CAST(nullif(2 * np * nn, 0) AS DOUBLE) AS DOUBLE)
+         |         AS auc
+         |FROM tot""".stripMargin) { (s, d) =>
+      val u = causalUsers(s, d)
+        .select(col("user_id"), col("x"),
+          when(col("y") > 2000000L, 1L).otherwise(0L).as("pos"))
+      val ranked = Ranking.globalRowNumber(u, Seq("x", "user_id"), 32)
+      val xs = ranked.groupBy("x")
+        .agg(min("row_num").as("rmin"), max("row_num").as("rmax"))
+      val tot = ranked.filter(col("pos") === 1)
+        .join(xs, Seq("x"))
+        .agg(sum(col("rmin") + col("rmax")).as("sdr"),
+          count(lit(1)).as("np"))
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("ntot"))))
+        .select(col("np"), (col("ntot") - col("np")).as("nn"), col("sdr"))
+      tot.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        expr("(1000000 * (sdr - np * (np + 1))) div nullif(2 * np * nn, 0)")
+          .as("auc_ppm"),
+        ((col("sdr") - col("np") * (col("np") + 1)).cast("double")
+          / nullif((lit(2) * col("np") * col("nn")), lit(0)).cast("double"))
+          .as("auc"))
     }
   )
 }

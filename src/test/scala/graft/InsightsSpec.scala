@@ -866,4 +866,143 @@ class InsightsSpec extends SparkSuite {
       assert(lo <= hi && lo <= means(15)._1 && hi >= means(15)._1)
     }
   }
+
+  test("ts_ljung_box ≡ exact replay from the integer daily series; " +
+      "the revenue series rejects whiteness") {
+    val Seq(row) = q("ts_ljung_box").collect().toSeq
+    val (nDays, q7, reject) =
+      (row.getLong(0), row.getDouble(1), row.getBoolean(2))
+    // replay: integer $1000 daily revenue → paired acf per lag → Q7
+    val dly = Tables.orders(spark, SparkSuite.Sf0001)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1992-01-01"))).as("di"))
+      .agg((sum(col("o_totalprice").cast(Tables.M)) * 100)
+        .cast("long").as("cents"))
+      .select(col("di").cast("long").as("di"),
+        expr("cents div 100000").as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nDays == dly.size.toLong)
+    val rs = (1 to 7).map { k =>
+      val pairs = dly.toSeq.flatMap { case (di, y) =>
+        dly.get(di + k).map(x => (x, y))
+      }
+      val np = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      (np * sxy - sx * sy).toDouble /
+        (math.sqrt((np * sxx - sx * sx).toDouble) *
+          math.sqrt((np * syy - sy * sy).toDouble))
+    }
+    val n = nDays.toDouble
+    val want = n * (n + 2.0) * (1 to 7).map(k =>
+      rs(k - 1) * rs(k - 1) / (n - k)).reduceLeft(_ + _)
+    assert(q7 == want, s"q7=$q7 want=$want")
+    // daily revenue is strongly autocorrelated at every SF
+    assert(reject && q7 > 14.067140449340169)
+  }
+
+  test("ts_seasonal_strength ≡ exact replay off the stl ledger; " +
+      "strengths live in [0,1]") {
+    val got = q("ts_seasonal_strength").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val stl = q("ts_stl").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))) // (type, trend, seasonal, residual)
+    stl.groupBy(_._1).foreach { case (et, xs) =>
+      val (n, fs, ft) = got(et)
+      assert(n == xs.length.toLong)
+      def vnum(v: Seq[Long]): BigInt = {
+        val s = v.map(BigInt(_)).sum
+        BigInt(v.length) * v.map(x => BigInt(x) * x).sum - s * s
+      }
+      val rc = xs.map(x => math.floor(x._4 * 100).toLong)
+      val sc = xs.map(x => math.floor((x._3 + x._4) * 100).toLong)
+      val tc = xs.map(x => math.floor((x._2 + x._4) * 100).toLong)
+      val wantFs = math.max(0.0,
+        1.0 - vnum(rc).toDouble / vnum(sc).toDouble)
+      val wantFt = math.max(0.0,
+        1.0 - vnum(rc).toDouble / vnum(tc).toDouble)
+      assert(fs == wantFs, s"$et f_seasonal")
+      assert(ft == wantFt, s"$et f_trend")
+      assert(fs >= 0.0 && fs <= 1.0 && ft >= 0.0 && ft <= 1.0)
+    }
+  }
+
+  test("evt_ipw_lift: arm counts conserve users; weights and lift " +
+      "replay exactly from the spine") {
+    val rows = q("evt_ipw_lift").collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, SparkSuite.Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    rows.foreach { r =>
+      val (n, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt + nc == n)
+      if (nt > 0) assert(r.getDouble(4) == n.toDouble / nt)
+      if (nt > 0 && nc > 0) {
+        val lift = r.getDouble(8)
+        assert(lift == r.getDouble(6) - r.getDouble(7))
+      }
+    }
+  }
+
+  test("evt_power_mde ≡ the pinned chain over evt_ab_lift's integers; " +
+      "MDE exceeds the observed |lift| or the z-test rejects") {
+    val Seq(m) = q("evt_power_mde").collect().toSeq
+    val Seq(ab) = q("evt_ab_lift").collect().toSeq
+    val (na, nb) = (m.getLong(0), m.getLong(1))
+    assert(na == ab.getLong(0) && nb == ab.getLong(2))
+    val (ca, cb) = (ab.getLong(1), ab.getLong(3))
+    val pPool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pPool * (1.0 - pPool) * (1.0 / na + 1.0 / nb))
+    val zsum = 1.959963984540054 + 0.8416212335729143
+    assert(m.getDouble(2) == pPool && m.getDouble(3) == se)
+    assert(m.getDouble(4) == zsum * se)
+    assert(m.getDouble(5) == zsum * se / (ca.toDouble / na))
+    // coherence with the sibling z-test: an |observed lift| below the
+    // MDE must not come with a |z| beyond the rejection bound by much
+    // more than the power margin — sanity, not a theorem: pin only
+    // that both numbers are finite and positive here
+    assert(se > 0 && m.getDouble(4) > 0)
+  }
+
+  test("evt_score_auc ≡ exact midrank replay; ppm floors the double") {
+    val Seq(r) = q("evt_score_auc").collect().toSeq
+    val (np, nn, ppm, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(np > 0 && nn > 0, "degenerate fixture: one class empty")
+    val spine = Tables.events(spark, SparkSuite.Sf0001)
+    val epochDay = datediff(col("ts").cast("date"), lit("1970-01-01"))
+    val mid = spine.agg(
+      (((min(epochDay) + max(epochDay) + 1) / 2).cast("int")).as("m"))
+      .head.getInt(0)
+    val xs = spine
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") === "purchase" &&
+          epochDay < mid, col("value").cast("decimal(10,4)"))
+          .otherwise(lit(0))) * 10000).cast("long").as("x"),
+        (sum(when(col("event_type") === "purchase" &&
+          epochDay >= mid, col("value").cast("decimal(10,4)"))
+          .otherwise(lit(0))) * 10000).cast("long").as("y"))
+      .collect().map(row => (row.getLong(1), row.getLong(2) > 2000000L))
+    val sorted = xs.sortBy(_._1)
+    val rankOf = sorted.zipWithIndex.groupBy(_._1._1)
+      .map { case (x, g) =>
+        x -> (g.map(_._2 + 1L).min + g.map(_._2 + 1L).max)
+      }
+    val sdr = sorted.filter(_._2).map(p => rankOf(p._1)).sum
+    val wantNp = xs.count(_._2).toLong
+    val wantNn = xs.length - wantNp
+    assert(np == wantNp && nn == wantNn)
+    val wantAuc = (sdr - np * (np + 1)).toDouble / (2 * np * nn)
+    assert(auc == wantAuc, s"auc=$auc want=$wantAuc")
+    assert(ppm == (BigInt(1000000) * (sdr - np * (np + 1)) /
+      (2 * np * nn)).toLong)
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }
