@@ -1292,6 +1292,149 @@ object Vectors {
             .when(col("sum_a") * col("n_b") < col("sum_b") * col("n_a"), -1)
             .otherwise(0).cast("int").as("sign"))
         .orderBy("label", "dim")
+    },
+
+    // ── similarity RANGE search (all pairs ≥ τ) via banded LSH ─────────
+
+    // The range-query companion to the top-k searches: EVERY pair of
+    // corpus vectors with cosine ≥ 0.4, found through BANDED sign-LSH —
+    // the executable form of dedup_embed's "at scale the candidate
+    // blocks come from the LSH buckets" promise (that query brute-
+    // forces an explicit vec_id block as the verification kernel; this
+    // one never enumerates all pairs anywhere). Banding is the recall
+    // lever the single 8-plane bucket lacks: at τ = 0.4 the angle is
+    // ~66°, so all-8-signs-agree hits ~2% of true pairs (measured 1/59
+    // on this fixture), while 2 bands × 4 planes hit 1−(1−p⁴)² ≈ 29%
+    // (measured 22/59) at a bounded ~n²/2⁴ candidate volume per band —
+    // the same P[hit] = 1−(1−p^r)^b trade dedup_minhash_curve sweeps
+    // for Jaccard space. Candidates DISTINCT on the id pair before the
+    // exact re-join (a pair can hit both bands); the exact cosine gate
+    // then admits only true range hits, so banding can add candidates
+    // but never false results. Scale shape: two band equi-joins of
+    // id-only rows, one distinct, one hash re-join to the vectors,
+    // per-pair codegen'd exact math — zero corpus-scale windows.
+    Q("sim_range_search",
+      s"""WITH $normedSql,
+         |bk AS (
+         |  SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM nrm
+         |), bands AS (
+         |  SELECT vec_id, 0 AS b, bucket % 16 AS key FROM bk
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS b, bucket // 16 AS key FROM bk
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id
+         |), p AS (
+         |  SELECT c.a_id, c.b_id,
+         |         (${dotSql("x.embedding", "y.embedding")}) / (x.nrm * y.nrm)
+         |           AS cos
+         |  FROM cand c
+         |  JOIN nrm x ON x.vec_id = c.a_id
+         |  JOIN nrm y ON y.vec_id = c.b_id
+         |)
+         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val base = normed(s, d)
+      val bk = base.select(col("vec_id"), lshBucket(col("embedding"))
+        .as("bucket"))
+      val bands = bk.select(col("vec_id"), lit(0).as("b"),
+          (col("bucket") % 16).as("key"))
+        .unionByName(bk.select(col("vec_id"), lit(1).as("b"),
+          expr("bucket div 16").as("key")))
+      val cand = bands.select(col("vec_id").as("a_id"), col("b"), col("key"))
+        .join(bands.select(col("vec_id").as("b_id"), col("b"), col("key")),
+          Seq("b", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(base.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nrm").as("na")), Seq("a_id"))
+        .join(base.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ── PQ reconstruction distortion ledger ────────────────────────────
+
+    // The quality number a PQ index build ships: per vector the total
+    // squared reconstruction error Σ_m min_k ‖sub_m − C[m][k]‖² (the
+    // energy ADC scoring throws away) and its ratio to the vector's own
+    // energy ‖x‖². Both are pinned doubles: each subspace minimum is
+    // `least` over the 4 codeword distances (min over distinct doubles
+    // is order-free; the distances themselves are the pqDist pinned
+    // left-folds), and the 8-term total is a hand-unrolled
+    // left-associated chain identical on both engines. Per-row
+    // codegen'd expressions only — the ledger costs one scan at any
+    // corpus size, which is why FAISS prints it for free at train time.
+    Q("vec_pq_distortion", {
+      val dmins = (0 until PqM).map(m =>
+        s"least(${(0 until PqK).map(k => pqDistSql("embedding", m, k))
+          .mkString(", ")})")
+      s"""WITH $normedSql
+         |SELECT vec_id,
+         |       ${dmins.mkString("(", "\n        + ", ")")} AS distortion,
+         |       ${dmins.mkString("(", "\n        + ", ")")}
+         |         / nullif(nrm * nrm, 0.0e0) AS rel_distortion
+         |FROM nrm ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val dminCols = (0 until PqM).map(m =>
+        least((0 until PqK).map(k => pqDist(pqSubVec(col("embedding"), m),
+          m, k)): _*))
+      val tot = dminCols.reduce(_ + _)
+      normed(s, d)
+        .select(col("vec_id"), tot.as("distortion"),
+          (tot / nullif(col("nrm") * col("nrm"), lit(0.0)))
+            .as("rel_distortion"))
+        .orderBy("vec_id")
+    },
+
+    // ── per-dimension embedding health profile ─────────────────────────
+
+    // Mean and variance per coordinate — the first thing to look at
+    // when an embedding corpus misbehaves (dead dimensions variance≈0,
+    // a dominant dimension dwarfing the rest, a bias shift after a
+    // model swap). vec_drift's milli-quantization discipline: coords
+    // become exact integers via floor(x·1000) (one correctly-rounded
+    // double op + exact floor on both engines), the variance numerator
+    // n·Σm² − (Σm)² stays in int64 (|m| ≤ ~10³ ⇒ Σm² ≤ n·10⁶ — safe
+    // below 2⁶³ to corpus sizes past 10¹² rows), and the two output
+    // doubles are single divisions of exact integers. One scan, one
+    // 64-group map-side-combined aggregate.
+    Q("vec_dim_variance",
+      s"""WITH x AS (
+         |  SELECT CAST(r.i AS INTEGER) AS dim,
+         |         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+         |              AS BIGINT) AS m
+         |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) AS r(i)
+         |), c AS (
+         |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(m) AS BIGINT) AS s1,
+         |         CAST(SUM(m * m) AS BIGINT) AS s2
+         |  FROM x GROUP BY dim
+         |)
+         |SELECT dim, n,
+         |       CAST(s1 AS DOUBLE) / n / 1000 AS mean,
+         |       CAST(n * s2 - s1 * s1 AS DOUBLE)
+         |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+         |         / 1000000 AS variance
+         |FROM c ORDER BY dim""".stripMargin) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("int").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("m"))
+      x.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("m").as("s1"),
+          sum(col("m") * col("m")).as("s2"))
+        .select(col("dim"), col("n"),
+          (col("s1").cast("double") / col("n") / 1000).as("mean"),
+          ((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+            / (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))
+            / 1000000).as("variance"))
+        .orderBy("dim")
     }
   )
 }

@@ -336,4 +336,84 @@ class VectorsSpec extends SparkSuite {
     assert(fp == "cf99ea28a9f8c7c62232e9dca23b5399",
       s"quantizer fingerprint drifted: $fp\ncentroids: $canon")
   }
+
+  test("sim_range_search: sound vs brute force (no false results), " +
+      "banded recall clears the sign-LSH floor") {
+    val got = SparkEntry.queries("sim_range_search")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // brute-force truth: every pair with cos >= 0.4
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val ids = e.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(e(ids(i)), e(ids(j))) >= 0.4 - 1e-12
+    } yield (ids(i), ids(j))).toSet
+    assert(got.subsetOf(truth),
+      s"false results: ${(got -- truth).take(3)}")
+    // 2 bands x 4 planes at tau=0.4 measured 22/59 on this fixture;
+    // pin a conservative floor so a banding regression fails loudly
+    assert(got.size.toDouble / truth.size >= 0.25,
+      s"recall ${got.size}/${truth.size} under the banded floor")
+  }
+
+  test("vec_pq_distortion ≡ exact per-row replay off the literal codebook") {
+    val rows = SparkEntry.queries("vec_pq_distortion")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == Tables.embeddings(spark, Sf001).count())
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { case (id, dist, rel) =>
+      val x = e(id)
+      val want = (0 until Vectors.PqM).map { m =>
+        (0 until Vectors.PqK).map { k =>
+          var s = 0.0
+          (0 until Vectors.PqSub).foreach { j =>
+            val dd = x(m * Vectors.PqSub + j) - Vectors.pqCb(m, k, j)
+            s += dd * dd
+          }
+          s
+        }.min
+      }.reduceLeft(_ + _)
+      assert(dist == want, s"vec $id distortion")
+      var n2 = 0.0; x.foreach(v => n2 += v * v)
+      // the query divides by nrm*nrm (sqrt then square — one rounding
+      // step each), not by the raw Σx²: replay the identical route
+      val nrm = math.sqrt(n2)
+      assert(rel == want / (nrm * nrm), s"vec $id rel_distortion")
+      assert(dist >= 0.0 && rel >= 0.0)
+    }
+  }
+
+  test("vec_dim_variance ≡ exact milli-quantized replay; 64 dims, " +
+      "nonnegative variance") {
+    val got = SparkEntry.queries("vec_dim_variance")(spark, Sf001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == Vectors.Dim)
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    (1 to Vectors.Dim).foreach { dim =>
+      val ms = e.map(x => math.floor(x(dim - 1) * 1000).toLong)
+      val n = ms.length.toLong
+      val s1 = ms.sum; val s2 = ms.map(m => m * m).sum
+      val (gn, mean, variance) = got(dim)
+      assert(gn == n)
+      assert(mean == s1.toDouble / n / 1000)
+      assert(variance ==
+        (n * s2 - s1 * s1).toDouble / (n.toDouble * (n.toDouble - 1.0))
+          / 1000000)
+      assert(variance >= 0.0)
+    }
+  }
 }
