@@ -3309,6 +3309,139 @@ object TextOps {
         .unionByName(ledger("4_near", a4))
         .unionByName(ledger("5_decontam", a5))
         .orderBy("stage")
+    },
+
+    // ── ROUGE-2 contamination severity (how bad is each hit?) ──────────
+
+    // txt_contamination answers WHICH training docs overlap the eval
+    // slice; this answers HOW BADLY, in the metric eval suites actually
+    // report: per eval doc, the best-matching training doc by ROUGE-2
+    // recall = |bigrams(eval) ∩ bigrams(train)| / |bigrams(eval)| over
+    // DISTINCT bigram sets. A high-recall hit means the eval answer is
+    // effectively memorizable from that one training doc — the
+    // severity ranking a decontamination triage reads first. Exact
+    // integers end-to-end (set sizes, intersection via the shingle
+    // equi-join; ppm by non-negative div) + one pinned double. Scale
+    // shape: the intersection join carries one row per SHARED shingle
+    // (never doc×doc), the top-1 window partitions by eval doc
+    // (broadcast-sized slice by construction), and the per-eval total
+    // joins from a pre-aggregated eval-size table.
+    Q("txt_rouge2", {
+      val evalPred =
+        "substr(md5(concat('eval#', CAST(doc_id AS VARCHAR))), 1, 2) < '10'"
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS sx
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 2
+         |), ev AS (SELECT doc_id AS e_id, sx FROM sh WHERE $evalPred),
+         |tr AS (SELECT doc_id AS t_id, sx FROM sh WHERE NOT ($evalPred)),
+         |evn AS (SELECT e_id, CAST(COUNT(*) AS BIGINT) AS n_eval
+         |        FROM ev GROUP BY e_id),
+         |ov AS (
+         |  SELECT ev.e_id, tr.t_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM ev JOIN tr ON ev.sx = tr.sx
+         |  GROUP BY ev.e_id, tr.t_id
+         |), best AS (
+         |  SELECT e_id, t_id, n_shared,
+         |         row_number() OVER (PARTITION BY e_id
+         |           ORDER BY n_shared DESC, t_id) AS rn
+         |  FROM ov
+         |)
+         |SELECT b.e_id AS eval_id, b.t_id AS best_train, evn.n_eval,
+         |       b.n_shared,
+         |       CAST((1000000 * b.n_shared) // evn.n_eval AS BIGINT)
+         |         AS rouge2_ppm,
+         |       CAST(b.n_shared AS DOUBLE) / evn.n_eval AS rouge2_recall
+         |FROM best b JOIN evn ON evn.e_id = b.e_id
+         |WHERE b.rn = 1 ORDER BY eval_id""".stripMargin
+    }) { (s, d) =>
+      val isEval =
+        substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))),
+          1, 2).lt("10")
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+        .distinct()
+      val ev = sh.filter(isEval)
+        .select(col("doc_id").as("e_id"), col("sx"))
+      val tr = sh.filter(!isEval)
+        .select(col("doc_id").as("t_id"), col("sx"))
+      val evn = ev.groupBy("e_id").agg(count(lit(1)).as("n_eval"))
+      val ov = ev.join(tr, Seq("sx"))
+        .groupBy("e_id", "t_id").agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy("e_id")
+        .orderBy(col("n_shared").desc, col("t_id"))
+      ov.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(broadcast(evn), Seq("e_id"))
+        .select(col("e_id").as("eval_id"), col("t_id").as("best_train"),
+          col("n_eval"), col("n_shared"),
+          expr("(1000000 * n_shared) div n_eval").as("rouge2_ppm"),
+          (col("n_shared").cast("double") / col("n_eval"))
+            .as("rouge2_recall"))
+        .orderBy("eval_id")
+    },
+
+    // ── tokenizer fertility by language (the multilingual audit) ───────
+
+    // Tokens-per-word under the LEARNED BPE vocabulary, cut by
+    // language — the number multilingual tokenizer audits lead with
+    // (a language whose fertility is 2× pays 2× the context budget for
+    // the same text). Fourth consumer of the memoized [[bpeFit]]: the
+    // post-merge state carries each word's token count (its row count
+    // in st4); per-language occurrence counts re-weight that
+    // vocabulary-sized table, so the corpus is touched once more for
+    // the (lang, word) rollup and nothing else. Exact integers with
+    // two single-division doubles. The SQL mirror re-runs the 4-round
+    // trainer CTE chain (AS MATERIALIZED on every multiply-read level —
+    // the txt_bpe_merges lesson).
+    Q("txt_bpe_fertility", {
+      val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n")
+      s"""WITH vocab AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents) x
+         |  GROUP BY word
+         |), st0 AS MATERIALIZED (
+         |  SELECT word, w, CAST(r.pos AS BIGINT) AS pos,
+         |         substr(word, CAST(r.pos AS INTEGER), 1) AS tok
+         |  FROM vocab, UNNEST(range(1, len(word) + 1)) AS r(pos)
+         |),
+         |$rounds, wl AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM st4 GROUP BY word
+         |), lw AS (
+         |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT lang, unnest($toksSql) AS word FROM documents) x
+         |  GROUP BY lang, word
+         |)
+         |SELECT lang,
+         |       CAST(SUM(c) AS BIGINT) AS n_words,
+         |       CAST(SUM(c * len(lw.word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(CAST(SUM(c * n_tok) AS DOUBLE)
+         |            / CAST(SUM(c) AS DOUBLE) AS DOUBLE) AS fertility,
+         |       CAST(CAST(SUM(c * len(lw.word)) AS DOUBLE)
+         |            / CAST(SUM(c * n_tok) AS DOUBLE) AS DOUBLE)
+         |         AS chars_per_token
+         |FROM lw JOIN wl ON wl.word = lw.word
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+      val wl = bpeFit(s, d)._2
+        .groupBy("word").agg(count(lit(1)).as("n_tok"))
+      val lw = Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      lw.join(wl, Seq("word"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * length(col("word"))).cast("long").as("n_chars"),
+          sum(col("c") * col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("lang")
     }
   )
 

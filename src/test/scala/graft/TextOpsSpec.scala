@@ -996,4 +996,59 @@ class TextOpsSpec extends SparkSuite {
     topk.foreach { case (q, _, n, _, cos) =>
       assert(n != q && cos <= 1.0 + 1e-12, s"($q,$n) cosine $cos") }
   }
+
+  test("txt_rouge2 ≡ exact best-match replay over distinct bigram sets") {
+    val got = SparkEntry.queries("txt_rouge2")(spark, Sf001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 2)
+      .map { case (id, t) =>
+        (id, t.sliding(2).map(_.mkString(" ")).toSet)
+      }
+    val (ev, tr) = docs.partition { case (id, _) =>
+      md5hex(s"eval#$id").substring(0, 2) < "10"
+    }
+    ev.foreach { case (eid, esh) =>
+      val overlaps = tr.map { case (tid, tsh) => (tid, (esh & tsh).size) }
+        .filter(_._2 > 0)
+      if (overlaps.isEmpty) assert(!got.contains(eid))
+      else {
+        val (bt, shared) = overlaps.minBy { case (tid, n) => (-n, tid) }
+        val (gbt, gn, gshared, gppm) = got(eid)
+        assert(gbt == bt && gn == esh.size.toLong &&
+          gshared == shared.toLong, s"eval $eid")
+        assert(gppm == 1000000L * shared / esh.size)
+        assert(gshared <= gn)
+      }
+    }
+  }
+
+  test("txt_bpe_fertility: language cut conserves the compression " +
+      "ledger's corpus totals; fertility bounded by [1, chars/word]") {
+    val f = SparkEntry.queries("txt_bpe_fertility")(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(f.nonEmpty)
+    val c = SparkEntry.queries("txt_bpe_compression")(spark, Sf001)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Σ_lang == Σ_len-bucket on every exact column (both partitions of
+    // the same weighted vocabulary)
+    assert(f.map(_._2).sum == c.map(_._1).sum, "n_words")
+    assert(f.map(_._3).sum == c.map(_._2).sum, "n_chars")
+    assert(f.map(_._4).sum == c.map(_._3).sum, "n_tokens")
+    f.foreach { case (lang, w, ch, tk, fert, cpt) =>
+      assert(fert >= 1.0 && tk >= w && tk <= ch,
+        s"$lang fertility bounds: w=$w ch=$ch tk=$tk")
+      assert(fert == tk.toDouble / w && cpt == ch.toDouble / tk, lang)
+    }
+  }
 }
