@@ -99,6 +99,47 @@ object Analytics {
       .orderBy("flag")
   }
 
+  /** ts_anomaly's oracle, optionally restricted to days CLOSED by the
+    * final stream watermark (max event time, delay 0, floored to ms —
+    * the StreamAnomaly contract): shared between the batch query and
+    * its driver-visible streaming feed (stream_anomaly_feed). */
+  private def tsAnomalySql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      """
+        |  AND epoch_us(CAST(day AS TIMESTAMP)) + 86400000000
+        |        <= (SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+        |            * 1000 FROM events)""".stripMargin
+    else ""
+    s"""WITH dly AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(SUM(CAST(value AS DECIMAL(10,4))) * 10000 AS BIGINT)
+       |           AS t4
+       |  FROM events GROUP BY 1, 2
+       |), w AS (
+       |  SELECT event_type, day, t4,
+       |         COUNT(*) OVER w7 AS n,
+       |         CAST(SUM(t4) OVER w7 AS BIGINT) AS sx4,
+       |         SUM(CAST(t4 AS HUGEINT) * t4) OVER w7 AS sx2
+       |  FROM dly
+       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |), v AS (
+       |  SELECT event_type, day, t4, sx4, n,
+       |         7 * sx2 - CAST(sx4 AS HUGEINT) * sx4 AS num
+       |  FROM w
+       |)
+       |SELECT event_type, CAST(day AS DATE) AS day,
+       |       CAST(t4 AS DOUBLE) / 1.0e4 AS total,
+       |       (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0 AS mean7,
+       |       sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4 AS sd7,
+       |       abs(CAST(t4 AS DOUBLE) / 1.0e4
+       |           - (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0) >
+       |         2.0 * (sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4)
+       |         AS is_anomaly
+       |FROM v WHERE n = 7$closed
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── conversion funnel: view → click → purchase ─────────────────────
@@ -795,35 +836,7 @@ object Analytics {
     // directly. Warm-up days (window shorter than 7 rows) are
     // excluded rather than emitted with unstable statistics.
     // StreamAnomaly mirrors this arithmetic bit-for-bit.
-    Q("ts_anomaly",
-      """WITH dly AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |         CAST(SUM(CAST(value AS DECIMAL(10,4))) * 10000 AS BIGINT)
-        |           AS t4
-        |  FROM events GROUP BY 1, 2
-        |), w AS (
-        |  SELECT event_type, day, t4,
-        |         COUNT(*) OVER w7 AS n,
-        |         CAST(SUM(t4) OVER w7 AS BIGINT) AS sx4,
-        |         SUM(CAST(t4 AS HUGEINT) * t4) OVER w7 AS sx2
-        |  FROM dly
-        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |), v AS (
-        |  SELECT event_type, day, t4, sx4, n,
-        |         7 * sx2 - CAST(sx4 AS HUGEINT) * sx4 AS num
-        |  FROM w
-        |)
-        |SELECT event_type, CAST(day AS DATE) AS day,
-        |       CAST(t4 AS DOUBLE) / 1.0e4 AS total,
-        |       (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0 AS mean7,
-        |       sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4 AS sd7,
-        |       abs(CAST(t4 AS DOUBLE) / 1.0e4
-        |           - (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0) >
-        |         2.0 * (sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4)
-        |         AS is_anomaly
-        |FROM v WHERE n = 7
-        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    Q("ts_anomaly", tsAnomalySql(closedOnly = false)) { (s, d) =>
       val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val dly = Tables.events(s, d)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -856,6 +869,25 @@ object Analytics {
         .select(col("event_type"), col("day"), td.as("total"),
           mean7.as("mean7"), sd7.as("sd7"),
           (abs(td - mean7) > lit(2.0) * sd7).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
+    // ── streaming anomaly feed, driver-visible (§2.10 in the oracle) ───
+
+    // StreamAnomaly's AvailableNow emissions (per-type 7-day ring in
+    // GroupState, bit-identical arithmetic to ts_anomaly by
+    // construction) materialized and oracled against the INDEPENDENT
+    // batch computation restricted to watermark-closed days — the
+    // fourth driver-visible streaming row. StreamAnomalySpec pins
+    // stream ≡ batch in-JVM; this re-proves it per round through the
+    // DuckDB hash gate. Closure rule identical to stream_wau_feed's:
+    // final watermark = max event time floored to ms, day closed iff
+    // its end is at-or-before it.
+    Q("stream_anomaly_feed", tsAnomalySql(closedOnly = true)) { (s, d) =>
+      graft.streaming.StreamAnomaly
+        .runAvailableNow(s, d, "stream_anomaly_feed_sink")
+        .select(col("event_type"), to_date(col("day")).as("day"),
+          col("total"), col("mean7"), col("sd7"), col("is_anomaly"))
         .orderBy("event_type", "day")
     },
 

@@ -26,6 +26,47 @@ object Sketches {
       s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * $w"
     }.mkString(" + ")
 
+  /** evt_wau_sketch's oracle, optionally restricted to days CLOSED by
+    * the final stream watermark (max event time, delay 0, floored to
+    * ms — the StreamWau contract): the shared text keeps the batch
+    * query and its driver-visible streaming feed (stream_wau_feed)
+    * oracling the same computation. */
+  private def wauSketchSql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      """
+        |  AND epoch_us(CAST(m.day AS TIMESTAMP)) + 86400000000
+        |        <= (SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+        |            * 1000 FROM events)""".stripMargin
+    else ""
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+       |), hh AS (
+       |  SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ud
+       |), sk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |    FROM hh) x
+       |  WHERE rn <= $K
+       |), contrib AS (
+       |  SELECT DISTINCT sk.day + CAST(i AS INTEGER) AS day, h
+       |  FROM sk, range(0, 7) r(i)
+       |), m AS (
+       |  SELECT day, h,
+       |         row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+       |         COUNT(*) OVER (PARTITION BY day) AS n_union
+       |  FROM contrib
+       |)
+       |SELECT m.day, n_union,
+       |       CASE WHEN n_union < $K THEN CAST(n_union AS DOUBLE)
+       |            ELSE ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
+       |                               / 4503599627370496.0) END AS wau_sketch
+       |FROM m
+       |JOIN (SELECT DISTINCT day FROM ud) ad ON ad.day = m.day
+       |WHERE rn = least($K, n_union)
+       |  AND m.day >= (SELECT MIN(day) FROM ud) + 6$closed
+       |ORDER BY m.day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Distinct users per event type, exact AND KMV-estimated: the k-th
@@ -89,34 +130,7 @@ object Sketches {
     // twin AND the estimate's relative error against the exact
     // evt_dau_wau. Days whose window reaches before the data start are
     // excluded, mirroring evt_dau_wau.
-    Q("evt_wau_sketch",
-      s"""WITH ud AS (
-         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-         |), hh AS (
-         |  SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ud
-         |), sk AS (
-         |  SELECT day, h FROM (
-         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
-         |    FROM hh) x
-         |  WHERE rn <= $K
-         |), contrib AS (
-         |  SELECT DISTINCT sk.day + CAST(i AS INTEGER) AS day, h
-         |  FROM sk, range(0, 7) r(i)
-         |), m AS (
-         |  SELECT day, h,
-         |         row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
-         |         COUNT(*) OVER (PARTITION BY day) AS n_union
-         |  FROM contrib
-         |)
-         |SELECT m.day, n_union,
-         |       CASE WHEN n_union < $K THEN CAST(n_union AS DOUBLE)
-         |            ELSE ${K - 1}.0 / (CAST(${hex13Sql("h")} AS DOUBLE)
-         |                               / 4503599627370496.0) END AS wau_sketch
-         |FROM m
-         |JOIN (SELECT DISTINCT day FROM ud) ad ON ad.day = m.day
-         |WHERE rn = least($K, n_union)
-         |  AND m.day >= (SELECT MIN(day) FROM ud) + 6
-         |ORDER BY m.day""".stripMargin) { (s, d) =>
+    Q("evt_wau_sketch", wauSketchSql(closedOnly = false)) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val hh = ud.select(col("day"),
@@ -141,6 +155,107 @@ object Sketches {
             .otherwise(lit((K - 1).toDouble) /
               (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
                 / lit(Norm))).as("wau_sketch"))
+        .orderBy("day")
+    },
+
+    // ── streaming WAU feed, driver-visible (§2.10 in the oracle) ───────
+
+    // StreamWau's AvailableNow emissions (one KMV sketch per day + a
+    // ≤7-sketch ring in GroupState) materialized and oracled against
+    // the INDEPENDENT batch computation restricted to watermark-closed
+    // days — the third driver-visible streaming row (after
+    // stream_cdc_feed / stream_expectations_feed). StreamWauSpec
+    // already pins stream ≡ batch in-JVM; this re-proves it per round
+    // through the DuckDB hash gate. Closure rule mirrored exactly: the
+    // final watermark is max event time (delay 0) FLOORED TO MS (Spark
+    // watermarks are ms-granular), and a day is closed iff its end is
+    // at-or-before it.
+    Q("stream_wau_feed", wauSketchSql(closedOnly = true)) { (s, d) =>
+      graft.streaming.StreamWau
+        .runAvailableNow(s, d, "stream_wau_feed_sink")
+        .select(to_date(col("day")).as("day"), col("n_union"),
+          col("wau_sketch"))
+        .orderBy("day")
+    },
+
+    // ── HLL-register WAU (the element-wise-max merge path) ─────────────
+
+    // The trailing-7-day WAU again, this time from DAILY HLL REGISTER
+    // SETS merged by element-wise MAX — the merge evt_wau_sketch's KMV
+    // ring cannot do in O(1) state per bucket. KMV merges by re-ranking
+    // the unioned bottom-k's (O(7k log k) per output day); HLL registers
+    // fold with GREATEST, so at 100 TB the 7-day window is ONE max-agg
+    // over (day+i, bucket) cells — the same bounded ×7 contribution
+    // explode, but of 64 integers per day instead of k hashes, and the
+    // whole window merge is map-side combinable. Same determinism route
+    // as sketch_hll: md5 → 52-bit value, bucket = low 6 bits, rho via
+    // the len(bin(·)) identity, harmonic denominator as the exact
+    // scaled integer Σ2^(50−M_j) < 2⁶⁴ (rule-10 safe channel), ONE
+    // pinned double expression for α_64·m²/Σ. Warm-up cut and
+    // active-day gating mirror evt_wau_sketch so the three WAU forms
+    // (exact / KMV / HLL) are row-aligned.
+    Q("evt_wau_hll",
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         |), rr AS (
+         |  SELECT day, h52 % 64 AS b,
+         |         CASE WHEN h52 // 64 = 0 THEN 47
+         |              ELSE 47 - len(bin(h52 // 64)) END AS rho
+         |  FROM (SELECT day,
+         |               (${hex13Sql("md5(CAST(user_id AS VARCHAR))")}) AS h52
+         |        FROM ud) hv
+         |), contrib AS (
+         |  SELECT rr.day + CAST(i AS INTEGER) AS day, b, MAX(rho) AS m
+         |  FROM rr, range(0, 7) r(i)
+         |  GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ad.day, g.b
+         |  FROM (SELECT DISTINCT day FROM ud) ad,
+         |       (SELECT unnest(range(0, 64)) AS b) g
+         |), reg AS (
+         |  SELECT grid.day, grid.b, COALESCE(contrib.m, 0) AS m
+         |  FROM grid LEFT JOIN contrib
+         |    ON contrib.day = grid.day AND contrib.b = grid.b
+         |)
+         |SELECT day,
+         |       CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS v_zero,
+         |       CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT)
+         |         AS s_scaled,
+         |       0.709e0 * 4096e0 * 1125899906842624e0
+         |         / CAST(CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT)
+         |                AS DOUBLE) AS wau_hll
+         |FROM reg
+         |WHERE day >= (SELECT MIN(day) FROM ud) + 6
+         |GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val rr = ud.select(col("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h52"))
+        .select(col("day"), (col("h52") % 64).as("b"),
+          when(expr("h52 div 64") === 0, lit(47))
+            .otherwise(lit(47) - length(bin(expr("h52 div 64")))).as("rho"))
+      val contrib = rr
+        .select(col("day").as("d0"), col("b"), col("rho"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .groupBy(expr("date_add(d0, i)").as("day"), col("b"))
+        .agg(max("rho").as("m"))
+      val grid = ud.select("day").distinct()
+        .crossJoin(broadcast(s.range(0, 64).select(col("id").as("b"))))
+      val reg = grid.join(contrib, Seq("day", "b"), "left")
+        .select(col("day"), coalesce(col("m"), lit(0)).as("m"))
+      val minDay = ud.agg(min("day").as("min_day"))
+      reg.groupBy("day")
+        .agg(sum(when(col("m") === 0, 1).otherwise(0)).cast("long")
+            .as("v_zero"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
+            .as("s_scaled"))
+        .join(broadcast(minDay))
+        .filter(col("day") >= expr("date_add(min_day, 6)"))
+        .select(col("day"), col("v_zero"), col("s_scaled"),
+          (lit(0.709) * lit(4096.0) * lit(1125899906842624.0)
+            / col("s_scaled").cast("double")).as("wau_hll"))
         .orderBy("day")
     },
 

@@ -418,4 +418,51 @@ class SketchSpec extends SparkSuite {
     assert(merged == full, "per-epoch HLL registers do not MAX-fold " +
       "to the full-corpus registers")
   }
+
+  test("evt_wau_hll: row-aligned with the KMV form, estimate within " +
+      "HLL error of exact trailing-7-day actives, daily registers " +
+      "MAX-fold into each window") {
+    val hll = SparkEntry.queries("evt_wau_hll")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val kmv = SparkEntry.queries("evt_wau_sketch")(spark, SparkSuite.Sf001)
+      .collect().map(_.getDate(0).toString).toSet
+    assert(hll.keySet == kmv, "the three WAU forms must be row-aligned")
+
+    // exact trailing-7-day actives per output day
+    val ud = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val errs = hll.map { case (day, (vZero, sScaled, est)) =>
+      val d = java.time.LocalDate.parse(day).toEpochDay
+      val exact = ud.filter(p => p._2 >= d - 6 && p._2 <= d)
+        .map(_._1).distinct.length
+      assert(est > 0 && sScaled > 0 && vZero >= 0 && vZero <= 64)
+      math.abs(est - exact) / exact
+    }
+    // m=64 raw HLL has ~13% standard error; allow 3 sigma on the mean
+    assert(errs.sum / errs.size < 0.40,
+      f"mean HLL relative error ${errs.sum / errs.size}%.3f")
+
+    // register linearity on one window: per-day registers MAX-fold to
+    // the window's s_scaled for the LAST output day
+    val lastDay = hll.keySet.max
+    val d1 = java.time.LocalDate.parse(lastDay).toEpochDay
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val regs = Array.fill(64)(0L)
+    ud.filter(p => p._2 >= d1 - 6 && p._2 <= d1).map(_._1).distinct
+      .foreach { u =>
+        val h52 = java.lang.Long.parseLong(md5hex(u.toString).take(13), 16)
+        val b = (h52 % 64).toInt
+        val hi = h52 / 64
+        val rho = if (hi == 0) 47L else 47L - java.lang.Long.toBinaryString(hi).length
+        regs(b) = math.max(regs(b), rho)
+      }
+    val sWant = regs.map(m => 1L << (50 - m)).sum
+    assert(hll(lastDay)._2 == sWant, "window registers diverge from " +
+      "the per-user MAX-fold replay")
+  }
 }
