@@ -218,6 +218,43 @@ object Insights {
         .orderBy("gid", "priority", "status")
     },
 
+    // ── explicit GROUPING SETS (the mixed-subtotal report) ─────────────
+
+    // The grouping-sets surface CUBE/ROLLUP can't express: exactly the
+    // subtotal combinations the report wants — here ((priority,status),
+    // (priority), ()) — skipping the (status) margin a CUBE would also
+    // compute (and at 100 TB, also SHUFFLE: each extra set is another
+    // Expand replica of the fact rows, so explicit sets are the cost
+    // lever, not just a formatting choice). Same single-Expand →
+    // map-side-combined hash agg plan as agg_cube; same explicit gid
+    // bit formula so both engines construct the id identically.
+    Q("agg_grouping_sets",
+      """SELECT CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+        |         AS BIGINT) AS gid,
+        |       o_orderpriority AS priority, o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())
+        |ORDER BY gid, priority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("priority"), col("status")), Seq(col("priority")),
+            Seq()),
+          col("priority"), col("status"))
+        .agg(
+          (grouping(col("priority")) * 2 + grouping(col("status")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Tables.M)).cast("double").as("total"))
+        .select("gid", "priority", "status", "n", "total")
+        .orderBy("gid", "priority", "status")
+    },
+
     // ── customer spend deciles WITHOUT a global window ─────────────────
 
     // ntile(10) over all customers by spend. The textbook form is a

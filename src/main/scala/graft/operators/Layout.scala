@@ -223,6 +223,61 @@ object Layout {
             sum(col("o_totalprice").cast(Tables.M)).cast("double")
               .as("total"))
           .orderBy("o_orderpriority")
+    },
+
+    // ── DYNAMIC partition pruning (the runtime prune) ──────────────────
+
+    // layout_partition_prune shows the STATIC lever: a literal
+    // predicate on the partition column prunes at listing time. The
+    // production query rarely has the literal — it has a JOIN to a
+    // filtered dimension ("closed statuses", "last fiscal week"), and
+    // the partition values to keep are only known at RUNTIME, after the
+    // dim side is evaluated. Spark's dynamic partition pruning reuses
+    // the broadcast dim as a subquery filter ON THE FACT SCAN's
+    // PartitionFilters (`dynamicpruningexpression(o_orderstatus IN
+    // dynamicpruning#N)` in the plan — LayoutSpec pins it), so the
+    // pruned directories are never listed even though no literal
+    // appears anywhere. At 100 TB this is the difference between a
+    // date-dim join scanning one week and scanning the whole lake.
+    // Same `status=X/` fixture as layout_partition_prune (LayoutCache
+    // memoizes the write); the 3-row status dim materializes once too.
+    // The answer is layout-independent ⇒ the oracle joins the plain
+    // table to the dim as VALUES.
+    Q("layout_dpp",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders
+        |JOIN (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+        |     dim(status, label)
+        |  ON o_orderstatus = dim.status
+        |WHERE dim.label = 'closed'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val factPath = graft.LayoutCache.materialize("graft_part", d,
+          "orders") { stage =>
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+              "o_totalprice")
+            .write.mode("overwrite").partitionBy("o_orderstatus")
+            .parquet(stage)
+        }
+        val dimPath = graft.LayoutCache.materialize("graft_dpp_dim", d,
+          "orders") { stage =>
+          val sp = s
+          import sp.implicits._
+          Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+            .toDF("status", "label")
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        }
+        val dim = s.read.parquet(dimPath).filter(col("label") === "closed")
+        s.read.parquet(factPath)
+          .join(broadcast(dim), col("o_orderstatus") === col("status"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Tables.M)).cast("double")
+              .as("total"))
+          .orderBy("o_orderpriority")
     }
   )
 

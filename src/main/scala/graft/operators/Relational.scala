@@ -152,6 +152,52 @@ object Relational {
         .orderBy("lang")
     },
 
+    // ── fixed-width text ingestion (the mainframe/EDI feed) ────────────
+
+    // The fourth text-interchange format beside CSV/JSONL/xlsx: records
+    // as fixed COLUMN POSITIONS, no delimiters — what mainframe exports,
+    // bank feeds, and EDI drops still look like. No built-in Spark
+    // source exists (correctly: it is `spark.read.text` + substring
+    // projection, all codegen'd, and the parse pushes nothing anyway —
+    // a fixed-width file has no footer statistics to prune on). Orders
+    // written once per (session, sf-dir) as 43-char records via
+    // LayoutCache (orderkey zero-padded 12, status 1, price as a
+    // right-aligned DECIMAL(12,4) string in 15, priority left-aligned
+    // 15), parsed back by position, aggregated. Answer is format-
+    // independent ⇒ the plain-table oracle pins the whole
+    // format→write→parse→agg path, with the orderkey checksum proving
+    // the positional parse never slipped a column (the failure mode
+    // fixed-width feeds actually have).
+    Q("src_fixed_width",
+      """SELECT o_orderpriority AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |         AS total
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, d) =>
+      val path = graft.LayoutCache.materialize("graft_fixedw", d,
+        "orders") { stage =>
+        Tables.orders(s, d)
+          .select(concat(
+            lpad(col("o_orderkey").cast("string"), 12, "0"),
+            col("o_orderstatus"),
+            lpad(col("o_totalprice").cast(M).cast("string"), 15, " "),
+            rpad(col("o_orderpriority"), 15, " ")).as("value"))
+          .coalesce(4)
+          .write.mode("overwrite").text(stage)
+      }
+      s.read.text(path)
+        .select(
+          substring(col("value"), 1, 12).cast("long").as("o_orderkey"),
+          trim(substring(col("value"), 14, 15)).cast(M).as("total"),
+          trim(substring(col("value"), 29, 15)).as("priority"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_checksum"),
+          sum("total").cast("double").as("total"))
+        .orderBy("priority")
+    },
+
     // ── §2.2 projections / filters ──────────────────────────────────────
 
     // Column projection (Prisma select blocks,
@@ -581,6 +627,48 @@ object Relational {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    },
+
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    // surface every warehouse needs for nullable dimension keys, where
+    // plain `=` silently drops the NULL stratum (NULL = NULL is NULL,
+    // not true). Two epoch halves of orders roll up per nullable key
+    // (the modal priority nulled out — the "unknown" bucket a feed with
+    // optional fields produces), then join null-safely so the unknown
+    // buckets pair like any other key. Pre-aggregate BEFORE the join:
+    // the null-safe join is between two key-sized rollups, never a
+    // row×row pairing — and at scale a null-heavy key is the classic
+    // skew cell, which pre-aggregation removes entirely.
+    Q("join_null_safe",
+      """WITH a AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n_a,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |           AS total_a
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n_b,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |           AS total_b
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+        |)
+        |SELECT COALESCE(a.k, '<unknown>') AS key, n_a, n_b,
+        |       total_a, total_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      def half(par: Int, suffix: String) = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === par)
+        .groupBy(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("k"))
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          sum(col("o_totalprice").cast(Tables.M)).cast("double")
+            .as(s"total_$suffix"))
+      val a = half(0, "a")
+      val b = half(1, "b").withColumnRenamed("k", "kb")
+      a.join(b, col("k") <=> col("kb"))
+        .select(coalesce(col("k"), lit("<unknown>")).as("key"),
+          col("n_a"), col("n_b"), col("total_a"), col("total_b"))
+        .orderBy("key")
     },
 
     // EXCEPT — churn: customers active in 1994 but silent in 1995.

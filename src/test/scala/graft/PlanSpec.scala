@@ -572,6 +572,49 @@ class PlanSpec extends SparkSuite {
       "status filter did not reach PartitionFilters:\n" + p.take(1200))
   }
 
+  test("layout_dpp: the dim filter reaches the fact scan as a RUNTIME " +
+      "dynamicpruning PartitionFilter (no literal anywhere)") {
+    val p = plan("layout_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "dynamic partition pruning did not fire on the fact scan:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("agg_grouping_sets: ONE Expand feeds the aggregate, and the " +
+      "(status)-only margin a CUBE would add is absent") {
+    val p = plan("agg_grouping_sets")
+    assert("Expand".r.findAllIn(p).length == 1,
+      "grouping sets must expand once:\n" + p.take(1200))
+    val gids = SparkEntry.queries("agg_grouping_sets")(
+      spark, SparkSuite.Sf0001).collect().map(_.getLong(0)).toSet
+    assert(gids == Set(0L, 1L, 3L), s"unexpected grouping ids $gids")
+  }
+
+  test("join_null_safe: the unknown bucket survives the join (a plain " +
+      "equi-join would drop the NULL stratum)") {
+    val rows = SparkEntry.queries("join_null_safe")(
+      spark, SparkSuite.Sf0001).collect()
+    assert(rows.map(_.getString(0)).contains("<unknown>"),
+      "NULL<=>NULL row missing")
+    // both sides partition the whole table: totals conserve
+    val n = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(n == Tables.orders(spark, SparkSuite.Sf0001).count())
+  }
+
+  test("src_fixed_width: every written record is exactly 43 chars " +
+      "(positional integrity is the format's whole contract)") {
+    SparkEntry.queries("src_fixed_width")(spark, SparkSuite.Sf0001).collect()
+    val path = graft.LayoutCache.materialize("graft_fixedw",
+      SparkSuite.Sf0001, "orders")(_ =>
+      fail("fixture should already be materialized"))
+    val lens = spark.read.text(path)
+      .select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("value")).as("l"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(43), s"record widths $lens")
+  }
+
   test("txt_hash_embed: one documents scan, no join anywhere (the cell " +
       "assembly is pure aggregation)") {
     val p = plan("txt_hash_embed")
