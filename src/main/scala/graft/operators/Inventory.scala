@@ -414,6 +414,43 @@ object Inventory {
             date_format(col("date"), "yyyy-MM-dd"), lit("\""))
             .as("whereString"))
         .orderBy("date")
+    },
+
+    // ── quoted/multiline CSV roundtrip (the interchange edge cases) ────
+
+    // The CSV semantics that break naive splitters: fields containing
+    // the DELIMITER, embedded QUOTES, and embedded NEWLINES — all three
+    // planted into one synthetic field per document, written through
+    // Spark's CSV writer (RFC-4180-style quoting) and read back with
+    // `multiLine` (a quoted newline makes records span physical lines,
+    // so the file is no longer line-splittable — the reader must parse
+    // quote state, which is why multiLine CSV reads are one task per
+    // file at scale and big corpora ship JSONL instead; this query IS
+    // that trade documented as code). Answer is format-independent ⇒
+    // the plain-table oracle pins write→quote→parse with a per-language
+    // character checksum that any quoting slip breaks.
+    Q("src_csv_quoted",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(concat('v,"', substr(text, 1, 20), '"',
+        |                              chr(10), lang))) AS BIGINT)
+        |         AS char_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val tricky = concat(lit("v,\""), substring(col("text"), 1, 20),
+          lit("\"\n"), col("lang"))
+        val path = graft.LayoutCache.materialize("graft_csvq", d,
+          "documents") { stage =>
+          graft.Tables.documents(s, d)
+            .select(col("doc_id"), tricky.as("tricky"), col("lang"))
+            .coalesce(4)
+            .write.mode("overwrite").csv(stage)
+        }
+        s.read.schema("doc_id BIGINT, tricky STRING, lang STRING")
+          .option("multiLine", "true").csv(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("tricky"))).cast("long").as("char_checksum"))
+          .orderBy("lang")
     }
   )
 }

@@ -278,6 +278,52 @@ object Layout {
             sum(col("o_totalprice").cast(Tables.M)).cast("double")
               .as("total"))
           .orderBy("o_orderpriority")
+    },
+
+    // ── small-file compaction, measured as data ────────────────────────
+
+    // The most common lake maintenance job: a streaming/incremental
+    // writer leaves thousands of small files (here: a 64-way
+    // round-robin write), and every subsequent scan pays per-file open
+    // cost, per-file footer reads, and a task per file — at 100 TB the
+    // small-file problem IS the cluster's listing/scheduler bottleneck.
+    // Compaction rewrites to few large files (here: 4). The query reads
+    // BOTH layouts and reports the measured ledger — file count via
+    // DISTINCT input_file_name() (real filesystem observation, not the
+    // write parameter echoed back) and row conservation. Row-identical
+    // answers with 16× fewer files is the whole point; the file counts
+    // are deterministic because round-robin repartition(n) over a
+    // non-empty table fills all n partitions. Both layouts write once
+    // per (session, sf-dir) via LayoutCache.
+    Q("layout_compaction",
+      """SELECT * FROM (
+        |  SELECT '1_small' AS stage, CAST(64 AS BIGINT) AS n_files,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '2_compacted', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM orders
+        |) t ORDER BY stage""".stripMargin) { (s, d) =>
+      val path = graft.LayoutCache.materialize("graft_compact", d,
+        "orders", marker = "compacted/_SUCCESS") { stage =>
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$stage/small")
+        s.read.parquet(s"$stage/small")
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$stage/compacted")
+      }
+      def ledger(stage: String, sub: String) =
+        s.read.parquet(s"$path/$sub")
+          // input_file_name() is non-deterministic to Catalyst, so it
+          // must be PROJECTED before the distinct-count aggregates it
+          .select(input_file_name().as("f"))
+          .agg(count_distinct(col("f")).as("n_files"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(stage).as("stage"), col("n_files"), col("n_rows"))
+      ledger("1_small", "small")
+        .unionByName(ledger("2_compacted", "compacted"))
+        .orderBy("stage")
     }
   )
 

@@ -1392,6 +1392,47 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // ── IVF list-balance audit (the ANN index's skew diagnostic) ───────
+
+    // Inverted-list occupancy under the fixed coarse quantizer — the
+    // partition-skew report an IVF index build must ship: at 100 TB the
+    // list id IS the partition key, so a hot list is a hot partition
+    // (one straggler task per probe touching it), and probe latency is
+    // bounded by the largest probed list, not the average. load_factor
+    // = n·nlist/total (1.0 = perfectly balanced); empty lists surface
+    // as zero rows via the nlist-row broadcast grid rather than
+    // disappearing (an empty list means wasted quantizer capacity —
+    // also a defect). One scan + one ≤nlist-group aggregate; the
+    // assignment is the same pure per-row expression every IVF query
+    // uses, so the audit costs nothing extra at any corpus size.
+    Q("sim_ivf_balance", {
+      s"""WITH ${cellAssignCtes(FixedNList)},
+         |c AS (
+         |  SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM assigned GROUP BY list_id
+         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+         |grid AS (SELECT unnest(range(0, $FixedNList)) AS list_id)
+         |SELECT CAST(grid.list_id AS INTEGER) AS list_id,
+         |       COALESCE(c.n, 0) AS n,
+         |       CAST(COALESCE(c.n, 0) AS DOUBLE) * $FixedNList
+         |         / (SELECT tot FROM t) AS load_factor
+         |FROM grid LEFT JOIN c ON c.list_id = grid.list_id
+         |ORDER BY list_id""".stripMargin
+    }) { (s, d) =>
+      val c = semanticAssigned(s, d, FixedNList)
+        .groupBy("list_id").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum("n").as("tot"))
+      val grid = s.range(0, FixedNList)
+        .select(col("id").cast("int").as("list_id"))
+      grid.join(c, Seq("list_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("list_id"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("n"), lit(0L)).cast("double") * FixedNList
+            / col("tot")).as("load_factor"))
+        .orderBy("list_id")
+    },
+
     // ── per-dimension embedding health profile ─────────────────────────
 
     // Mean and variance per coordinate — the first thing to look at

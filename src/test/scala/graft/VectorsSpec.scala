@@ -395,6 +395,18 @@ class VectorsSpec extends SparkSuite {
     }
   }
 
+  test("sim_ivf_balance: occupancy conserves the corpus, load factors " +
+      "average exactly 1, grid surfaces every list") {
+    val rows = SparkEntry.queries("sim_ivf_balance")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == Vectors.FixedNList)
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, Sf001).count())
+    val mean = rows.map(_._3).sum / rows.length
+    assert(math.abs(mean - 1.0) < 1e-9, s"mean load factor $mean")
+    rows.foreach { case (l, n, f) =>
+      assert(n >= 0 && f >= 0.0, s"list $l") }
+  }
+
   test("vec_dim_variance ≡ exact milli-quantized replay; 64 dims, " +
       "nonnegative variance") {
     val got = SparkEntry.queries("vec_dim_variance")(spark, Sf001)
