@@ -99,6 +99,37 @@ object Analytics {
       .orderBy("flag")
   }
 
+  /** evt_cum_users' oracle, optionally restricted to days CLOSED by the
+    * final stream watermark — shared with the driver-visible
+    * stream_growth_feed (the tsAnomalySql pattern). The cumulative sum
+    * runs over ALL days before the closed filter cuts the tail, so the
+    * closed rows equal the batch rows verbatim. */
+  private def cumUsersSql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      """WHERE epoch_us(CAST(day AS TIMESTAMP)) + 86400000000
+        |        <= (SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+        |            * 1000 FROM events)
+        |""".stripMargin
+    else ""
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+       |), f AS (
+       |  SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id
+       |), newu AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+       |), dau AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+       |), curve AS (
+       |  SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
+       |         CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cum_users
+       |  FROM dau d LEFT JOIN newu n ON n.day = d.day
+       |)
+       |SELECT day, dau, new_users, cum_users FROM curve
+       |${closed}ORDER BY day""".stripMargin
+  }
+
   /** ts_anomaly's oracle, optionally restricted to days CLOSED by the
     * final stream watermark (max event time, delay 0, floored to ms —
     * the StreamAnomaly contract): shared between the batch query and
@@ -732,22 +763,7 @@ object Analytics {
     // numbers in each row, never the row count the window sorts.
     // (Contrast win_pctrank, whose global-rank input IS the corpus —
     // there the house rule bans exactly this frame.)
-    Q("evt_cum_users",
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |), f AS (
-        |  SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id
-        |), newu AS (
-        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
-        |), dau AS (
-        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
-        |)
-        |SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
-        |       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |         AS cum_users
-        |FROM dau d LEFT JOIN newu n ON n.day = d.day
-        |ORDER BY d.day""".stripMargin) { (s, d) =>
+    Q("evt_cum_users", cumUsersSql(closedOnly = false)) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val first = ud.groupBy("user_id").agg(min("day").as("day"))
@@ -760,6 +776,90 @@ object Analytics {
           coalesce(col("new_users"), lit(0L)).as("new_users"))
         .withColumn("cum_users", sum("new_users").over(w))
         .orderBy("day")
+    },
+
+    // ── streaming growth feed, driver-visible (§2.10 in the oracle) ────
+
+    // StreamGrowth's AvailableNow emissions (per-day first-seen
+    // attribution + running totals in GroupState) vs the batch curve on
+    // watermark-closed days — the fifth driver-visible streaming row.
+    // Same closure rule as the other feeds; StreamGrowthSpec pins the
+    // in-JVM equivalence, this re-proves it through the DuckDB gate.
+    Q("stream_growth_feed", cumUsersSql(closedOnly = true)) { (s, d) =>
+      graft.streaming.StreamGrowth
+        .runAvailableNow(s, d, "stream_growth_feed_sink")
+        .select(to_date(col("day")).as("day"), col("dau"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+
+    // ── per-user daily feature matrix (the feature-store build) ────────
+
+    // The materialization a training pipeline actually ships to the
+    // feature store: one row per (user, active day) carrying the
+    // behavioral features a churn/propensity model consumes — activity
+    // volume, exact revenue, day-of-week, recency gap, previous-day
+    // revenue, trailing 7-active-day mean — and the LABEL (active
+    // tomorrow?) computed with no future leakage beyond the declared
+    // one-day horizon. Every feature is exact-integer-derived: revenue
+    // as cents, dow as epoch_day % 7 (dayofweek() numbering differs
+    // between engines — the ts_stl lesson), gaps as integer day
+    // arithmetic, the trailing mean as ONE division of exact cents by
+    // (100·n). All windows partition by user (bounded by a user's
+    // active-day count); at 100 TB this plan is one map-side-combined
+    // rollup + per-user windows — the canonical feature-backfill shape.
+    Q("evt_feature_matrix",
+      """WITH ud AS (
+        |  SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(10,4))) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2
+        |), f AS (
+        |  SELECT user_id, day, n_events, cents,
+        |         lag(day) OVER w AS prev_day,
+        |         lag(cents) OVER w AS prev_cents,
+        |         CAST(SUM(cents) OVER w7 AS BIGINT) AS c7,
+        |         CAST(COUNT(*) OVER w7 AS BIGINT) AS n7,
+        |         lead(day) OVER w AS next_day
+        |  FROM ud
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day),
+        |         w7 AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, CAST(day AS BIGINT) AS day, n_events,
+        |       CAST(cents AS DOUBLE) / 100 AS revenue,
+        |       CAST(day % 7 AS INTEGER) AS dow,
+        |       CAST(day - prev_day AS BIGINT) AS gap_days,
+        |       CAST(prev_cents AS DOUBLE) / 100 AS prev_revenue,
+        |       CAST(c7 AS DOUBLE) / (100 * n7) AS rev_7d_avg,
+        |       COALESCE(next_day = day + 1, FALSE) AS next_day_active
+        |FROM f ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(10,4)")) * 100).cast("long")
+            .as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val w7 = w.rowsBetween(-6, Window.currentRow)
+      ud.select(col("user_id"), col("day").cast("long").as("day"),
+          col("n_events"), col("cents"),
+          lag("day", 1).over(w).as("prev_day"),
+          lag("cents", 1).over(w).as("prev_cents"),
+          sum("cents").over(w7).as("c7"),
+          count(lit(1)).over(w7).as("n7"),
+          lead("day", 1).over(w).as("next_day"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          (col("cents").cast("double") / 100).as("revenue"),
+          (col("day") % 7).cast("int").as("dow"),
+          (col("day") - col("prev_day")).cast("long").as("gap_days"),
+          (col("prev_cents").cast("double") / 100).as("prev_revenue"),
+          (col("c7").cast("double") / (lit(100) * col("n7")))
+            .as("rev_7d_avg"),
+          coalesce(col("next_day") === col("day") + 1, lit(false))
+            .as("next_day_active"))
+        .orderBy("user_id", "day")
     },
 
     // ── winsorized statistics (outlier-robust feature prep) ────────────

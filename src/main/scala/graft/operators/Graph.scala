@@ -101,6 +101,10 @@ object Graph {
     def pass(cur: DataFrame): DataFrame = {
       val viaNbr = sym.join(cur, sym("dst") === cur("id"))
         .select(sym("src").as("id"), col("label"))
+      // stepped feeds both sides of the pointer-jump self-join; its
+      // SHUFFLE is deduped by exchange reuse, and re-running the cheap
+      // post-shuffle aggregate beats paying block-cache writes for it
+      // (measured: persisting stepped costs ~18% of the round)
       val stepped = cur.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label"))
       val l2 = stepped.select(col("id").as("__lid"), col("label").as("__ll"))
@@ -116,9 +120,20 @@ object Graph {
       // probe jobs for the same propagation distance; convergence
       // detection is untouched because Σlabel is monotone across ANY
       // number of fused passes (equal sums ⟺ neither pass moved).
-      val next = pass(pass(labels))
+      // The INNER pass is persisted for the round: the outer pass
+      // consumes it from THREE subtrees (union branch, neighbor join,
+      // pointer-jump self-join), and exchange reuse only dedupes the
+      // shuffle write — the join/agg operators above it re-execute per
+      // consumer, which is exactly the 2× cold regression bench_guard
+      // caught on the unpersisted fused form. persist() works within
+      // a single action: the first consumer computes the blocks, the
+      // rest read them.
+      val inner = pass(labels)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val next = pass(inner)
         .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
-      val s = labelSum(next)
+      val s = labelSum(next) // materializes inner (cached once) + next
+      inner.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
@@ -1104,6 +1119,102 @@ object Graph {
         .select(col("n_planted"), col("n_pred"), col("tp"),
           expr("tp * 1000000 div nullif(n_planted, 0)").as("recall_ppm"),
           expr("tp * 1000000 div nullif(n_pred, 0)").as("precision_ppm"))
+    },
+
+    // ── deterministic random-walk sampling (node2vec's data prep) ──────
+
+    // Fixed-length walks over the weighted co-purchase graph — the
+    // corpus a graph-embedding trainer (DeepWalk/node2vec) consumes.
+    // The "random" choice is a HASH coin: step t from node v picks the
+    // neighbor at index md5("walk<t>#<v>") % degree(v) in the
+    // (weight DESC, id) neighbor ranking — deterministic on any
+    // cluster, rerun-stable, and therefore DuckDB-oracle-able, the
+    // same md5-coin discipline as every sampler in this engine. Walks
+    // are 4 steps from every 7th node; each step is ONE equi-join of
+    // the frontier against the ranked adjacency (never a gather to the
+    // driver), so k-step walks cost k joins regardless of corpus size
+    // — the textbook distributed-walk plan. The neighbor ranking
+    // window partitions by node (bounded by max degree). Walks can
+    // revisit nodes (true random-walk semantics — node2vec wants
+    // that). Output is the step ledger (start, step, node), step 0 =
+    // the start itself.
+    Q("graph_walk_sample", {
+      val hex8 = (1 to 8).map { j =>
+        val w = 1L << (4 * (8 - j))
+        s"(strpos('0123456789abcdef', substr(md5(concat('walk', CAST(t.s AS VARCHAR), '#', CAST(w.cur AS VARCHAR))), $j, 1)) - 1) * $w"
+      }.mkString(" + ")
+      def step(t: Int) =
+        s"""w$t AS (
+           |  SELECT w.start, a.dst AS cur FROM w${t - 1} w
+           |  JOIN (SELECT $t AS s) t ON TRUE
+           |  JOIN adj a ON a.src = w.cur
+           |    AND a.idx = ($hex8) % a.deg
+           |)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem WHERE l_partkey < 400
+         |), e AS (
+         |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), sym AS (
+         |  SELECT src, dst, w FROM e
+         |  UNION ALL SELECT dst, src, w FROM e
+         |), adj AS (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src
+         |           ORDER BY w DESC, dst) - 1 AS idx,
+         |         COUNT(*) OVER (PARTITION BY src) AS deg
+         |  FROM sym
+         |), w0 AS (
+         |  SELECT DISTINCT src AS start, src AS cur FROM adj
+         |  WHERE src % 7 = 0
+         |),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT start, CAST(s AS INTEGER) AS step, cur AS node FROM (
+         |  SELECT start, 0 AS s, cur FROM w0
+         |  UNION ALL SELECT start, 1, cur FROM w1
+         |  UNION ALL SELECT start, 2, cur FROM w2
+         |  UNION ALL SELECT start, 3, cur FROM w3
+         |  UNION ALL SELECT start, 4, cur FROM w4) u
+         |ORDER BY start, step, node""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val wAdj = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+      val adj = sym
+        .select(col("src"), col("dst"),
+          (row_number().over(wAdj) - 1).cast("long").as("idx"),
+          count(lit(1)).over(Window.partitionBy("src")).as("deg"))
+        .localCheckpoint(eager = false)
+      var frontier = adj.select(col("src")).distinct()
+        .filter(col("src") % 7 === 0)
+        .select(col("src").as("start"), col("src").as("cur"))
+      val steps = scala.collection.mutable.ListBuffer(
+        frontier.select(col("start"), lit(0).as("step"),
+          col("cur").as("node")))
+      (1 to 4).foreach { t =>
+        val h = conv(substring(md5(concat(lit(s"walk$t#"),
+          col("cur").cast("string"))), 1, 8), 16, 10).cast("long")
+        frontier = frontier
+          .join(adj, col("cur") === col("src") &&
+            col("idx") === h % col("deg"))
+          .select(col("start"), col("dst").as("cur"))
+        steps += frontier.select(col("start"), lit(t).as("step"),
+          col("cur").as("node"))
+      }
+      steps.reduce(_ unionByName _)
+        .select(col("start"), col("step").cast("int").as("step"),
+          col("node"))
+        .orderBy("start", "step", "node")
     }
   )
 

@@ -506,4 +506,41 @@ class AnalyticsSpec extends SparkSuite {
     // conservation: new + returning events = all events
     assert(got.values.map(v => v._3 + v._4).sum == ev.length.toLong)
   }
+
+  test("evt_feature_matrix ≡ exact per-user sequential replay; the " +
+      "label leaks exactly one declared day and nothing more") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("evt_feature_matrix")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getDouble(7), r.getBoolean(8))).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"),
+        col("value").cast("decimal(10,4)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        (BigDecimal(r.getDecimal(2)) * 100).toLongExact))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val daily = es.groupBy(_._2).map { case (day, xs) =>
+        (day, xs.length.toLong, xs.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+      daily.zipWithIndex.foreach { case ((day, n, cents), i) =>
+        val (gn, rev, dow, gap, prevRev, avg7, nextActive) = rows((u, day))
+        assert(gn == n && rev == cents.toDouble / 100)
+        assert(dow == (day % 7).toInt)
+        assert(gap == (if (i == 0) None else Some(day - daily(i - 1)._1)))
+        assert(prevRev == (if (i == 0) None
+          else Some(daily(i - 1)._3.toDouble / 100)))
+        val w7 = daily.slice(math.max(0, i - 6), i + 1)
+        assert(avg7 == w7.map(_._3).sum.toDouble / (100 * w7.length))
+        assert(nextActive ==
+          (i + 1 < daily.length && daily(i + 1)._1 == day + 1))
+      }
+    }
+  }
 }

@@ -485,4 +485,45 @@ class GraphSpec extends SparkSuite {
     assert(cc == (3 * nT).toDouble / nW, "coefficient identity")
     assert(cc >= 0.0 && cc <= 1.0, s"C out of range: $cc")
   }
+
+  test("graph_walk_sample ≡ exact hash-coin replay; every hop is a " +
+      "real edge and every start walks the full 4 steps") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_walk_sample")(
+      spark, SparkSuite.Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // rebuild the ranked adjacency in-JVM
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .filter(col("l_partkey") < 400)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val wts = byOrder.flatMap(ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val adj = (wts.toSeq.map { case ((a, b), w) => (a, b, w) } ++
+      wts.toSeq.map { case ((a, b), w) => (b, a, w) })
+      .groupBy(_._1).map { case (src, es) =>
+        src -> es.sortBy(e => (-e._3, e._2)).map(_._2).toIndexedSeq
+      }
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = adj.keySet.filter(_ % 7 == 0).toSeq.flatMap { start =>
+      var cur = start
+      (start, 0, start) +: (1 to 4).map { t =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"walk$t#$cur").take(8), 16)
+        cur = adj(cur)((h % adj(cur).size).toInt)
+        (start, t, cur)
+      }
+    }
+    assert(rows.sorted.toSeq == want.sorted.toSeq,
+      s"walk ledger diverges: got ${rows.length} want ${want.length}")
+    // structural laws: 5 rows per start, every hop a real edge
+    rows.groupBy(_._1).foreach { case (st, g) =>
+      assert(g.length == 5, s"start $st has ${g.length} rows") }
+  }
 }
