@@ -99,6 +99,39 @@ object Analytics {
       .orderBy("flag")
   }
 
+  /** evt_drift_daily's oracle, optionally restricted to watermark-closed
+    * days — shared with the driver-visible stream_drift_feed. `day` here
+    * is an integer epoch-day, so closure is plain integer arithmetic. */
+  private def driftDailySql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      """
+        |WHERE (dy.day + 1) * 86400000000
+        |        <= (SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+        |            * 1000 FROM events)""".stripMargin
+    else ""
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events
+       |), ref AS (
+       |  SELECT event_type, COUNT(*) AS rn FROM e
+       |  WHERE day < 19738 GROUP BY event_type
+       |), rt AS (
+       |  SELECT SUM(rn) AS rtot FROM ref
+       |), dy AS (
+       |  SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY day, event_type
+       |), dt AS (
+       |  SELECT day, SUM(n) AS tot FROM dy GROUP BY day
+       |)
+       |SELECT dy.day, dy.event_type, CAST(dy.n AS BIGINT) AS n,
+       |       CAST(dt.tot AS BIGINT) AS day_total,
+       |       CAST(ABS(dy.n * rt.rtot - COALESCE(ref.rn, 0) * dt.tot)
+       |            * 1000000 // (rt.rtot * dt.tot) AS BIGINT) AS shift_ppm
+       |FROM dy JOIN dt USING (day)
+       |LEFT JOIN ref USING (event_type) CROSS JOIN rt$closed
+       |ORDER BY dy.day, dy.event_type""".stripMargin
+  }
+
   /** evt_cum_users' oracle, optionally restricted to days CLOSED by the
     * final stream watermark — shared with the driver-visible
     * stream_growth_feed (the tsAnomalySql pattern). The cumulative sum
@@ -1711,28 +1744,7 @@ object Analytics {
     // on closed days (StreamDriftSpec) — so the same ledger serves
     // the batch backfill and the live dashboard. All joins after the
     // one fact scan are vocabulary- or calendar-sized broadcasts.
-    Q("evt_drift_daily",
-      """WITH e AS (
-        |  SELECT event_type,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
-        |  FROM events
-        |), ref AS (
-        |  SELECT event_type, COUNT(*) AS rn FROM e
-        |  WHERE day < 19738 GROUP BY event_type
-        |), rt AS (
-        |  SELECT SUM(rn) AS rtot FROM ref
-        |), dy AS (
-        |  SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY day, event_type
-        |), dt AS (
-        |  SELECT day, SUM(n) AS tot FROM dy GROUP BY day
-        |)
-        |SELECT dy.day, dy.event_type, CAST(dy.n AS BIGINT) AS n,
-        |       CAST(dt.tot AS BIGINT) AS day_total,
-        |       CAST(ABS(dy.n * rt.rtot - COALESCE(ref.rn, 0) * dt.tot)
-        |            * 1000000 // (rt.rtot * dt.tot) AS BIGINT) AS shift_ppm
-        |FROM dy JOIN dt USING (day)
-        |LEFT JOIN ref USING (event_type) CROSS JOIN rt
-        |ORDER BY dy.day, dy.event_type""".stripMargin) { (s, d) =>
+    Q("evt_drift_daily", driftDailySql(closedOnly = false)) { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"))
@@ -1748,6 +1760,18 @@ object Analytics {
           col("tot").as("day_total"),
           expr("abs(n * rtot - coalesce(rn, 0L) * tot) * 1000000" +
             " div (rtot * tot)").as("shift_ppm"))
+        .orderBy("day", "event_type")
+    },
+
+    // ── streaming drift feed, driver-visible (§2.10 in the oracle) ─────
+
+    // StreamDrift's AvailableNow emissions (per-DAY keyed counts
+    // against the frozen reference — the sharded-state contract) vs
+    // the batch monitor on watermark-closed days: the sixth §2.10
+    // correctness row. StreamDriftSpec pins the in-JVM equivalence.
+    Q("stream_drift_feed", driftDailySql(closedOnly = true)) { (s, d) =>
+      graft.streaming.StreamDrift
+        .runAvailableNow(s, d, "stream_drift_feed_sink")
         .orderBy("day", "event_type")
     },
 

@@ -2230,6 +2230,77 @@ object Insights {
           (q7 > lit(14.067140449340169)).as("reject_white"))
     },
 
+    // ── lead-lag cross-correlation between two event series ────────────
+
+    // Does VIEW activity lead PURCHASES? Pearson correlation between
+    // the daily view count and the purchase count shifted by k days,
+    // for k ∈ [−7, 7] — the lead-lag discovery scan behind "which
+    // metric moves first" (positive-k peak ⇒ views lead). Same
+    // engine-parity route as ts_acf: the series are exact integer
+    // DAILY COUNTS (no quantization needed), the shift is an equi-join
+    // on the integer day against a 15-row broadcast lag table (no
+    // window, no sequential pass), every sufficient statistic an
+    // int64 < 2⁵³, and each correlation is one pinned double chain.
+    // Lag 0 included as the sanity anchor. Scale shape: one map-side
+    // rollup to calendar-sized series; everything after is bounded by
+    // days × 15.
+    Q("ts_lead_lag_corr",
+      """WITH dly AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), lags AS (
+        |  SELECT unnest(generate_series(-7, 7)) AS k
+        |), p AS (
+        |  SELECT l.k, a.x, b.y
+        |  FROM lags l JOIN dly a ON TRUE
+        |  JOIN dly b ON b.day = a.day + l.k
+        |), st AS (
+        |  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY k
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |       CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS DOUBLE) AS xcorr
+        |FROM st ORDER BY k""".stripMargin) { (s, d) =>
+      val dly = Tables.events(s, d)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val lags = s.range(-7, 8).select(col("id").as("k"))
+      val shifted = dly.select(col("day").as("bday"), col("y"))
+        .crossJoin(broadcast(lags))
+        .select(col("k"), (col("bday") - col("k")).as("day"), col("y"))
+      val st = dly.select(col("day"), col("x"))
+        .join(shifted, Seq("day"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      st.select(col("k"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("xcorr"))
+        .orderBy("k")
+    },
+
     // ── seasonal / trend strength of the STL decomposition ─────────────
 
     // Hyndman's strength-of-component summary on ts_stl's ledger:

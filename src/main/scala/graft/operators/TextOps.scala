@@ -595,6 +595,30 @@ object TextOps {
        |WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** txt_contamination's oracle — shared verbatim with the
+    * driver-visible streaming twin (stream_contamination_feed): the
+    * gate has no event time, so stream ≡ batch over EVERY row, not a
+    * closed-day subset. */
+  private lazy val contaminationSql: String = {
+    val evalPred =
+      "substr(md5(concat('eval#', CAST(doc_id AS VARCHAR))), 1, 2) < '10'"
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS sx
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+       |  WHERE len(t) >= 2
+       |), ev AS (
+       |  SELECT DISTINCT sx FROM sh WHERE $evalPred
+       |), tr AS (
+       |  SELECT doc_id, sx FROM sh WHERE NOT ($evalPred)
+       |)
+       |SELECT tr.doc_id, COUNT(*) AS n_shingles,
+       |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS contamination
+       |FROM tr LEFT JOIN ev ON tr.sx = ev.sx
+       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── token counting ──────────────────────────────────────────────────
@@ -1785,24 +1809,7 @@ object TextOps {
     // rerun-stable); overlap is a shingle-key equi-join against the
     // DISTINCT eval shingle set, which is tiny relative to the corpus
     // and broadcastable at scale — never an all-pairs doc comparison.
-    Q("txt_contamination", {
-      val evalPred =
-        "substr(md5(concat('eval#', CAST(doc_id AS VARCHAR))), 1, 2) < '10'"
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS sx
-         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
-         |  WHERE len(t) >= 2
-         |), ev AS (
-         |  SELECT DISTINCT sx FROM sh WHERE $evalPred
-         |), tr AS (
-         |  SELECT doc_id, sx FROM sh WHERE NOT ($evalPred)
-         |)
-         |SELECT tr.doc_id, COUNT(*) AS n_shingles,
-         |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |       CAST(SUM(CASE WHEN ev.sx IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |         / COUNT(*) AS contamination
-         |FROM tr LEFT JOIN ev ON tr.sx = ev.sx
-         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin }) { (s, d) =>
+    Q("txt_contamination", contaminationSql) { (s, d) =>
       val isEval =
         substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
           .lt("10")
@@ -3442,6 +3449,59 @@ object TextOps {
           (col("n_chars").cast("double") / col("n_tokens").cast("double"))
             .as("chars_per_token"))
         .orderBy("lang")
+    },
+
+    // ── streaming contamination feed, driver-visible (§2.10) ───────────
+
+    // StreamContamination's drop-dir gate materialized against the
+    // batch txt_contamination oracle VERBATIM — the sixth driver-
+    // visible streaming row, and the only one with no closed-day
+    // restriction: the gate has no event time (documents, not events),
+    // so every scored row must equal the batch scan row-for-row
+    // (StreamContaminationSpec pins it in-JVM; this re-proves it
+    // through the DuckDB hash gate each round).
+    Q("stream_contamination_feed", contaminationSql) { (s, d) =>
+      graft.streaming.StreamContamination.runAvailableNow(s, d)
+        .orderBy("doc_id")
+    },
+
+    // ── corpus top-k n-grams (the WIMBD ledger) ────────────────────────
+
+    // "What's In My Big Data"-style corpus inspection: the most
+    // frequent word TRIGRAMS with document frequency alongside term
+    // frequency — the table a corpus audit prints first (boilerplate,
+    // licenses, templates all surface here before any model sees
+    // them). Exact integer counts; the top-30 rides a
+    // TakeOrderedAndProject (per-partition heaps, never a global
+    // sort — the txt_vocab_topk guard discipline). Scale shape: one
+    // explode → one map-side-combined hash agg over the trigram
+    // vocabulary; doc frequency needs the per-(doc, trigram) distinct
+    // first, both aggregates map-side combinable.
+    Q("txt_trigram_topk",
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |           i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS g
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+         |  WHERE len(t) >= 3
+         |), tf AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS tf,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tg GROUP BY g
+         |)
+         |SELECT g AS trigram, tf, df FROM tf
+         |ORDER BY tf DESC, trigram LIMIT 30""".stripMargin) { (s, d) =>
+      val t = toks(col("text"))
+      val tg = Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(element_at(transform(array(col("t")),
+          tt => transform(sequence(lit(1), size(tt) - 2),
+            i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1),
+              element_at(tt, i + 2)))), 1)).as("g"))
+      tg.groupBy("g")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .select(col("g").as("trigram"), col("tf"), col("df"))
+        .orderBy(col("tf").desc, col("trigram")).limit(30)
     }
   )
 

@@ -903,6 +903,37 @@ class InsightsSpec extends SparkSuite {
     assert(reject && q7 > 14.067140449340169)
   }
 
+  test("ts_lead_lag_corr ≡ exact paired replay at every lag; " +
+      "|xcorr| bounded") {
+    val got = q("ts_lead_lag_corr").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == (-7L to 7L).toSet)
+    val dly = Tables.events(spark, SparkSuite.Sf0001)
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01"))
+        .as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .collect().map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    (-7L to 7L).foreach { k =>
+      val pairs = dly.toSeq.flatMap { case (day, (x, _)) =>
+        dly.get(day + k).map { case (_, y) => (x, y) } }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      val (gn, gc) = got(k)
+      assert(gn == n && gc == want, s"lag $k")
+      assert(math.abs(gc) <= 1.0 + 1e-12)
+    }
+  }
+
   test("ts_seasonal_strength ≡ exact replay off the stl ledger; " +
       "strengths live in [0,1]") {
     val got = q("ts_seasonal_strength").collect()

@@ -1032,6 +1032,24 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("txt_trigram_topk ≡ exact replay; df ≤ tf and the cut is the " +
+      "true frequency order") {
+    val got = SparkEntry.queries("txt_trigram_topk")(spark, Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 30)
+    val docs = Tables.documents(spark, Sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 3)
+    val all = docs.flatMap { case (id, t) =>
+      t.sliding(3).map(w => (id, w.mkString(" "))) }
+    val want = all.groupBy(_._2).map { case (g, xs) =>
+      (g, xs.length.toLong, xs.map(_._1).distinct.length.toLong) }
+      .toSeq.sortBy(x => (-x._2, x._1)).take(30)
+    assert(got.toSeq == want, "trigram ledger diverges")
+    got.foreach { case (g, tf, df) => assert(df <= tf && df >= 1, g) }
+  }
+
   test("txt_bpe_fertility: language cut conserves the compression " +
       "ledger's corpus totals; fertility bounded by [1, chars/word]") {
     val f = SparkEntry.queries("txt_bpe_fertility")(spark, Sf001).collect()
