@@ -1121,6 +1121,92 @@ object Graph {
           expr("tp * 1000000 div nullif(n_pred, 0)").as("precision_ppm"))
     },
 
+    // ── personalized PageRank from a seed set (recommendation walk) ────
+
+    // PPR over the WEIGHTED co-purchase graph: teleport mass returns to
+    // the SEED parts (every 50th part id) instead of the uniform base —
+    // "what does the catalog look like from these products' shelf", the
+    // classic related-items / seed-expansion primitive. Same exact-
+    // integer discipline as graph_pagerank (scale-10¹² BIGINT ranks,
+    // floor-div contributions, damped 85/15 — BIGINT sums associative ⇒
+    // hash-oracle-able where float PPR never is), with two deltas: the
+    // base term lands ONLY on seeds, and contributions split by edge
+    // WEIGHT over the node's total strength ((r·w) div strength — the
+    // weighted walk). Nodes never reached in 4 rounds hold rank 0 and
+    // are dropped (absent ≡ unreachable by contract, the graph_reach
+    // precedent). Per round: one shuffle join keyed on src + one hash
+    // agg on dst; lazy SER checkpoints cut the lineage.
+    Q("graph_ppr", {
+      val iters = (1 to 4).map { i =>
+        s"""r$i AS (
+           |  SELECT v.id,
+           |         CASE WHEN v.id % 50 = 0 THEN 150000000000 ELSE 0 END
+           |           + (85 * COALESCE(SUM((p.r * sym.w) // st.s), 0)) // 100
+           |           AS r
+           |  FROM v
+           |  LEFT JOIN sym ON sym.dst = v.id
+           |  LEFT JOIN r${i - 1} p ON p.id = sym.src
+           |  LEFT JOIN st ON st.id = sym.src
+           |  GROUP BY v.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem WHERE l_partkey < 400
+         |), e AS (
+         |  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), sym AS (
+         |  SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e
+         |), v AS (SELECT DISTINCT src AS id FROM sym),
+         |st AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS s
+         |       FROM sym GROUP BY src),
+         |r0 AS (
+         |  SELECT id, CAST(CASE WHEN id % 50 = 0 THEN 1000000000000
+         |                       ELSE 0 END AS BIGINT) AS r
+         |  FROM v
+         |),
+         |$iters
+         |SELECT id, CAST(r AS BIGINT) AS ppr FROM r4
+         |WHERE r > 0 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val sym = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .localCheckpoint(eager = false)
+      val v = sym.select(col("src").as("id")).distinct()
+        .localCheckpoint(eager = false)
+      val st = sym.groupBy("src").agg(sum("w").as("s"))
+        .withColumnRenamed("src", "sid")
+        .localCheckpoint(eager = false)
+      val seedBase =
+        when(col("id") % 50 === 0, lit(150000000000L)).otherwise(lit(0L))
+      var r = v.select(col("id"),
+        when(col("id") % 50 === 0, lit(1000000000000L)).otherwise(lit(0L))
+          .as("r"))
+      for (_ <- 1 to 4) {
+        val contrib = sym.join(r, sym("src") === r("id"))
+          .join(st, sym("src") === col("sid"))
+          .select(sym("dst").as("id"), expr("(r * w) div s").as("c"))
+        r = v.join(contrib.groupBy("id").agg(sum(col("c")).as("sc")),
+            Seq("id"), "left")
+          .select(col("id"), (seedBase +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+          .localCheckpoint(eager = false,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      }
+      r.filter(col("r") > 0)
+        .select(col("id"), col("r").as("ppr")).orderBy("id")
+    },
+
     // ── deterministic random-walk sampling (node2vec's data prep) ──────
 
     // Fixed-length walks over the weighted co-purchase graph — the

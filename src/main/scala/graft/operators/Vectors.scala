@@ -1392,6 +1392,54 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // ── matryoshka energy curve (how much vector fits in a prefix) ─────
+
+    // The sizing curve behind vec_mrl's 16-dim truncation: for prefix
+    // lengths k ∈ {8,16,32,64}, the corpus mean share of L2 energy the
+    // first k dims retain — the number that decides how small a
+    // matryoshka serving index can go. Per-row ratio = prefix‖·‖²/full
+    // ‖·‖² as one pinned left-fold chain (bit-identical both engines),
+    // then floor(ratio·10⁶) quantizes to an exact ppm integer so the
+    // corpus MEAN is an associative BIGINT sum (a double mean would be
+    // order-sensitive — rule 3). One scan, ×4 bounded explode, one
+    // 4-group map-side-combined agg.
+    Q("vec_mrl_energy", {
+      def pref(k: Int) =
+        s"(${(1 to k).map(i => s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)").mkString(" + ")})"
+      val rows = Seq(8, 16, 32, 64).map(k =>
+        s"""SELECT $k AS k,
+           |       CAST(floor(${pref(k)} / ${pref(Dim)} * 1000000)
+           |            AS BIGINT) AS ppm
+           |FROM embeddings""".stripMargin).mkString("\nUNION ALL ")
+      s"""WITH r AS (
+         |$rows
+         |)
+         |SELECT CAST(k AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+         |       CAST(CAST(SUM(ppm) AS DOUBLE) / COUNT(*) / 1000000
+         |            AS DOUBLE) AS mean_energy
+         |FROM r GROUP BY k ORDER BY k""".stripMargin
+    }) { (s, d) =>
+      // aggregate-over-slice, not an explicit 64-term chain: the chain
+      // form blows the 64 KB codegen method limit (the `dot` lesson);
+      // the left fold starting at 0.0 is IEEE-identical to the oracle's
+      // explicit left-associated sum
+      def pref(k: Int): Column =
+        aggregate(transform(slice(col("embedding"), 1, k),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val rows = Seq(8, 16, 32, 64).map(k =>
+        Tables.embeddings(s, d).select(lit(k).as("k"),
+          floor(pref(k) / pref(Dim) * 1000000).cast("long").as("ppm")))
+        .reduce(_ unionByName _)
+      rows.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("ppm").as("sum_ppm"))
+        .select(col("k").cast("int").as("k"), col("n"), col("sum_ppm"),
+          (col("sum_ppm").cast("double") / col("n") / 1000000)
+            .as("mean_energy"))
+        .orderBy("k")
+    },
+
     // ── IVF list-balance audit (the ANN index's skew diagnostic) ───────
 
     // Inverted-list occupancy under the fixed coarse quantizer — the

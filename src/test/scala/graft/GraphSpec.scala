@@ -486,6 +486,44 @@ class GraphSpec extends SparkSuite {
     assert(cc >= 0.0 && cc <= 1.0, s"C out of range: $cc")
   }
 
+  test("graph_ppr ≡ exact BigInt replay; mass stays on the seed side " +
+      "of reachability") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_ppr")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // rebuild the weighted graph in-JVM
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .filter(col("l_partkey") < 400)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val wts = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val sym = wts.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val v = sym.map(_._1).distinct
+    val strength = sym.groupBy(_._1).map { case (s0, es) =>
+      s0 -> es.map(_._3).sum }
+    var r = v.map(id =>
+      id -> (if (id % 50 == 0) BigInt("1000000000000") else BigInt(0))).toMap
+    (1 to 4).foreach { _ =>
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) * e._3 / strength(e._1)).sum
+      }
+      r = v.map(id =>
+        id -> ((if (id % 50 == 0) BigInt("150000000000") else BigInt(0)) +
+          BigInt(85) * in.getOrElse(id, BigInt(0)) / 100)).toMap
+    }
+    val want = r.filter(_._2 > 0).map { case (k, x) => k -> x.toLong }
+    assert(got == want, s"ppr diverges: got ${got.size} want ${want.size}")
+    // every seed present in the graph carries at least the base mass
+    v.filter(_ % 50 == 0).foreach(sd =>
+      assert(got(sd) >= 150000000000L, s"seed $sd below base"))
+  }
+
   test("graph_walk_sample ≡ exact hash-coin replay; every hop is a " +
       "real edge and every start walks the full 4 steps") {
     import org.apache.spark.sql.functions._

@@ -395,6 +395,30 @@ class VectorsSpec extends SparkSuite {
     }
   }
 
+  test("vec_mrl_energy: monotone in k, exact at k=64, per-row ppm " +
+      "replays bit-for-bit") {
+    val rows = SparkEntry.queries("vec_mrl_energy")(spark, Sf001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(8, 16, 32, 64))
+    val n = Tables.embeddings(spark, Sf001).count()
+    rows.values.foreach { case (gn, _, _) => assert(gn == n) }
+    // monotone: a longer prefix retains at least as much energy
+    assert(rows(8)._3 <= rows(16)._3 && rows(16)._3 <= rows(32)._3 &&
+      rows(32)._3 <= rows(64)._3)
+    // k = 64 is the whole vector: every ppm is exactly 10^6
+    assert(rows(64)._2 == n * 1000000L && rows(64)._3 == 1.0)
+    // exact replay of the ppm sum at k = 16
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val want16 = e.map { x =>
+      var p = 0.0; (0 until 16).foreach(i => p += x(i) * x(i))
+      var f = 0.0; x.foreach(v => f += v * v)
+      math.floor(p / f * 1000000).toLong
+    }.sum
+    assert(rows(16)._2 == want16, "k=16 ppm sum diverges")
+  }
+
   test("sim_ivf_balance: occupancy conserves the corpus, load factors " +
       "average exactly 1, grid surfaces every list") {
     val rows = SparkEntry.queries("sim_ivf_balance")(spark, Sf001)
