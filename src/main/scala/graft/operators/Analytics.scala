@@ -380,6 +380,114 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // ── conversion-window sensitivity sweep (6h / 24h / 72h) ───────────
+
+    // How much of evt_window_funnel's conversion is an artifact of the
+    // chosen horizon? The same greedy chain evaluated at THREE budgets
+    // in ONE plan: the horizon is a 3-row broadcast DIMENSION crossed
+    // into the anchor table (the dedup_minhash_curve design — never
+    // three reruns of the window stage), the budget gates become
+    // column comparisons, and the per-(horizon, user) best chain folds
+    // by the same min-struct hash aggregate. The expensive stage — the
+    // user-windowed forward minima — is computed ONCE and shared with
+    // evt_window_funnel itself via the session registry. Monotonicity
+    // is structural (a longer budget only adds conversions; the spec
+    // pins it) and the 24h row must agree with evt_window_funnel's own
+    // depth histogram.
+    Q("evt_window_funnel_sweep",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type, us,
+        |         MIN(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER w AS nc,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |           OVER w AS np
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |         RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |), horizons AS (
+        |  SELECT unnest([21600000000, 86400000000, 259200000000]) AS t
+        |), anchors AS (
+        |  SELECT DISTINCT user_id, us AS v_us, nc FROM r
+        |  WHERE event_type = 'view'
+        |), clicks AS (
+        |  SELECT DISTINCT user_id, us, np FROM r WHERE event_type = 'click'
+        |), staged AS (
+        |  SELECT h.t, a.user_id,
+        |         CASE WHEN a.nc IS NOT NULL AND a.nc <= a.v_us + h.t
+        |              THEN a.nc END AS c_us,
+        |         CASE WHEN a.nc IS NOT NULL AND a.nc <= a.v_us + h.t
+        |               AND c.np IS NOT NULL AND c.np <= a.v_us + h.t
+        |              THEN c.np END AS p_us
+        |  FROM anchors a
+        |  CROSS JOIN horizons h
+        |  LEFT JOIN clicks c ON c.user_id = a.user_id AND c.us = a.nc
+        |), best AS (
+        |  SELECT t, user_id,
+        |         MAX(CASE WHEN p_us IS NOT NULL THEN 3
+        |                  WHEN c_us IS NOT NULL THEN 2
+        |                  ELSE 1 END) AS depth
+        |  FROM staged GROUP BY t, user_id
+        |)
+        |SELECT CAST(t // 3600000000 AS INTEGER) AS horizon_hours,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS d1,
+        |       CAST(SUM(CASE WHEN depth = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS d2,
+        |       CAST(SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS d3,
+        |       CAST((1000000 * SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END))
+        |            // COUNT(*) AS BIGINT) AS conv_ppm
+        |FROM best GROUP BY t ORDER BY horizon_hours""".stripMargin) {
+      (s, d) =>
+        val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(1L, Window.unboundedFollowing)
+        val r = graft.Caches.shared(e.select(
+          col("user_id"), col("event_type"), col("us"),
+          min(when(col("event_type") === "click", col("us"))).over(w)
+            .as("nc"),
+          min(when(col("event_type") === "purchase", col("us"))).over(w)
+            .as("np")))
+        val horizons = s.createDataset(
+          Seq(21600000000L, 86400000000L, 259200000000L))(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("t")
+        val anchors = r.filter(col("event_type") === "view")
+          .select(col("user_id"), col("us").as("v_us"), col("nc")).distinct()
+        val clicks = r.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuid"), col("us").as("cus"), col("np"))
+          .distinct()
+        val staged = anchors
+          .crossJoin(broadcast(horizons))
+          .join(clicks,
+            anchors("user_id") === col("cuid") && col("cus") === col("nc"),
+            "left")
+          .select(col("t"), anchors("user_id"),
+            when(col("nc").isNotNull && col("nc") <= col("v_us") + col("t"),
+              col("nc")).as("c_us"),
+            when(col("nc").isNotNull && col("nc") <= col("v_us") + col("t")
+              && col("np").isNotNull && col("np") <= col("v_us") + col("t"),
+              col("np")).as("p_us"))
+        staged
+          .select(col("t"), col("user_id"),
+            when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
+              .otherwise(1).as("depth"))
+          .groupBy("t", "user_id").agg(max("depth").as("depth"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("depth") === 1, 1L).otherwise(0L)).as("d1"),
+            sum(when(col("depth") === 2, 1L).otherwise(0L)).as("d2"),
+            sum(when(col("depth") === 3, 1L).otherwise(0L)).as("d3"))
+          .select(expr("t div 3600000000").cast("int").as("horizon_hours"),
+            col("n_users"), col("d1"), col("d2"), col("d3"),
+            expr("(1000000 * d3) div n_users").as("conv_ppm"))
+          .orderBy("horizon_hours")
+    },
+
     // ── cohort LTV curve: revenue accumulation per acquisition cohort ──
 
     // The revenue side of the cohort grid (evt_retention counts heads,

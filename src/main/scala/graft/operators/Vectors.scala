@@ -1392,6 +1392,51 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // ── pairwise-cosine calibration histogram ──────────────────────────
+
+    // What cosine value actually separates "near duplicate" from
+    // "background similarity" in THIS corpus? The calibration histogram
+    // behind every threshold choice (dedup_embed's 0.4,
+    // sim_range_search's τ): a deterministic sample of vector pairs —
+    // consecutive vectors in md5-HASH order, i.e. a random ring without
+    // any RNG state, paired via the range-partitioned global ranker
+    // (no partition-less window) — binned by floor((cos+1)·10) into 20
+    // exact integer cells. Floor of bit-identical pinned cosines is
+    // engine-exact, so the histogram hash-oracles. Scale shape: n−1
+    // pairs from one rank equi-join; one 20-cell map-side-combined agg.
+    Q("vec_cosine_calibration",
+      s"""WITH $normedSql,
+         |rk AS (
+         |  SELECT vec_id, embedding, nrm,
+         |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |                            vec_id) AS rn
+         |  FROM nrm
+         |), p AS (
+         |  SELECT (${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+         |           AS cos
+         |  FROM rk a JOIN rk b ON b.rn = a.rn + 1
+         |)
+         |SELECT CAST(floor((cos + 1.0e0) * 10) AS INTEGER) AS bin,
+         |       CAST(floor((cos + 1.0e0) * 10) AS DOUBLE) / 10 - 1.0e0
+         |         AS bin_lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY bin""".stripMargin) { (s, d) =>
+      val ranked = Ranking.globalRowNumber(
+        normed(s, d).withColumn("h", md5(col("vec_id").cast("string"))),
+        Seq("h", "vec_id"), 32)
+      val a = ranked.select(col("row_num").as("rn"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = ranked.select((col("row_num") - 1).as("rn"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val bin = floor(((dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        + lit(1.0)) * 10)
+      a.join(b, Seq("rn"))
+        .select(bin.cast("int").as("bin"),
+          (bin.cast("double") / 10 - lit(1.0)).as("bin_lo"))
+        .groupBy("bin", "bin_lo").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+
     // ── matryoshka energy curve (how much vector fits in a prefix) ─────
 
     // The sizing curve behind vec_mrl's 16-dim truncation: for prefix

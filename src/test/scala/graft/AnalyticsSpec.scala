@@ -507,6 +507,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.values.map(v => v._3 + v._4).sum == ev.length.toLong)
   }
 
+  test("evt_window_funnel_sweep: conversions monotone in the horizon; " +
+      "the 24h row equals evt_window_funnel's depth histogram") {
+    val rows = SparkEntry.queries("evt_window_funnel_sweep")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(6, 24, 72))
+    // same user universe at every horizon
+    assert(rows.values.map(_._1).toSet.size == 1)
+    // depth-3 count can only grow with budget; depth-1 can only shrink
+    assert(rows(6)._4 <= rows(24)._4 && rows(24)._4 <= rows(72)._4)
+    assert(rows(6)._2 >= rows(24)._2 && rows(24)._2 >= rows(72)._2)
+    val wf = SparkEntry.queries("evt_window_funnel")(
+      spark, SparkSuite.Sf0001).collect()
+      .map(_.getInt(4)).groupBy(identity).view.mapValues(_.length.toLong)
+    assert(rows(24)._2 == wf.getOrElse(1, 0L) &&
+      rows(24)._3 == wf.getOrElse(2, 0L) &&
+      rows(24)._4 == wf.getOrElse(3, 0L),
+      "24h sweep row diverges from evt_window_funnel")
+  }
+
   test("evt_feature_matrix ≡ exact per-user sequential replay; the " +
       "label leaks exactly one declared day and nothing more") {
     import org.apache.spark.sql.functions._

@@ -395,6 +395,32 @@ class VectorsSpec extends SparkSuite {
     }
   }
 
+  test("vec_cosine_calibration ≡ exact md5-ring replay; pair count " +
+      "conserves n-1") {
+    val got = SparkEntry.queries("vec_cosine_calibration")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(got.map(_._3).sum == e.size - 1L)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ring = e.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val want = ring.sliding(2).map { case Seq(x, y) =>
+      math.floor((cos(e(x), e(y)) + 1.0) * 10).toInt
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r._1 -> r._3).toMap == want, "histogram diverges")
+    got.foreach { case (bin, lo, _) =>
+      assert(bin >= 0 && bin <= 20 && lo == bin.toDouble / 10 - 1.0) }
+  }
+
   test("vec_mrl_energy: monotone in k, exact at k=64, per-row ppm " +
       "replays bit-for-bit") {
     val rows = SparkEntry.queries("vec_mrl_energy")(spark, Sf001)
