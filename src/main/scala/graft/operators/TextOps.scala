@@ -619,6 +619,43 @@ object TextOps {
        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram-MLE LM sufficient statistics per doc — the kernel behind
+    * txt_lm_score and txt_ccnet_bucket: (doc_id, n_bigrams, sfp) with
+    * sfp = Σ floor(ln p(w2|w1)·10⁶) exact BIGINT. The SQL twin is
+    * [[lmStatsCtes]] (CTE `a`). */
+  private def lmSuffStats(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val bg = t.select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cxy"))
+    val cw = cb.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+      .agg(sum("cxy").cast("long").as("cx"))
+    val p = bg.join(cb, Seq("b"))
+      .join(broadcast(cw), split(col("b"), " ").getItem(0) === col("w1"))
+      .select(col("doc_id"),
+        floor(log(col("cxy").cast("double") / col("cx")) * 1000000).as("fp"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("fp").as("sfp"))
+  }
+
+  /** SQL mirror of [[lmSuffStats]]: CTEs `t, bg, cb, cw, p, a` with
+    * `a(doc_id, n_bigrams, sfp)` as the consumable head. */
+  private lazy val lmStatsCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(${bigramsSql("t")}) AS b FROM t),
+       |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY b),
+       |cw AS (SELECT split_part(b, ' ', 1) AS w1,
+       |              CAST(SUM(cxy) AS BIGINT) AS cx
+       |       FROM cb GROUP BY 1),
+       |p AS (SELECT g.doc_id,
+       |        CAST(floor(ln(CAST(cb.cxy AS DOUBLE) / cw.cx) * 1000000)
+       |          AS BIGINT) AS fp
+       |      FROM bg g JOIN cb ON g.b = cb.b
+       |      JOIN cw ON split_part(g.b, ' ', 1) = cw.w1),
+       |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |        CAST(SUM(fp) AS BIGINT) AS sfp
+       |      FROM p GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── token counting ──────────────────────────────────────────────────
@@ -2912,37 +2949,64 @@ object TextOps {
     // table — the model tables are vocab-sized, the stream is touched
     // once, and the final aggregate is map-side combined on doc_id.
     Q("txt_lm_score",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id, unnest(${bigramsSql("t")}) AS b FROM t),
-         |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY b),
-         |cw AS (SELECT split_part(b, ' ', 1) AS w1,
-         |              CAST(SUM(cxy) AS BIGINT) AS cx
-         |       FROM cb GROUP BY 1),
-         |p AS (SELECT g.doc_id,
-         |        CAST(floor(ln(CAST(cb.cxy AS DOUBLE) / cw.cx) * 1000000)
-         |          AS BIGINT) AS fp
-         |      FROM bg g JOIN cb ON g.b = cb.b
-         |      JOIN cw ON split_part(g.b, ' ', 1) = cw.w1),
-         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |        CAST(SUM(fp) AS BIGINT) AS sfp
-         |      FROM p GROUP BY doc_id)
+      s"""WITH $lmStatsCtes
          |SELECT doc_id, n_bigrams,
          |       CAST(CAST(sfp AS DOUBLE) / 1000000 / n_bigrams AS DOUBLE)
          |         AS avg_lp
          |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
-      val bg = t.select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
-      val cb = bg.groupBy("b").agg(count(lit(1)).as("cxy"))
-      val cw = cb.groupBy(split(col("b"), " ").getItem(0).as("w1"))
-        .agg(sum("cxy").cast("long").as("cx"))
-      val p = bg.join(cb, Seq("b"))
-        .join(broadcast(cw), split(col("b"), " ").getItem(0) === col("w1"))
-        .select(col("doc_id"),
-          floor(log(col("cxy").cast("double") / col("cx")) * 1000000).as("fp"))
-      p.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("fp").as("sfp"))
+      lmSuffStats(s, d)
         .select(col("doc_id"), col("n_bigrams"),
           (col("sfp").cast("double") / 1000000 / col("n_bigrams")).as("avg_lp"))
+        .orderBy("doc_id")
+    },
+
+    // ── CCNet head/middle/tail perplexity buckets ──────────────────────
+
+    // The CCNet corpus cut (Wenzek et al. 2020): per LANGUAGE, rank
+    // documents by LM score and split into exact tertiles — head (most
+    // fluent third) / middle / tail, the label downstream sampling
+    // mixes on. score_q = floor(sfp·1000 / n_bigrams) keeps the
+    // per-bigram average an exact BIGINT (sfp is already exact micro-
+    // log-prob). The rank is the agg_winsorized_dist discipline: ONE
+    // range-partitioned global ranker over (lang, score_q, doc_id) —
+    // lang partitions are corpus-scale, so no PARTITION BY lang window
+    // — with per-lang first-rank/count recovered by a broadcast
+    // 4-row offset join. Tertile edges by integer cross-multiplication
+    // (3·rank ≤ n), no percentile float anywhere.
+    Q("txt_ccnet_bucket",
+      s"""WITH $lmStatsCtes,
+         |sc AS (
+         |  SELECT a.doc_id, d.lang,
+         |         CAST(floor(CAST(sfp AS DOUBLE) * 1000 / n_bigrams)
+         |           AS BIGINT) AS score_q
+         |  FROM a JOIN documents d ON d.doc_id = a.doc_id
+         |), r AS (
+         |  SELECT doc_id, lang, score_q,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY score_q, doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, score_q,
+         |       CASE WHEN 3*rk <= n THEN 'tail'
+         |            WHEN 3*rk <= 2*n THEN 'middle'
+         |            ELSE 'head' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sc = lmSuffStats(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("sfp").cast("double") * 1000 / col("n_bigrams"))
+            .cast("long").as("score_q"))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        sc, Seq("lang", "score_q", "doc_id"), 32)
+      val off = ranked.groupBy("lang")
+        .agg(min("row_num").as("first"), count(lit(1)).as("n"))
+      val rk = col("row_num") - col("first") + 1
+      ranked.join(broadcast(off), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score_q"),
+          when(rk * 3 <= col("n"), "tail")
+            .when(rk * 3 <= col("n") * 2, "middle")
+            .otherwise("head").as("bucket"))
         .orderBy("doc_id")
     },
 
@@ -3502,6 +3566,157 @@ object TextOps {
         .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
         .select(col("g").as("trigram"), col("tf"), col("df"))
         .orderBy(col("tf").desc, col("trigram")).limit(30)
+    },
+
+    // ── line-level dedup (the CCNet/Dolma granularity) ─────────────────
+
+    // Exact duplicate removal one level BELOW the document: the corpus
+    // is cut into non-overlapping 8-token chunks ("lines" — this
+    // corpus has no newline structure, so the unit is positional), and
+    // only the globally FIRST occurrence of each chunk survives
+    // (first = min (doc_id, idx), the deterministic tie Dolma uses via
+    // document order). Documents are then reassembled from their
+    // surviving chunks. Scale shape: one explode → one map-side-
+    // combined min-agg over the chunk vocabulary → one equi-join back;
+    // nothing is ever pairwise, and the reassembly aggregate carries
+    // (idx, chunk) structs so no window is needed. At 100 TB this is
+    // the standard two-shuffle first-occurrence dedup; the chunk hash
+    // (not the chunk text) would key the agg — here the text IS tiny.
+    Q("txt_line_dedup",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |ch AS (
+         |  SELECT doc_id, i AS idx,
+         |         array_to_string(t[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)], ' ') AS chunk
+         |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+7)//8)) AS i
+         |        FROM t) x
+         |), f AS (
+         |  SELECT chunk, MIN(doc_id*1000 + idx) AS fk FROM ch GROUP BY chunk
+         |), k AS (
+         |  SELECT ch.doc_id, ch.idx, ch.chunk
+         |  FROM ch JOIN f ON ch.chunk = f.chunk
+         |              AND ch.doc_id*1000 + ch.idx = f.fk
+         |), tot AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |  FROM ch GROUP BY doc_id
+         |), ka AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+         |  FROM k GROUP BY doc_id
+         |)
+         |SELECT tot.doc_id, n_chunks,
+         |       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(kept_text, '') AS kept_text
+         |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+         |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      // let-bind the token array (winnowing lesson) so the chunk lambda
+      // doesn't re-tokenize per element
+      val ch = t.select(col("doc_id"),
+        posexplode(element_at(transform(array(col("t")), tt =>
+          transform(sequence(lit(0),
+            floor((size(tt) + lit(7)) / lit(8)).cast("int") - 1),
+            i => array_join(slice(tt, i * 8 + 1, lit(8)), " "))), 1)))
+        .toDF("doc_id", "idx", "chunk")
+      val key = col("doc_id") * 1000 + col("idx")
+      val f = ch.groupBy("chunk").agg(min(key).as("fk"))
+      val k = ch.join(f, Seq("chunk")).filter(key === col("fk"))
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val ka = k.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+      tot.join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy("doc_id")
+    },
+
+    // ── Kneser-Ney continuation counts ─────────────────────────────────
+
+    // The KN smoothing backbone: a word's continuation probability is
+    // the share of distinct BIGRAM TYPES it completes, not its raw
+    // frequency — the quantity that separates "Francisco" (frequent
+    // but only after "San") from genuinely productive words. All exact
+    // integers: cont_cnt = |{w' : c(w', w) > 0}|, total_types = number
+    // of distinct bigram types, p_cont_ppm = floor(cont·10⁶ / T)
+    // computed as one double division of exact ints (< 2⁵³) in the
+    // identical order on both engines. Scale shape: distinct over
+    // (w1, w2) pairs is one map-side-combinable shuffle on the bigram
+    // vocabulary; the type total is a broadcast one-row scalar.
+    Q("txt_kn_continuation",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT DISTINCT unnest(${bigramsSql("t")}) AS b
+         |       FROM t WHERE len(t) >= 2),
+         |cc AS (SELECT split_part(b, ' ', 2) AS token,
+         |              CAST(COUNT(*) AS BIGINT) AS cont_cnt
+         |       FROM bg GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_types FROM bg)
+         |SELECT token, cont_cnt, total_types,
+         |       CAST(floor(cont_cnt * 1000000.0 / total_types) AS BIGINT)
+         |         AS p_cont_ppm
+         |FROM cc, tt
+         |ORDER BY cont_cnt DESC, token""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(toks(col("text")).as("t")).filter(size(col("t")) >= 2)
+      val bg = t.select(explode(bigrams(col("t"))).as("b")).distinct()
+      val cc = bg.groupBy(split(col("b"), " ").getItem(1).as("token"))
+        .agg(count(lit(1)).as("cont_cnt"))
+      val tt = bg.agg(count(lit(1)).as("total_types"))
+      cc.crossJoin(broadcast(tt))
+        .select(col("token"), col("cont_cnt"), col("total_types"),
+          floor(col("cont_cnt") * lit(1000000.0) / col("total_types"))
+            .cast("long").as("p_cont_ppm"))
+        .orderBy(col("cont_cnt").desc, col("token"))
+    },
+
+    // ── document-frequency spectrum (WIMBD corpus profile) ─────────────
+
+    // The df SPECTRUM of the bigram vocabulary: for each document
+    // frequency d, how many distinct bigrams appear in exactly d
+    // documents, with the cumulative corpus share. The left edge
+    // (df = 1, hapax shingles) is novelty; the right edge is
+    // boilerplate — the two tails every corpus audit reads first.
+    // Scale shape: distinct (doc, gram) → per-gram df (both map-side
+    // combinable) → the spectrum groupBy collapses to at most
+    // |distinct df values| rows, so the running-total window runs over
+    // a SPECTRUM-sized dimension (the evt_cum_users exception — this
+    // is the one place a partition-less frame is scale-safe).
+    Q("txt_df_spectrum",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(${bigramsSql("t")}) AS g
+         |       FROM t WHERE len(t) >= 2),
+         |dfr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM sh GROUP BY g),
+         |sp AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |       FROM dfr GROUP BY df),
+         |tot AS (SELECT CAST(SUM(n_grams) AS BIGINT) AS total FROM sp)
+         |SELECT df, n_grams,
+         |       CAST(SUM(n_grams) OVER (ORDER BY df
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_grams,
+         |       CAST(floor(CAST(SUM(n_grams) OVER (ORDER BY df
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE) * 1000000.0 / total) AS BIGINT) AS cum_ppm
+         |FROM sp, tot
+         |ORDER BY df""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val sh = t.select(col("doc_id"), explode(bigrams(col("t"))).as("g"))
+        .distinct()
+      val dfr = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      val sp = dfr.groupBy("df").agg(count(lit(1)).as("n_grams"))
+      val tot = sp.agg(sum("n_grams").cast("long").as("total"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("df")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      sp.crossJoin(broadcast(tot))
+        .select(col("df"), col("n_grams"),
+          sum("n_grams").over(w).cast("long").as("cum_grams"),
+          floor(sum("n_grams").over(w).cast("double") * lit(1000000.0)
+            / col("total")).cast("long").as("cum_ppm"))
+        .orderBy("df")
     }
   )
 

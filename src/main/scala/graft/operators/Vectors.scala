@@ -1569,6 +1569,174 @@ object Vectors {
             / (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))
             / 1000000).as("variance"))
         .orderBy("dim")
+    },
+
+    // ── one Lloyd iteration of the coarse quantizer, as a query ───────
+    //
+    // The distributed K-MEANS STEP every IVF index build runs: assign
+    // each vector to its nearest fixed centroid (the per-row struct-min
+    // expression — zero shuffle), then recompute each (list, dim)
+    // centroid component as the milli-quantized member mean and report
+    // its shift from the seed. The full build is this step iterated;
+    // one step as a ledger makes convergence observable per round. All
+    // exact integers: component floor(x·1000) is exact (float mantissa
+    // 24 bits + 10 ≪ 53); mean_q = floor(Σ/n) is one double division
+    // of exact ints in the same order on both engines. Scale shape:
+    // explode → ONE map-side-combined (list, dim) hash agg — the
+    // classic distributed Lloyd step; empty lists are absent by
+    // contract (a production build re-seeds them from a sample).
+    Q("vec_kmeans_step",
+      s"""WITH ${cellAssignCtes(FixedNList)},
+         |d AS (
+         |  SELECT list_id, CAST(r.i AS INTEGER) AS dim,
+         |         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+         |              AS BIGINT) AS xq
+         |  FROM assigned, UNNEST(range(1, ${Dim + 1})) AS r(i)
+         |), g AS (
+         |  SELECT list_id, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(xq) AS BIGINT) AS sum_q
+         |  FROM d GROUP BY list_id, dim
+         |)
+         |SELECT g.list_id, g.dim, n, sum_q,
+         |       CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) AS mean_q,
+         |       CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT)
+         |         - CAST(c.center[g.dim] * 1000 AS BIGINT) AS shift_q
+         |FROM g JOIN cen c ON c.list_id = g.list_id
+         |ORDER BY g.list_id, dim""".stripMargin) { (s, d) =>
+      val assigned = normed(s, d).withColumn("list_id",
+        array_min(centroidScores(col("embedding"), FixedNList))
+          .getField("list_id"))
+      val dd = assigned
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("list_id"), (col("p") + 1).cast("int").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+      val g = dd.groupBy("list_id", "dim")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sum_q"))
+      // seed component values as a literal (list_id, dim) lookup — the
+      // same 16×64 literals the assignment expression already embeds
+      val oldArr = array((0 until FixedNList).map(c =>
+        array((1 to Dim).map(j =>
+          lit((fixedCentroid(c, j) * 1000).toLong)): _*)): _*)
+      val meanQ = floor(col("sum_q").cast("double") / col("n")).cast("long")
+      g.select(col("list_id"), col("dim"), col("n"), col("sum_q"),
+        meanQ.as("mean_q"),
+        (meanQ - element_at(element_at(oldArr, col("list_id") + 1),
+          col("dim"))).as("shift_q"))
+        .orderBy("list_id", "dim")
+    },
+
+    // ── NDCG of the IVF probe ranking (graded ranking quality) ─────────
+    //
+    // sim_ivf_recall counts set overlap; NDCG grades POSITION — an ANN
+    // index that finds the right items in the wrong order scores high
+    // recall but low NDCG, and serving stacks tune on the latter.
+    // Gain = 11 − true_rank (brute-force graded relevance), discount =
+    // 1/position in exact 2520ths (2520 = lcm(1..10), so every
+    // gain·2520/pos term is an exact integer — no log2 cross-engine
+    // libm risk). idcg2520 = Σ (11−r)·2520/r = 55991; ndcg_ppm =
+    // floor(dcg·10⁶ / idcg) on exact ints < 2⁵³.
+    Q("sim_ivf_ndcg",
+      s"""WITH ${ivfFixedCtes(FixedNList, FixedNProbe)},
+         |bf AS (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT q.q_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "b.embedding")}) / (q.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |    FROM q JOIN nrm b ON b.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |), ivf AS (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT q.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) DESC, a.vec_id) AS rn
+         |    FROM probes pr
+         |    JOIN assigned a ON a.list_id = pr.list_id
+         |    JOIN q ON q.q_id = pr.q_id
+         |    WHERE a.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |), sc AS (
+         |  SELECT i.q_id,
+         |         COALESCE(11 - bf.rn, 0) * (2520 // i.rn) AS term
+         |  FROM ivf i LEFT JOIN bf
+         |    ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id
+         |)
+         |SELECT q_id, CAST(SUM(term) AS BIGINT) AS dcg2520,
+         |       CAST(55991 AS BIGINT) AS idcg2520,
+         |       CAST(floor(CAST(SUM(term) AS DOUBLE) * 1000000.0 / 55991)
+         |         AS BIGINT) AS ndcg_ppm
+         |FROM sc GROUP BY q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val bf = bruteTopK(s, d, 10)
+        .select(col("q_id").as("bq"), col("vec_id").as("bv"),
+          col("rn").as("brn"))
+      val iv = ivfFixedTopK(s, d, 10, FixedNList, FixedNProbe)
+        .select("q_id", "vec_id", "rn")
+      val sc = iv.join(bf,
+          iv("q_id") === col("bq") && iv("vec_id") === col("bv"), "left")
+        .select(col("q_id"),
+          (coalesce(lit(11) - col("brn"), lit(0)) *
+            (lit(2520) / col("rn")).cast("long")).as("term"))
+      sc.groupBy("q_id")
+        .agg(sum("term").as("dcg2520"))
+        .select(col("q_id"), col("dcg2520"),
+          lit(55991L).as("idcg2520"),
+          floor(col("dcg2520").cast("double") * lit(1000000.0) / lit(55991))
+            .cast("long").as("ndcg_ppm"))
+        .orderBy("q_id")
+    },
+
+    // ── nearest-class-centroid confusion matrix ────────────────────────
+    //
+    // The cheapest label-separability eval an embedding pipeline runs
+    // before any training: classify every vector by its nearest CLASS
+    // CENTROID (squared-L2 in milli-quantized integer space — fully
+    // exact, so the argmin has no float tie risk) and tabulate the
+    // confusion matrix. Ties break to the smaller label via the
+    // dist·100+label composite (labels < 100 by contract). Scale
+    // shape: centroids are one map-side-combined (label, dim) agg; the
+    // score join broadcasts the label×dim centroid table (bounded by
+    // the label vocabulary) and everything after is hash aggregation.
+    Q("vec_confusion",
+      s"""WITH d AS (
+         |  SELECT vec_id, label, CAST(r.i AS INTEGER) AS dim,
+         |         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+         |              AS BIGINT) AS xq
+         |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) AS r(i)
+         |), cent AS (
+         |  SELECT label AS clabel, dim,
+         |         CAST(floor(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |           AS mq
+         |  FROM d GROUP BY label, dim
+         |), sc AS (
+         |  SELECT d.vec_id, d.label, c.clabel,
+         |         CAST(SUM((xq - mq) * (xq - mq)) AS BIGINT) AS dist
+         |  FROM d JOIN cent c ON c.dim = d.dim
+         |  GROUP BY d.vec_id, d.label, c.clabel
+         |), best AS (
+         |  SELECT vec_id, label, MIN(dist * 100 + clabel) AS m
+         |  FROM sc GROUP BY vec_id, label
+         |)
+         |SELECT label, CAST(m % 100 AS INTEGER) AS pred,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM best GROUP BY label, m % 100
+         |ORDER BY label, pred""".stripMargin) { (s, dir) =>
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"),
+          (col("p") + 1).cast("int").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+      val cent = d.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(floor(sum("xq").cast("double") / count(lit(1))).cast("long")
+          .as("mq"))
+      val sc = d.join(broadcast(cent), Seq("dim"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum((col("xq") - col("mq")) * (col("xq") - col("mq")))
+          .cast("long").as("dist"))
+      val best = sc.groupBy("vec_id", "label")
+        .agg(min(col("dist") * 100 + col("clabel")).as("m"))
+      best.groupBy(col("label"), (col("m") % 100).cast("int").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
     }
   )
 }

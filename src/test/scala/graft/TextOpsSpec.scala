@@ -1069,4 +1069,109 @@ class TextOpsSpec extends SparkSuite {
       assert(fert == tk.toDouble / w && cpt == ch.toDouble / tk, lang)
     }
   }
+
+  test("txt_line_dedup ≡ exact replay: global first-occurrence chunk " +
+      "survival, reassembly order, and mass conservation") {
+    val got = SparkEntry.queries("txt_line_dedup")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val docs = Tables.documents(spark, Sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+      .sortBy(_._1)
+    val chunks = docs.flatMap { case (id, t) =>
+      t.grouped(8).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" ")) } }
+    val firstKey = chunks.groupBy(_._3)
+      .map { case (c, xs) => c -> xs.map(x => x._1 * 1000 + x._2).min }
+    val want = docs.map { case (id, t) =>
+      val mine = chunks.filter(_._1 == id)
+      val kept = mine.filter(x => firstKey(x._3) == id * 1000 + x._2)
+      (id, mine.length.toLong, kept.length.toLong,
+        kept.sortBy(_._2).map(_._3).mkString(" "))
+    }.toSeq
+    assert(got == want, "line-dedup replay diverges")
+    // duplicate mass exists in the fixture and is actually removed
+    val removed = got.map(r => r._2 - r._3).sum
+    assert(removed > 0, "fixture has no duplicate chunks — vacuous test")
+    // every surviving chunk instance is the unique global first
+    assert(got.map(_._3).sum == chunks.map(_._3).distinct.length)
+  }
+
+  test("txt_kn_continuation: counts are the distinct-left-context " +
+      "sizes; ppm shares sum to ~1e6; total_types constant") {
+    val got = SparkEntry.queries("txt_kn_continuation")(spark, Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, Sf001).select("text")
+      .collect().map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+      .filter(_.length >= 2)
+    val types = docs.flatMap(t => t.sliding(2).map(w => (w(0), w(1))))
+      .distinct
+    val cont = types.groupBy(_._2).map { case (w, xs) => w -> xs.length }
+    assert(got.map(_._3).distinct.toSeq == Seq(types.length.toLong))
+    got.foreach { case (tok, c, tt, ppm) =>
+      assert(c == cont(tok).toLong, s"cont($tok)")
+      assert(ppm == math.floor(c * 1000000.0 / tt).toLong, tok)
+    }
+    // Σ cont over the vocab = total bigram types (a partition identity)
+    assert(got.map(_._2).sum == types.length.toLong)
+  }
+
+  test("txt_df_spectrum: spectrum partitions the bigram vocabulary; " +
+      "cumulative closes at the total with cum_ppm = 1e6") {
+    val got = SparkEntry.queries("txt_df_spectrum")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, Sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 2)
+    val df = docs.flatMap { case (id, t) =>
+      t.sliding(2).map(w => (id, w.mkString(" "))) }
+      .distinct.groupBy(_._2).map { case (_, xs) => xs.length.toLong }
+    val want = df.groupBy(identity).map { case (d, xs) =>
+      (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)).toSeq == want)
+    // cumulative column is the running sum and closes exactly
+    var run = 0L
+    got.foreach { case (_, n, cum, _) => run += n; assert(cum == run) }
+    assert(got.last._3 == df.size.toLong && got.last._4 == 1000000L)
+    assert(got.map(_._3).sliding(2).forall(p =>
+      p.length < 2 || p(0) < p(1)), "cumulative must be increasing")
+  }
+
+  test("txt_ccnet_bucket: exact per-language tertiles, score-monotone " +
+      "buckets, and score_q consistent with txt_lm_score") {
+    val got = SparkEntry.queries("txt_ccnet_bucket")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    val lm = SparkEntry.queries("txt_lm_score")(spark, Sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.length == lm.size, "every scored doc gets a bucket")
+    got.groupBy(_._2).foreach { case (lang, xs) =>
+      val n = xs.length
+      val sizes = xs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.getOrElse("tail", 0) == n / 3, s"$lang tail size")
+      assert(sizes.getOrElse("middle", 0) == 2 * n / 3 - n / 3,
+        s"$lang middle size")
+      assert(sizes.getOrElse("head", 0) == n - 2 * n / 3, s"$lang head")
+      // bucket boundaries respect the score order (ties split by
+      // doc_id, so boundaries may share a score — use >=)
+      def scores(b: String) = xs.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max - 0,
+          s"$lang head/middle order") // ranks break ties upward
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max - 0,
+          s"$lang middle/tail order")
+    }
+    // score_q is floor(avg_lp·10⁹) up to the floor's unit interval
+    got.foreach { case (id, _, sq, _) =>
+      val s = lm(id) * 1e9
+      assert(sq <= s + 1e-3 && s < sq + 1 + 1e-3, s"doc $id score_q")
+    }
+  }
 }

@@ -478,4 +478,81 @@ class VectorsSpec extends SparkSuite {
       assert(variance >= 0.0)
     }
   }
+
+  test("vec_kmeans_step: member counts conserve the corpus ×64, means " +
+      "are the exact floor-divided sums, and the step actually moves") {
+    val got = SparkEntry.queries("vec_kmeans_step")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val total = Tables.embeddings(spark, Sf001).count()
+    // every (list, dim) row carries the list's member count: summing n
+    // over one fixed dim recovers the corpus
+    val perDim = got.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2._1).sum)
+    perDim.foreach { case (dim, s) => assert(s == total, s"dim $dim") }
+    got.foreach { case ((l, dim), (n, sumQ, meanQ, shiftQ)) =>
+      assert(meanQ == math.floor(sumQ.toDouble / n).toLong, s"($l,$dim)")
+      val old = (Vectors.fixedCentroid(l, dim) * 1000).toLong
+      assert(shiftQ == meanQ - old, s"($l,$dim) shift")
+      assert(meanQ.abs <= 1024000, s"($l,$dim) mean out of range")
+    }
+    // a real Lloyd step moves the seed: at least one component shifts
+    assert(got.values.exists(_._4 != 0L), "step is a no-op — vacuous")
+  }
+
+  test("sim_ivf_ndcg: zero exactly when recall is zero, " +
+      "exact at nprobe = nlist, constant idcg") {
+    val nd = SparkEntry.queries("sim_ivf_ndcg")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(nd.length == 5)
+    nd.foreach { case (q, dcg, idcg, ppm) =>
+      assert(idcg == 55991L, s"q$q idcg")
+      assert(dcg >= 0 && dcg <= idcg, s"q$q dcg bounds")
+      assert(ppm == math.floor(dcg * 1000000.0 / idcg).toLong, s"q$q ppm")
+    }
+    // NDCG and recall must agree on EMPTINESS (a hit anywhere gains
+    // something; no hits gain nothing) — but neither bounds the other:
+    // gains are top-weighted, so one rank-1 hit beats five tail hits
+    val rec = SparkEntry.queries("sim_ivf_recall")(spark, Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nd.foreach { case (q, dcg, _, _) =>
+      assert((dcg > 0) == (rec(q) > 0), s"q$q ndcg/recall emptiness")
+    }
+    // perfect-probe replay: widening the probe to every list makes the
+    // IVF ranking ≡ brute force, so NDCG closes at exactly 1
+    val full = Vectors.ivfFixedTopK(spark, Sf001, 10,
+        Vectors.FixedNList, Vectors.FixedNList)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bf = Vectors.bruteTopK(spark, Sf001, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full.toSeq == bf.toSeq, "nprobe=nlist must equal brute force")
+  }
+
+  test("vec_confusion ≡ exact integer replay; rows partition the " +
+      "corpus and the diagonal dominates chance") {
+    val got = SparkEntry.queries("vec_confusion")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong),
+        r.getInt(2)))
+    val cent = e.groupBy(_._3).view.mapValues { xs =>
+      (0 until Vectors.Dim).map { j =>
+        val s = xs.map(_._2(j)).sum
+        math.floor(s.toDouble / xs.length).toLong }
+    }.toMap
+    val want = e.map { case (_, xq, label) =>
+      val pred = cent.toSeq.map { case (cl, mq) =>
+        val dist = (0 until Vectors.Dim)
+          .map(j => (xq(j) - mq(j)) * (xq(j) - mq(j))).sum
+        (dist * 100 + cl, cl) }.min._2
+      (label, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want, "confusion replay diverges")
+    assert(got.values.sum == e.length.toLong)
+    val diag = got.collect { case ((l, p), n) if l == p => n }.sum
+    assert(diag * 10 > got.values.sum,
+      "nearest-centroid no better than chance — fixture degenerate")
+  }
 }
