@@ -2546,6 +2546,106 @@ object Insights {
         ((col("sdr") - col("np") * (col("np") + 1)).cast("double")
           / nullif((lit(2) * col("np") * col("nn")), lit(0)).cast("double"))
           .as("auc"))
+    },
+
+    // ── daily sample-ratio-mismatch trace ──────────────────────────────
+
+    // The FIRST check any experimentation platform runs, per day: with
+    // user_id % 2 assignment (evt_ab_lift's arms) the daily active
+    // split must be ~50/50; a skewed split means broken logging or
+    // biased triggering, and every lift number downstream is garbage.
+    // One-df chi-square vs the 50/50 expectation: χ² = (n_a−n_b)²/n,
+    // flagged at the 95% critical value 3.841 by exact integer
+    // cross-multiplication ((n_a−n_b)²·1000 > 3841·n — no float in the
+    // decision). Scale shape: one distinct (day, user) pass then a
+    // calendar-bounded day rollup, all map-side combinable.
+    Q("evt_srm_trace",
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), g AS (
+        |  SELECT day,
+        |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_b
+        |  FROM ud GROUP BY day
+        |)
+        |SELECT day, n_a, n_b,
+        |       CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |            / (n_a + n_b) AS DOUBLE) AS chi2,
+        |       (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+        |         AS srm_flag
+        |FROM g ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+        .distinct()
+      ud.groupBy("day")
+        .agg(sum(when(col("user_id") % 2 === 0, 1).otherwise(0))
+          .cast("long").as("n_a"),
+          sum(when(col("user_id") % 2 === 1, 1).otherwise(0))
+            .cast("long").as("n_b"))
+        .select(col("day"), col("n_a"), col("n_b"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b"))).as("chi2"),
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 1000 >
+            lit(3841) * (col("n_a") + col("n_b"))).as("srm_flag"))
+        .orderBy("day")
+    },
+
+    // ── AR(1) fit of the daily order-count series ──────────────────────
+
+    // How sticky is yesterday? The lag-1 autoregression y_t = α + φ·y_{t−1}
+    // fitted by OLS on CONSECUTIVE-day pairs — pairs come from an
+    // equi-join on day = day+1 (a ROWS lag would silently pair across
+    // gaps; the ts_forecast_snaive lesson). All sufficient statistics
+    // are exact BIGINTs over daily counts (Σxy ≲ 10¹² at sf0.1, far
+    // inside 2⁶³); φ = num/den and α = (Σy − φ·Σx)/n are pinned double
+    // chains over those exact ints in the identical order on both
+    // engines. Scale shape: the series is calendar-bounded — the
+    // expensive part is the one map-side-combined daily rollup.
+    Q("ts_ar1",
+      """WITH s AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT a.c AS x, b.c AS y
+        |  FROM s a JOIN s b ON b.day = a.day + 1
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM p
+        |)
+        |SELECT n AS n_pairs,
+        |       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+        |       CAST(n*sxx - sx*sx AS BIGINT) AS den,
+        |       CAST(CAST(n*sxy - sx*sy AS DOUBLE)
+        |            / (n*sxx - sx*sx) AS DOUBLE) AS phi,
+        |       CAST((CAST(sy AS DOUBLE)
+        |             - CAST(CAST(n*sxy - sx*sy AS DOUBLE)
+        |                    / (n*sxx - sx*sx) AS DOUBLE)
+        |               * sx) / n AS DOUBLE) AS alpha
+        |FROM m""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val p = daily.as("a").join(daily.as("b"),
+          col("b.day") === date_add(col("a.day"), 1))
+        .select(col("a.c").as("x"), col("b.c").as("y"))
+      val m = p.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      m.select(col("n").as("n_pairs"),
+        num.cast("long").as("num"), den.cast("long").as("den"),
+        (num.cast("double") / den).as("phi"),
+        ((col("sy").cast("double") - (num.cast("double") / den) * col("sx"))
+          / col("n")).as("alpha"))
     }
   )
 }

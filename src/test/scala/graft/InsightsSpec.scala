@@ -1036,4 +1036,51 @@ class InsightsSpec extends SparkSuite {
       (2 * np * nn)).toLong)
     assert(auc >= 0.0 && auc <= 1.0)
   }
+
+  test("evt_srm_trace ≡ exact replay: daily arm splits, chi-square, " +
+      "and the integer-cross-multiplied 3.841 gate") {
+    val got = SparkEntry.queries("evt_srm_trace")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got.nonEmpty)
+    val ud = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val want = ud.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, xs) =>
+      val na = xs.count(_._2 % 2 == 0).toLong
+      val nb = xs.count(_._2 % 2 == 1).toLong
+      val chi2 = ((na - nb) * (na - nb)).toDouble / (na + nb)
+      (day, na, nb, chi2, (na - nb) * (na - nb) * 1000 > 3841 * (na + nb))
+    }
+    assert(got == want, "srm replay diverges")
+    // the flag must be EXACTLY the chi2 > 3.841 decision on this data
+    got.foreach { case (day, _, _, chi2, flag) =>
+      assert(flag == (chi2 > 3.841), s"$day gate vs float chi2")
+    }
+  }
+
+  test("ts_ar1 ≡ exact OLS replay on consecutive-day pairs; gap days " +
+      "pair with nothing") {
+    val r = SparkEntry.queries("ts_ar1")(spark, SparkSuite.Sf001)
+      .collect()
+    assert(r.length == 1)
+    val (n, num, den, phi, alpha) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getDouble(3), r(0).getDouble(4))
+    val daily = Tables.orders(spark, SparkSuite.Sf001)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val pairs = daily.toSeq.flatMap { case (day, x) =>
+      daily.get(day.plusDays(1)).map(y => (x, y)) }
+    assert(n == pairs.length.toLong)
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    assert(num == n * sxy - sx * sy && den == n * sxx - sx * sx)
+    assert(phi == num.toDouble / den)
+    assert(alpha == (sy.toDouble - phi * sx) / n)
+    // a count series is positively autocorrelated or flat, never wild
+    assert(phi.abs <= 1.5, s"phi=$phi implausible for a daily count series")
+  }
 }
