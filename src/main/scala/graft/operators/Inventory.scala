@@ -400,6 +400,36 @@ object Inventory {
           .orderBy("user_id", "start_us")
     },
 
+    // ── streaming sessionize feed, driver-visible (§2.10) ──────────────
+
+    // Sessionize.statefulSessions (flatMapGroupsWithState, event-time
+    // timeouts) materialized through an AvailableNow drop-dir run and
+    // oracled against the batch window-SQL kernel restricted to the
+    // stream's emission contract: every session CLOSED IN-STREAM by a
+    // later same-user event is emitted unconditionally; a user's open
+    // TAIL session is emitted only when its timeout end_ms + gap is
+    // strictly below the final watermark (max event time, ms-floored,
+    // delay 0 — `timeoutTimestamp < wm`, pinned in the 4.1.2
+    // bytecode). `total` deliberately absent (arrival-ordered Double
+    // fold; the exact-decimal total is win_sessionize's).
+    Q("stream_sessionize_feed", s"""WITH ${Inventory.sessionSpansSql},
+        |wm AS (
+        |  SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000) AS wm_ms
+        |  FROM events
+        |), mx AS (
+        |  SELECT user_id, MAX(sid) AS last_sid FROM sp GROUP BY user_id
+        |)
+        |SELECT sp.user_id, start_us, end_us, CAST(n AS BIGINT) AS n
+        |FROM sp JOIN mx ON sp.user_id = mx.user_id, wm
+        |WHERE sp.sid < mx.last_sid
+        |   OR (end_us // 1000) + 1800000 < wm_ms
+        |ORDER BY sp.user_id, start_us""".stripMargin) { (s, d) =>
+      graft.streaming.Sessionize
+        .runAvailableNow(s, d, "stream_sessionize_feed_sink")
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n"))
+        .orderBy("user_id", "start_us")
+    },
+
     // API filter-string construction
     // (/root/reference/src/apiFunctions.ts:131).
     Q("fn_where_string", Oracle.withCtes(

@@ -426,6 +426,71 @@ object Multimodal {
         .agg(min("i").as("first_frame"), max("i").as("last_frame"),
           count(lit(1)).as("n_frames"))
         .orderBy("doc_id", "scene")
+    },
+
+    // ── leading/trailing silence trim (the audio-VAD preprocessing) ───
+    //
+    // The trim every audio ingest runs before feature extraction: score
+    // each 32-byte frame's "energy" (the deterministic stand-in is the
+    // first md5 byte, 0..255 — same seam as mm_scene_cuts; a real
+    // pipeline plugs RMS energy into the same plan), call frames below
+    // 64 silence, and cut the longest silent prefix and suffix. Pure
+    // aggregation — first/last loud frame are conditional MIN/MAX per
+    // payload, NO window — so the plan is one explode plus one
+    // map-side-combined doc agg at any corpus size. All-silent
+    // payloads keep first/last = -1, kept_frames = 0.
+    Q("mm_silence_trim", {
+      val len = "length(text)"
+      val hx = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |         ${hx("substr(m, 1, 1)")} * 16
+         |           + ${hx("substr(m, 2, 1)")} AS sv
+         |  FROM (
+         |    SELECT doc_id, i,
+         |           md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS m
+         |    FROM (
+         |      SELECT doc_id, text,
+         |             unnest(range(0, CAST(ceil($len / 32.0) AS INTEGER)))
+         |               AS i
+         |      FROM documents WHERE $len > 0) t) u
+         |), g AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |         MIN(CASE WHEN sv >= 64 THEN i END) AS fl,
+         |         MAX(CASE WHEN sv >= 64 THEN i END) AS ll
+         |  FROM fr GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_frames,
+         |       CAST(COALESCE(fl, -1) AS BIGINT) AS first_loud,
+         |       CAST(COALESCE(ll, -1) AS BIGINT) AS last_loud,
+         |       CAST(COALESCE(fl, n_frames) AS BIGINT) AS lead_trim,
+         |       CAST(n_frames - 1 - COALESCE(ll, n_frames - 1) AS BIGINT)
+         |         AS tail_trim,
+         |       CAST(CASE WHEN fl IS NULL THEN 0 ELSE ll - fl + 1 END
+         |         AS BIGINT) AS kept_frames
+         |FROM g ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val fr = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            ceil(length(col("text")) / 32.0).cast("int") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          conv(substring(md5(expr("substring(text, i * 32 + 1, 32)")),
+            1, 2), 16, 10).cast("int").as("sv"))
+      fr.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min(when(col("sv") >= 64, col("i"))).as("fl"),
+          max(when(col("sv") >= 64, col("i"))).as("ll"))
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("fl"), lit(-1L)).as("first_loud"),
+          coalesce(col("ll"), lit(-1L)).as("last_loud"),
+          coalesce(col("fl"), col("n_frames")).as("lead_trim"),
+          (col("n_frames") - 1 - coalesce(col("ll"), col("n_frames") - 1))
+            .as("tail_trim"),
+          when(col("fl").isNull, 0L).otherwise(col("ll") - col("fl") + 1)
+            .as("kept_frames"))
+        .orderBy("doc_id")
     }
   )
 }

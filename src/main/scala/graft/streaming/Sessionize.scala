@@ -50,6 +50,43 @@ object Sessionize {
       }
   }
 
+  /** Drop-dir AvailableNow run of [[statefulSessions]] over the events
+    * parquet — the driver-visible feed (`stream_sessionize_feed`).
+    * Delay 0: the final watermark is the max event time (ms-floored),
+    * and a user's OPEN TAIL session is emitted only when its timeout
+    * `end_ms + gap` is STRICTLY below that watermark
+    * (FlatMapGroupsWithStateExec times out on `timeoutTimestamp < wm`,
+    * verified in the 4.1.2 bytecode) — every other session closes
+    * in-stream when a later event of the same user arrives, so the
+    * emitted set is batch-split-independent. `total` is deliberately
+    * NOT exposed: the kernel's running Double sum is arrival-ordered
+    * and a same-µs tie would make it engine-unorderable; the oracle
+    * pins identity/extent/count, the exact-decimal total lives in the
+    * batch twin. */
+  def runAvailableNow(spark: SparkSession, srcDir: String,
+      queryName: String = "sessionize_feed_out"): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.streaming.Trigger
+    graft.Tables.ensureNanosAsLong(spark)
+    val schema = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .transform(graft.Tables.normalizeTs)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"))
+      .as[Ev]
+    val q = statefulSessions(spark, raw, 30, "0 seconds")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).as[SessionOut]
+  }
+
   /** The streaming-native variant: carry the open tail of each user's
     * session in state between micro-batches, and close it via
     * EVENT-TIME TIMEOUT once the watermark passes `tail end + gap` —

@@ -156,4 +156,37 @@ class MultimodalSpec extends SparkSuite {
       s.foreach { r => assert(r._5 == r._4 - r._3 + 1, s"doc $id len") }
     }
   }
+
+  test("mm_silence_trim ≡ exact frame-energy replay; trims tile the " +
+      "payload and both edge conventions hold") {
+    def md5hex(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    val got = SparkEntry.queries("mm_silence_trim")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val docs = Tables.documents(spark, SparkSuite.Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    val want = docs.map { case (id, text) =>
+      val svs = text.grouped(32).map(g =>
+        Integer.parseInt(md5hex(g.getBytes("UTF-8")).substring(0, 2), 16))
+        .toVector
+      val loud = svs.zipWithIndex.filter(_._1 >= 64).map(_._2.toLong)
+      val n = svs.length.toLong
+      if (loud.isEmpty) (id, n, -1L, -1L, n, 0L, 0L)
+      else (id, n, loud.min, loud.max, loud.min, n - 1 - loud.max,
+        loud.max - loud.min + 1)
+    }.toSeq
+    assert(got == want, "silence-trim replay diverges")
+    got.foreach { case (id, n, fl, ll, lead, tail, kept) =>
+      // trims + kept span tile the payload exactly
+      assert(lead + tail + kept == n, s"doc $id tiling")
+      assert((fl == -1L) == (kept == 0L), s"doc $id empty convention")
+    }
+    // the fixture actually exercises both a nonzero lead and tail trim
+    assert(got.exists(_._5 > 0) && got.exists(_._6 > 0),
+      "no silent edges in fixture — vacuous")
+  }
 }

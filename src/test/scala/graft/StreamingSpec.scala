@@ -100,4 +100,26 @@ class StreamingSpec extends SparkSuite {
     assert(Files.readString(log) == "0:20\n1:40\n2:50\n")
     assert(IdempotentSink.lastCommitted(marker) == 2L)
   }
+
+  test("stream_sessionize_feed ≡ batch session spans under the " +
+      "emission contract (tails gated on timeout < final watermark)") {
+    val got = SparkEntry.queries("stream_sessionize_feed")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val spans = graft.operators.Inventory.sessionSpans(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val wmMs = Tables.events(spark, Sf001)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+    val lastSid = spans.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val want = spans.filter { case (u, sid, _, end, _) =>
+      sid < lastSid(u) || end / 1000 + 1800000 < wmMs
+    }.map(s => (s._1, s._3, s._4, s._5)).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == want, "feed diverges from the gated batch spans")
+    // the gate is provably non-vacuous: the user owning the max event
+    // has a tail ending AT the watermark, whose close window cannot
+    // have elapsed — at least one session must be withheld
+    assert(spans.length - want.length >= 1,
+      "no tail withheld — the timeout gate did nothing")
+  }
 }
