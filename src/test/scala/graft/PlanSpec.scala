@@ -676,4 +676,38 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian")
     }
   }
+
+  test("txt_line_dedup: first-occurrence dedup is equi-join + hash " +
+      "aggs — no window, no cartesian, no nested loop") {
+    val p = plan("txt_line_dedup")
+    assert(!p.contains("Window"), "corpus-scale window leak:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("txt_ccnet_bucket: no corpus-scale PARTITION BY lang window; " +
+      "lang offsets broadcast") {
+    val p = plan("txt_ccnet_bucket")
+    assert(!p.contains("Window"), "lang-partitioned window leak:\n"
+      + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "offsets did not broadcast")
+  }
+
+  test("mm_silence_trim / evt_srm_trace: pure hash aggregation — " +
+      "no window, no join beyond the plan's own scan") {
+    for (q <- Seq("mm_silence_trim", "evt_srm_trace")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q window leak")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: unexpected join machinery")
+    }
+  }
+
+  test("vec_confusion: the label-centroid table broadcasts; the score " +
+      "join is never sort-merge") {
+    val p = plan("vec_confusion")
+    assert(p.contains("BroadcastHashJoin"), "centroids did not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }
