@@ -184,6 +184,35 @@ object Insights {
       .select(lit(name).as("fk"), col("n_orphans"))
   }
 
+  /** evt_srm_trace's oracle, optionally restricted to days CLOSED by
+    * the final stream watermark (max event time, delay 0, ms-floored) —
+    * the shared text keeps the batch query and its driver-visible
+    * streaming feed (stream_srm_feed) oracling the same computation. */
+  private def srmSql(closedOnly: Boolean): String = {
+    val closed = if (closedOnly)
+      """
+        |WHERE epoch_us(CAST(day AS TIMESTAMP)) + 86400000000
+        |        <= (SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+        |            * 1000 FROM events)""".stripMargin
+    else ""
+    s"""WITH ud AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |), g AS (
+       |  SELECT day,
+       |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_a,
+       |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_b
+       |  FROM ud GROUP BY day
+       |)
+       |SELECT day, n_a, n_b,
+       |       CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |            / (n_a + n_b) AS DOUBLE) AS chi2,
+       |       (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+       |         AS srm_flag
+       |FROM g$closed ORDER BY day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── OLAP cube: priority × status subtotals ─────────────────────────
@@ -2559,23 +2588,7 @@ object Insights {
     // cross-multiplication ((n_a−n_b)²·1000 > 3841·n — no float in the
     // decision). Scale shape: one distinct (day, user) pass then a
     // calendar-bounded day rollup, all map-side combinable.
-    Q("evt_srm_trace",
-      """WITH ud AS (
-        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
-        |), g AS (
-        |  SELECT day,
-        |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS n_a,
-        |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS n_b
-        |  FROM ud GROUP BY day
-        |)
-        |SELECT day, n_a, n_b,
-        |       CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-        |            / (n_a + n_b) AS DOUBLE) AS chi2,
-        |       (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
-        |         AS srm_flag
-        |FROM g ORDER BY day""".stripMargin) { (s, d) =>
+    Q("evt_srm_trace", srmSql(closedOnly = false)) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("ts").cast("date").as("day"), col("user_id"))
         .distinct()
@@ -2584,6 +2597,26 @@ object Insights {
           .cast("long").as("n_a"),
           sum(when(col("user_id") % 2 === 1, 1).otherwise(0))
             .cast("long").as("n_b"))
+        .select(col("day"), col("n_a"), col("n_b"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b"))).as("chi2"),
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 1000 >
+            lit(3841) * (col("n_a") + col("n_b"))).as("srm_flag"))
+        .orderBy("day")
+    },
+
+    // ── streaming SRM feed, driver-visible (§2.10) ─────────────────────
+
+    // StreamSrm's closed-day arm splits vs the batch evt_srm_trace
+    // restricted to the same closure predicate — the NINTH driver-
+    // visible streaming row, and the first through Spark's NATIVE
+    // streaming surface (dropDuplicatesWithinWatermark + tumbling
+    // window Append) rather than a custom GroupState operator. The
+    // chi-square and its integer-cross-multiplied gate are computed on
+    // the emitted counts here, identically to the batch query.
+    Q("stream_srm_feed", srmSql(closedOnly = true)) { (s, d) =>
+      graft.streaming.StreamSrm
+        .runAvailableNow(s, d, "stream_srm_feed_sink")
         .select(col("day"), col("n_a"), col("n_b"),
           (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
             .cast("double") / (col("n_a") + col("n_b"))).as("chi2"),

@@ -428,6 +428,63 @@ object Multimodal {
         .orderBy("doc_id", "scene")
     },
 
+    // ── frame ↔ token alignment (the CLIP-pairing plumbing) ────────────
+    //
+    // Multimodal training pairs each media FRAME with the text TOKENS
+    // whose character span overlaps it — the alignment table a
+    // contrastive pipeline materializes before any encoder runs. Token
+    // character spans come from an exact prefix sum of token lengths
+    // (+1 separator; the corpus is single-spaced, fixture-checked), in
+    // a doc-PARTITIONED window — bounded by one document's tokens, the
+    // scalable direction. Each token explodes into only the frames it
+    // touches (≤ len/32 + 1), so output size is O(tokens), never
+    // tokens × frames.
+    Q("mm_frame_tokens",
+      """WITH t AS (
+        |  SELECT doc_id, CAST(r.i AS INTEGER) - 1 AS idx, tk[r.i] AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents) d,
+        |       UNNEST(range(1, len(tk) + 1)) AS r(i)
+        |), o AS (
+        |  SELECT doc_id, idx, tok,
+        |         CAST(COALESCE(SUM(length(tok) + 1) OVER (
+        |           PARTITION BY doc_id ORDER BY idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS off
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, idx,
+        |         unnest(range(off // 32,
+        |                      (off + length(tok) - 1) // 32 + 1)) AS frame
+        |  FROM o
+        |)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(MIN(idx) AS INTEGER) AS first_tok,
+        |       CAST(MAX(idx) AS INTEGER) AS last_tok
+        |FROM f GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), x => x =!= ""))
+            .as(Seq("idx", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = t.withColumn("off",
+        coalesce(sum(length(col("tok")) + 1).over(w), lit(0L)))
+      val f = o.select(col("doc_id"), col("idx"),
+        explode(sequence((col("off") / 32).cast("long"),
+          ((col("off") + length(col("tok")) - 1) / 32).cast("long")))
+          .as("frame"))
+      f.groupBy("doc_id", "frame")
+        .agg(count(lit(1)).as("n_tokens"),
+          min("idx").cast("int").as("first_tok"),
+          max("idx").cast("int").as("last_tok"))
+        .orderBy("doc_id", "frame")
+    },
+
     // ── leading/trailing silence trim (the audio-VAD preprocessing) ───
     //
     // The trim every audio ingest runs before feature extraction: score

@@ -1625,6 +1625,72 @@ object Vectors {
         .orderBy("list_id", "dim")
     },
 
+    // ── one distributed power-iteration step (the PCA primitive) ──────
+    //
+    // v ← XᵀXv from a fixed integer seed vector — the step every
+    // distributed PCA/truncated-SVD runs, as a ledger: per-dim
+    // (XᵀXv)_dim plus the Rayleigh quotient vᵀXᵀXv / vᵀv (the λ₁
+    // estimate this step already yields). Entirely exact BIGINTs:
+    // milli-quantized components × an integer seed (plane key 64 —
+    // disjoint from LSH 0..7, centroids 8..23, PQ 24..55), so the
+    // per-row projection and the per-dim reduction are associative
+    // integer sums; the quotient's two reductions are D38-summed and
+    // divided once in the same order on both engines. Scale shape: one
+    // scan computes per-row x·v (zero shuffle), one map-side-combined
+    // (dim) agg — the textbook one-pass distributed matvec.
+    Q("vec_power_iter", {
+      val v = (1 to Dim).map(j => plane(64, j).toLong)
+      val dvSql = (1 to Dim).map(j =>
+        s"CAST(floor(CAST(embedding[$j] AS DOUBLE) * 1000) AS BIGINT) * (${v(j - 1)})")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, CAST($dvSql AS BIGINT) AS dv
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT CAST(r.i AS INTEGER) AS dim,
+         |         CAST(SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+         |                  AS BIGINT) * dv) AS BIGINT) AS xtxv
+         |  FROM d, UNNEST(range(1, ${Dim + 1})) AS r(i)
+         |  GROUP BY 1
+         |), vs AS (
+         |  SELECT CAST(SUM(CAST(xtxv * (CASE dim ${(1 to Dim).map(j =>
+                   s"WHEN $j THEN ${v(j - 1)}").mkString(" ")} END)
+         |           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vts
+         |  FROM s
+         |)
+         |SELECT dim, CAST(${"("} CASE dim ${(1 to Dim).map(j =>
+             s"WHEN $j THEN ${v(j - 1)}").mkString(" ")} END ${")"}
+         |         AS BIGINT) AS seed,
+         |       xtxv,
+         |       CAST(CAST(vts AS DOUBLE) / ${v.map(x => x * x).sum}
+         |         AS DOUBLE) AS rayleigh
+         |FROM s, vs ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+      val v = (1 to Dim).map(j => plane(64, j).toLong)
+      val vArr = array(v.map(lit): _*)
+      val dv = aggregate(
+        zip_with(col("embedding"), vArr,
+          (x, w) => floor(x.cast("double") * 1000).cast("long") * w),
+        lit(0L), (acc, t) => acc + t)
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dv.as("dv"))
+      val sdf = base
+        .select(col("dv"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("int").as("dim"),
+          (floor(col("x").cast("double") * 1000).cast("long") * col("dv"))
+            .as("t"))
+        .groupBy("dim").agg(sum("t").cast("long").as("xtxv"))
+      val seed = element_at(vArr, col("dim"))
+      val vts = sdf.agg(sum((col("xtxv") * element_at(vArr, col("dim")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("vts"))
+      sdf.crossJoin(broadcast(vts))
+        .select(col("dim"), seed.as("seed"), col("xtxv"),
+          (col("vts").cast("double") / lit(v.map(x => x * x).sum.toDouble))
+            .as("rayleigh"))
+        .orderBy("dim")
+    },
+
     // ── NDCG of the IVF probe ranking (graded ranking quality) ─────────
     //
     // sim_ivf_recall counts set overlap; NDCG grades POSITION — an ANN

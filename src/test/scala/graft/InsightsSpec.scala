@@ -1060,6 +1060,24 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("stream_srm_feed ≡ evt_srm_trace on watermark-closed days " +
+      "(native dedup + tumbling window path)") {
+    val feed = SparkEntry.queries("stream_srm_feed")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    val batch = SparkEntry.queries("evt_srm_trace")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    val wmUs = Tables.events(spark, SparkSuite.Sf001)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000 * 1000
+    val closed = batch.filter { case (day, _, _, _, _) =>
+      (java.time.LocalDate.parse(day).toEpochDay + 1) * 86400000000L <= wmUs
+    }
+    assert(feed == closed, "feed diverges from closed-day batch trace")
+    // the last open day must be withheld, so feed < batch strictly
+    assert(feed.size < batch.size && feed.nonEmpty)
+  }
+
   test("ts_ar1 ≡ exact OLS replay on consecutive-day pairs; gap days " +
       "pair with nothing") {
     val r = SparkEntry.queries("ts_ar1")(spark, SparkSuite.Sf001)

@@ -189,4 +189,39 @@ class MultimodalSpec extends SparkSuite {
     assert(got.exists(_._5 > 0) && got.exists(_._6 > 0),
       "no silent edges in fixture — vacuous")
   }
+
+  test("mm_frame_tokens ≡ exact span replay; frames tile the payload " +
+      "and token ranges are contiguous") {
+    val got = SparkEntry.queries("mm_frame_tokens")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    val docs = Tables.documents(spark, SparkSuite.Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var want = Map.empty[(Long, Long), (Long, Int, Int)]
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      var off = 0L
+      val hits = toks.zipWithIndex.flatMap { case (tok, idx) =>
+        val fs = (off / 32) to ((off + tok.length - 1) / 32)
+        off += tok.length + 1
+        fs.map(f => (f, idx))
+      }
+      hits.groupBy(_._1).foreach { case (f, xs) =>
+        want += (id, f) -> (xs.length.toLong, xs.map(_._2).min,
+          xs.map(_._2).max)
+      }
+      // alignment tiles the payload: every 32-char frame of this doc
+      // gets at least one token (single-spaced text has no dead frames)
+      val nFrames = (text.length + 31) / 32
+      (0L until nFrames.toLong).foreach { f =>
+        assert(want.contains((id, f)), s"doc $id frame $f uncovered")
+      }
+    }
+    assert(got == want, "frame-token alignment replay diverges")
+    got.foreach { case ((id, f), (n, first, last)) =>
+      assert(n == last - first + 1,
+        s"doc $id frame $f: token range not contiguous")
+    }
+  }
 }

@@ -529,6 +529,32 @@ class VectorsSpec extends SparkSuite {
     assert(full.toSeq == bf.toSeq, "nprobe=nlist must equal brute force")
   }
 
+  test("vec_power_iter ≡ exact BigInt matvec replay; Rayleigh quotient " +
+      "nonnegative (XᵀX is PSD) and consistent with the ledger") {
+    val got = SparkEntry.queries("vec_power_iter")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == Vectors.Dim)
+    val v = (1 to Vectors.Dim).map(j => Vectors.plane(64, j).toLong)
+    val e = Tables.embeddings(spark, Sf001)
+      .collect().map(_.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val dv = e.map(x => (0 until Vectors.Dim).map(j =>
+      BigInt(x(j)) * v(j)).sum)
+    val want = (0 until Vectors.Dim).map { j =>
+      e.zip(dv).map { case (x, d) => BigInt(x(j)) * d }.sum }
+    got.foreach { case (dim, seed, xtxv, _) =>
+      assert(seed == v(dim - 1), s"dim $dim seed")
+      assert(BigInt(xtxv) == want(dim - 1), s"dim $dim matvec")
+    }
+    val vts = (0 until Vectors.Dim).map(j => want(j) * v(j)).sum
+    val vv = v.map(x => BigInt(x) * x).sum
+    val rayleigh = got.head._4
+    assert(got.forall(_._4 == rayleigh), "rayleigh must be constant")
+    assert(rayleigh >= 0.0, "vᵀXᵀXv = |Xv|² must be nonnegative")
+    assert(rayleigh == vts.toDouble / vv.toDouble, "rayleigh replay")
+  }
+
   test("vec_confusion ≡ exact integer replay; rows partition the " +
       "corpus and the diagonal dominates chance") {
     val got = SparkEntry.queries("vec_confusion")(spark, Sf001)
