@@ -2625,6 +2625,52 @@ object Insights {
         .orderBy("day")
     },
 
+    // ── calibration curve (reliability diagram) of the spend score ─────
+
+    // evt_score_auc asks "does pre-period spend RANK converters
+    // correctly"; the calibration curve asks the complementary
+    // question every score consumer needs answered before thresholding:
+    // per score decile, how often does the outcome actually happen.
+    // Deciles by exact integer cross-multiplication over the global
+    // rank (((rk−1)·10) div n + 1 — identical arithmetic both engines,
+    // no ntile edge semantics to reconcile); rank via the
+    // range-partitioned global ranker, never a partition-less window.
+    // Counts exact; rate and mean are single pinned divisions.
+    Q("evt_calibration_curve",
+      s"""WITH $causalUsersSql,
+         |r AS (
+         |  SELECT user_id, x,
+         |         (CASE WHEN y > 2000000 THEN 1 ELSE 0 END) AS pos,
+         |         row_number() OVER (ORDER BY x, user_id) AS rk,
+         |         COUNT(*) OVER () AS n
+         |  FROM u
+         |), dk AS (
+         |  SELECT CAST(((rk - 1) * 10) // n + 1 AS INTEGER) AS decile,
+         |         x, pos
+         |  FROM r
+         |)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |       CAST(CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         |         AS pos_rate,
+         |       CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 10000 AS DOUBLE)
+         |         AS mean_x
+         |FROM dk GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      val u = causalUsers(s, d)
+        .select(col("user_id"), col("x"),
+          when(col("y") > 2000000L, 1L).otherwise(0L).as("pos"))
+      val ranked = Ranking.globalRowNumber(u, Seq("x", "user_id"), 32)
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("CAST(((row_num - 1) * 10) div n + 1 AS INT)")
+          .as("decile"), col("x"), col("pos"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("pos").as("n_pos"),
+          (sum("pos").cast("double") / count(lit(1))).as("pos_rate"),
+          (sum("x").cast("double") / count(lit(1)) / 10000).as("mean_x"))
+        .orderBy("decile")
+    },
+
     // ── AR(1) fit of the daily order-count series ──────────────────────
 
     // How sticky is yesterday? The lag-1 autoregression y_t = α + φ·y_{t−1}

@@ -212,6 +212,34 @@ object Temporal {
     Tables.events(s, d).select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"), col("value"), col("event_type"))
 
+  /** scd2_history's oracle — ALSO the oracle of scd2_incremental: the
+    * incremental merge's whole contract is that its output is
+    * indistinguishable from a full rebuild, so both queries hash
+    * against the identical full-history SQL. */
+  private lazy val scd2HistorySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         event_type
+      |  FROM events
+      |), o AS (
+      |  SELECT user_id, us, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |              ORDER BY us, event_id, event_type) AS prev
+      |  FROM ev
+      |), chg AS (
+      |  SELECT user_id, us, event_type FROM o
+      |  WHERE prev IS NULL OR event_type <> prev
+      |)
+      |SELECT user_id,
+      |       CAST(row_number() OVER (PARTITION BY user_id
+      |            ORDER BY us, event_type) AS INTEGER) AS version,
+      |       event_type AS state, us AS valid_from_us,
+      |       lead(us) OVER (PARTITION BY user_id
+      |            ORDER BY us, event_type) AS valid_to_us,
+      |       lead(us) OVER (PARTITION BY user_id
+      |            ORDER BY us, event_type) IS NULL AS is_current
+      |FROM chg ORDER BY user_id, version""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── as-of join: last click state at each error ─────────────────────
@@ -510,29 +538,7 @@ object Temporal {
     // the same state merged. Two partitioned windows (lag to find change
     // points, lead to close intervals), zero joins; the change-point
     // order includes the state so same-timestamp ties are total.
-    Q("scd2_history",
-      """WITH ev AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |         event_type
-        |  FROM events
-        |), o AS (
-        |  SELECT user_id, us, event_type,
-        |         lag(event_type) OVER (PARTITION BY user_id
-        |              ORDER BY us, event_id, event_type) AS prev
-        |  FROM ev
-        |), chg AS (
-        |  SELECT user_id, us, event_type FROM o
-        |  WHERE prev IS NULL OR event_type <> prev
-        |)
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id
-        |            ORDER BY us, event_type) AS INTEGER) AS version,
-        |       event_type AS state, us AS valid_from_us,
-        |       lead(us) OVER (PARTITION BY user_id
-        |            ORDER BY us, event_type) AS valid_to_us,
-        |       lead(us) OVER (PARTITION BY user_id
-        |            ORDER BY us, event_type) IS NULL AS is_current
-        |FROM chg ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    Q("scd2_history", scd2HistorySql) { (s, d) =>
       val wOrd = Window.partitionBy("user_id")
         .orderBy(col("us"), col("event_id"), col("event_type"))
       val chg = ev(s, d)
@@ -546,6 +552,71 @@ object Temporal {
           col("event_type").as("state"),
           col("us").as("valid_from_us"),
           lead("us", 1).over(wVer).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "version")
+    },
+
+    // ── incremental SCD2 merge (the lakehouse nightly) ─────────────────
+
+    // The production form of scd2_history: the dimension already exists
+    // (built from the stream BEFORE the calendar midpoint — a broadcast
+    // scalar, fixture-independent), and tonight's batch (everything at
+    // or after the midpoint) must be MERGED in — close each user's open
+    // version at their first genuinely-new state, append new versions
+    // with continued numbering, and drop a leading batch state equal to
+    // the open state (not a change; the null-safe guard keeps users
+    // BORN in the batch). The contract — and the oracle — is that the
+    // merged output is INDISTINGUISHABLE from a full rebuild
+    // (scd2HistorySql verbatim). Scale shape: the existing dimension is
+    // never rewritten per user, only its open rows are touched (one
+    // left join against the batch's per-user first change), and every
+    // window is user-partitioned.
+    Q("scd2_incremental", scd2HistorySql) { (s, d) =>
+      val base = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      val cut = base.agg(((min("us") + max("us")) / 2).cast("long").as("cut"))
+      val e = base.crossJoin(broadcast(cut))
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"), col("event_type"))
+      def chg(df: DataFrame): DataFrame =
+        df.withColumn("prev", lag("event_type", 1).over(wOrd))
+          .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+          .select(col("user_id"), col("us"), col("event_type"))
+      val preChg = chg(e.filter(col("us") < col("cut")))
+      val postChg = chg(e.filter(col("us") >= col("cut")))
+      // open state + version count of the EXISTING dimension, per user
+      val open = preChg.groupBy("user_id")
+        .agg(count(lit(1)).as("k"),
+          max(struct(col("us"), col("event_type"))).as("o"))
+        .select(col("user_id"), col("k"),
+          col("o.event_type").as("open_state"))
+      val wVer = Window.partitionBy("user_id").orderBy("us", "event_type")
+      // a leading batch state equal to the open state is not a change;
+      // open_state is null for batch-born users (isNull keeps them)
+      val kept = postChg
+        .withColumn("prn", row_number().over(wVer))
+        .join(open, Seq("user_id"), "left")
+        .filter(col("prn") =!= 1 || col("open_state").isNull ||
+          col("event_type") =!= col("open_state"))
+      val firstPost = kept.groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.us").as("fus"))
+      // existing rows: only the open row's null valid_to is touched
+      val preRows = preChg
+        .select(col("user_id"), row_number().over(wVer).as("version"),
+          col("event_type").as("state"), col("us").as("valid_from_us"),
+          lead("us", 1).over(wVer).as("valid_to_us"))
+        .join(firstPost, Seq("user_id"), "left")
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from_us"),
+          coalesce(col("valid_to_us"), col("fus")).as("valid_to_us"))
+      val postRows = kept
+        .select(col("user_id"),
+          (row_number().over(wVer) + coalesce(col("k"), lit(0L)))
+            .cast("int").as("version"),
+          col("event_type").as("state"), col("us").as("valid_from_us"),
+          lead("us", 1).over(wVer).as("valid_to_us"))
+      preRows.unionByName(postRows)
         .withColumn("is_current", col("valid_to_us").isNull)
         .orderBy("user_id", "version")
     },

@@ -1078,6 +1078,34 @@ class InsightsSpec extends SparkSuite {
     assert(feed.size < batch.size && feed.nonEmpty)
   }
 
+  test("evt_calibration_curve: deciles partition the user base with " +
+      "the exact cross-multiplied cut; counts and rates replay; AUC " +
+      "consistency (monotone-ish lift from a positive-AUC score)") {
+    val got = SparkEntry.queries("evt_calibration_curve")(
+        spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    val n = got.map(_._2).sum
+    // decile sizes are exactly the cross-multiplied partition:
+    // |{rk : (rk-1)*10 div n = d-1}|
+    val wantSizes = (1 to 10).map(dd =>
+      (1L to n).count(rk => (rk - 1) * 10 / n + 1 == dd).toLong)
+    assert(got.map(_._2).toSeq == wantSizes, "decile sizes")
+    got.foreach { case (dd, nu, np, rate, _) =>
+      assert(np <= nu && rate == np.toDouble / nu, s"decile $dd")
+    }
+    // consistency with evt_score_auc: same spine, same outcome — the
+    // curve's positive mass and population must reconcile exactly
+    val auc = SparkEntry.queries("evt_score_auc")(spark, SparkSuite.Sf001)
+      .collect().head
+    assert(got.map(_._3).sum == auc.getLong(0), "n_pos vs AUC ledger")
+    assert(n == auc.getLong(0) + auc.getLong(1), "population vs AUC ledger")
+    // non-vacuous: the deciles actually separate outcomes somewhere
+    assert(got.map(_._4).distinct.length > 1,
+      "every decile converts identically — calibration vacuous")
+  }
+
   test("ts_ar1 ≡ exact OLS replay on consecutive-day pairs; gap days " +
       "pair with nothing") {
     val r = SparkEntry.queries("ts_ar1")(spark, SparkSuite.Sf001)

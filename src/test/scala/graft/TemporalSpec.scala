@@ -285,6 +285,38 @@ class TemporalSpec extends SparkSuite {
     assert(sawB > 0 && sawF > 0, "fixture never exercised one direction")
   }
 
+  test("scd2_incremental ≡ scd2_history row-for-row (the merge is " +
+      "indistinguishable from a full rebuild), drop path exercised") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).toSeq
+    val inc = rows("scd2_incremental")
+    val full = rows("scd2_history")
+    assert(inc == full, "incremental merge diverges from full rebuild")
+    // non-vacuity, replayed from the raw stream: at least one user has
+    // batch-period versions, and at least one user's first batch event
+    // repeats their open state (the drop path)
+    val ev = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    assert(full.exists(_._4 >= cut), "no batch-period versions — vacuous")
+    val dropUsers = ev.groupBy(_._1).count { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3, e._4))
+      val (pre, post) = sorted.partition(_._2 < cut)
+      pre.nonEmpty && post.nonEmpty && {
+        val openState = pre.foldLeft(List.empty[String]) { (acc, e) =>
+          if (acc.headOption.contains(e._4)) acc else e._4 :: acc
+        }.head
+        post.head._4 == openState
+      }
+    }
+    assert(dropUsers >= 1, "no leading batch state equals an open " +
+      "state — the dedup-at-the-boundary path is untested")
+  }
+
   test("plans: asOf has no join at all; range join never nested-loops") {
     val asofPlan = SparkEntry.queries("join_asof")(spark, SparkSuite.Sf001)
       .queryExecution.executedPlan.toString
