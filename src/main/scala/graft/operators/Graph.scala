@@ -436,6 +436,45 @@ object Graph {
         .orderBy("doc_id")
     },
 
+    // Soft dedup: REWEIGHT duplicates instead of dropping them — each
+    // member of a near-dup cluster trains at weight 1/|cluster| (the
+    // SoftDeDup idea: hard removal loses paraphrase diversity; down-
+    // weighting keeps it while removing the duplication bias). Exact
+    // integer ppm weights (1000000 div size, positive operands so div
+    // ≡ floor on both engines); composes the memoized CC labels with
+    // one size aggregate and one label equi-join — in a batch run the
+    // labels frame is the SAME persisted memo dedup_cc computed, so
+    // the marginal cost is the size rollup.
+    Q("dedup_soft_weight",
+      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |), clus AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+         |), cs AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM clus GROUP BY cluster
+         |)
+         |SELECT c.doc_id, c.cluster, cluster_size,
+         |       CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+         |FROM clus c JOIN cs ON cs.cluster = c.cluster
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val labels = nearCloneClusters(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+      val sizes = labels.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_ppm"))
+        .orderBy("doc_id")
+    },
+
     // Quality-aware survivor selection: real dedup pipelines keep the
     // BEST member of each near-dup cluster, not the smallest id — here
     // "best" = longest text (the common keep-longest policy), ties to

@@ -27,10 +27,18 @@ object Vectors {
     * codegen method limit and drops the whole stage to interpreted
     * mode). `0.0 + t₁` is IEEE-identical to `t₁`, so this equals the
     * oracle's explicit left-associated sum. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Embedding dot product. Routed through the codegen'd
+    * [[graft.plans.VectorDot]] expression — bit-identical to the
+    * composed `aggregate(zip_with(·,·,*), 0.0, +)` left fold it
+    * replaces (same index order, same double arithmetic), but it runs
+    * as a bare loop inside whole-stage codegen instead of an
+    * interpreted higher-order lambda: the vectors family's hottest
+    * kernel, evaluated millions of times per query. */
+  private def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.VectorDot.register)
+    call_function("vector_dot", a, b)
+  }
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i =>
@@ -109,9 +117,7 @@ object Vectors {
   def lshBucket(e: Column): Column =
     (0 until Planes).map { p =>
       val planeArr = array((1 to Dim).map(j => lit(plane(p, j))): _*)
-      val proj = aggregate(
-        zip_with(e, planeArr, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(e, planeArr)
       when(proj > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 
@@ -161,9 +167,7 @@ object Vectors {
       .orderBy(col("cdot").desc, col("list_id"))
     val probes = q.select(col("q_id"), col("eq")).crossJoin(broadcast(centers))
       .select(col("q_id"), col("list_id"),
-        aggregate(zip_with(col("eq"), col("center"),
-          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
-          .as("cdot"))
+        dot(col("eq"), col("center")).as("cdot"))
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= nprobe)
       .select("q_id", "list_id")
@@ -230,9 +234,7 @@ object Vectors {
   private def centroidScores(e: Column, nlist: Int): Column =
     array((0 until nlist).map { c =>
       val cen = array((1 to Dim).map(j => lit(fixedCentroid(c, j))): _*)
-      val cd = aggregate(
-        zip_with(e, cen, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val cd = dot(e, cen)
       struct((-cd).as("negdot"), lit(c).as("list_id"))
     }: _*)
 

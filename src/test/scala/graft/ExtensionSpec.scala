@@ -88,6 +88,44 @@ class ExtensionSpec extends SparkSuite {
       s"bloom kept $kept of $full rows — not pruning")
   }
 
+  test("vector_dot codegen'd expression ≡ the composed higher-order " +
+      "fold bit-for-bit on real embeddings; nulls and mismatches null") {
+    graft.plans.VectorDot.register(spark)
+    // bit-identity against the exact composed form it replaced, over
+    // every corpus vector × a literal double plane AND float × float
+    val planeArr = array((1 to operators.Vectors.Dim)
+      .map(j => lit(operators.Vectors.plane(3, j))): _*)
+    val e = Tables.embeddings(spark, Sf001)
+    val cmp = e.select(
+      call_function("vector_dot", col("embedding"), planeArr).as("fast"),
+      aggregate(zip_with(col("embedding"), planeArr,
+        (x, h) => x.cast("double") * h), lit(0.0),
+        (acc, v) => acc + v).as("slow"),
+      call_function("vector_dot", col("embedding"), col("embedding"))
+        .as("self"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+        (acc, v) => acc + v).as("selfSlow"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "float×double fold diverges")
+      assert(r.getDouble(2) == r.getDouble(3), "float×float fold diverges")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // SQL surface + null/mismatch contract
+    val edge = spark.sql(
+      """SELECT vector_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
+        |       vector_dot(array(1.0d, 2.0d), array(3.0d)) AS b,
+        |       vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS c
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 11.0)
+    // wrong element type is an analysis-time failure, not a wrong answer
+    val err = intercept[Exception] {
+      spark.sql("SELECT vector_dot(array('x'), array('y'))").collect()
+    }
+    assert(err.getMessage.contains("vector_dot"))
+  }
+
   test("PosIdAggregator UDAF ≡ built-in ordered string concat") {
     val posIdUdaf = udaf(PosIdAggregator)
     val src = Tables.charge(spark, Sf0001)

@@ -564,4 +564,27 @@ class GraphSpec extends SparkSuite {
     rows.groupBy(_._1).foreach { case (st, g) =>
       assert(g.length == 5, s"start $st has ${g.length} rows") }
   }
+
+  test("dedup_soft_weight: weights are exact 1e6 div |cluster|, agree " +
+      "with dedup_cc's clustering, and conserve the effective corpus") {
+    val sw = SparkEntry.queries("dedup_soft_weight")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val cc = SparkEntry.queries("dedup_cc")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sw.length == cc.size, "row count vs dedup_cc")
+    val sizes = cc.values.groupBy(identity).view.mapValues(_.size.toLong)
+    sw.foreach { case (doc, cluster, n, w) =>
+      assert(cluster == cc(doc), s"doc $doc cluster")
+      assert(n == sizes(cluster), s"doc $doc size")
+      assert(w == 1000000L / n, s"doc $doc weight")
+    }
+    // effective corpus: Σ weights ∈ (1e6·(C−1), 1e6·C] where C = number
+    // of clusters (each cluster contributes 1e6 minus a floor loss < 1e6)
+    val c = sizes.size.toLong
+    val tot = sw.map(_._4).sum
+    assert(tot <= 1000000L * c && tot > 1000000L * (c - 1), s"Σw=$tot C=$c")
+    // non-vacuous: some cluster is non-trivial
+    assert(sw.exists(_._3 > 1), "no non-singleton cluster — vacuous")
+  }
 }
