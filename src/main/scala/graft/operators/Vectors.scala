@@ -374,13 +374,15 @@ object Vectors {
   private def pqSubVec(e: Column, m: Int): Column =
     slice(e, m * PqSub + 1, PqSub)
 
-  /** ‖sub − C[m][k]‖², the pinned left-fold (same association as the
-    * oracle's explicit 8-term sum). */
+  /** ‖sub − C[m][k]‖² via the codegen'd [[graft.plans.VectorSqDist]] —
+    * bit-identical to the composed (x−c)² left fold (same association
+    * as the oracle's explicit 8-term sum), minus the interpreted
+    * higher-order lambda on the PQ encode/ADC hot path. */
   private def pqDist(sub: Column, m: Int, k: Int): Column = {
     val cb = array((0 until PqSub).map(j => lit(pqCb(m, k, j))): _*)
-    aggregate(zip_with(sub, cb, (x, c) =>
-      (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.VectorSqDist.register)
+    call_function("vector_sqdist", sub, cb)
   }
 
   /** argmin_k of the subspace distance — per-row array_min over

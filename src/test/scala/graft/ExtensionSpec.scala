@@ -126,6 +126,29 @@ class ExtensionSpec extends SparkSuite {
     assert(err.getMessage.contains("vector_dot"))
   }
 
+  test("vector_sqdist codegen'd expression ≡ the composed (x−c)² fold " +
+      "bit-for-bit on real PQ sub-vectors") {
+    graft.plans.VectorSqDist.register(spark)
+    val cb = array((0 until operators.Vectors.PqSub)
+      .map(j => lit(operators.Vectors.pqCb(2, 1, j))): _*)
+    val sub = slice(col("embedding"),
+      2 * operators.Vectors.PqSub + 1, operators.Vectors.PqSub)
+    val cmp = Tables.embeddings(spark, Sf001).select(
+      call_function("vector_sqdist", sub, cb).as("fast"),
+      aggregate(zip_with(sub, cb, (x, c) =>
+        (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v).as("slow"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "sqdist fold diverges")
+      assert(r.getDouble(0) >= 0.0)
+    }
+    val edge = spark.sql(
+      "SELECT vector_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS a")
+      .collect().head
+    assert(edge.getDouble(0) == 8.0)
+  }
+
   test("PosIdAggregator UDAF ≡ built-in ordered string concat") {
     val posIdUdaf = udaf(PosIdAggregator)
     val src = Tables.charge(spark, Sf0001)
