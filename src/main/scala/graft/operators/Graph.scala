@@ -295,6 +295,50 @@ object Graph {
       .select(col("src").as("id"), col("deg"))
   }
 
+  /** FULL core decomposition (per-node core number) via the h-index
+    * iteration (Lü, Chen, Ren, Zhang, Zhou, Stanley — Nat. Commun.
+    * 2016): start every node at its degree and repeatedly replace each
+    * node's value with the H-INDEX of its neighbors' values; the
+    * sequence is per-node monotone non-increasing and its fixpoint is
+    * exactly the coreness. graph_kcore answers one membership question
+    * (is v in the k-core for one fixed k); this answers all of them at
+    * once. Each round is ONE neighbor equi-join + a node-PARTITIONED
+    * window (bounded by a node's degree — the scalable direction) +
+    * one hash agg; convergence is probed by Σh (monotonicity makes the
+    * sum a complete equality witness), and non-convergence inside
+    * `maxIter` REFUSES loudly (the connectedComponents discipline —
+    * a mid-iteration h is an overestimate, not an approximation
+    * anyone asked for). The fixpoint is idempotent, so the unrolled
+    * SQL oracle may safely run more rounds than Spark needed. */
+  def coreness(edges: DataFrame, maxIter: Int = 12): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val w = Window.partitionBy("src").orderBy(col("nh").desc, col("dst"))
+    var h = sym.groupBy(col("src")).agg(count(lit(1)).as("h"))
+      .select(col("src").as("id"), col("h")).localCheckpoint()
+    var prevSum = h.agg(sum("h")).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = sym
+        .join(h, col("dst") === col("id"))
+        .select(col("src"), col("dst"), col("h").as("nh"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("src"))
+        .agg(max(least(col("rn").cast("long"), col("nh"))).as("h"))
+        .select(col("src").as("id"), col("h"))
+        .localCheckpoint()
+      val s = next.agg(sum("h")).collect()(0).getLong(0)
+      converged = s == prevSum
+      h = next; prevSum = s; iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreness did not converge in $maxIter rounds")
+    h
+  }
+
   /** Bounded-hop BFS over an undirected edge list: minimum hop count
     * from any seed, for every vertex reachable within `maxHops`.
     * Classic frontier expansion — each round is ONE equi-join (frontier
@@ -774,6 +818,54 @@ object Graph {
         .filter(col("src") < col("dst"))
         .select("src", "dst").distinct()
       kcore(e, k = 16).orderBy("id")
+    },
+
+    // ── full core decomposition (per-node coreness) ────────────────────
+
+    // The h-index iteration (Lü et al. 2016) to its fixpoint — every
+    // node's core number in one query, where graph_kcore answers a
+    // single fixed-k membership. The oracle unrolls 12 MATERIALIZED
+    // rounds from the degree start; the fixpoint is idempotent, so
+    // post-convergence rounds are no-ops and the unroll count only
+    // needs to be ≥ Spark's refusal bound (Spark REFUSES loudly past
+    // 12 rounds, so both engines' answers are the same fixpoint or the
+    // query fails — never a silent overestimate). Each SQL round is
+    // join + per-node window + agg, exactly the Spark plan's shape.
+    Q("graph_coreness", {
+      val rounds = (1 to 12).map { i =>
+        s"""h$i AS MATERIALIZED (
+           |  SELECT src AS id, MAX(LEAST(rn, nh)) AS h FROM (
+           |    SELECT s.src, p.h AS nh,
+           |           row_number() OVER (PARTITION BY s.src
+           |             ORDER BY p.h DESC, s.dst) AS rn
+           |    FROM s0 s JOIN h${i - 1} p ON p.id = s.dst) t
+           |  GROUP BY src
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+         |), s0 AS MATERIALIZED (
+         |  SELECT p1 AS src, p2 AS dst FROM e
+         |  UNION ALL
+         |  SELECT p2 AS src, p1 AS dst FROM e
+         |), h0 AS MATERIALIZED (
+         |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM s0 GROUP BY src
+         |),
+         |$rounds
+         |SELECT id, CAST(h AS BIGINT) AS coreness
+         |FROM h12 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      coreness(e).select(col("id"), col("h").as("coreness")).orderBy("id")
     },
 
     // ── k-truss decomposition (5-truss of the co-purchase graph) ───────

@@ -565,6 +565,47 @@ class GraphSpec extends SparkSuite {
       assert(g.length == 5, s"start $st has ${g.length} rows") }
   }
 
+  test("graph_coreness ≡ exact peel replay; consistent with the fixed-k " +
+      "core (coreness ≥ 16 is exactly graph_kcore's survivor set)") {
+    val got = SparkEntry.queries("graph_coreness")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact coreness by the textbook peel: repeatedly remove a
+    // minimum-degree vertex; its core number is the running maximum of
+    // the minimum degree seen when it is removed
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (v, ns) => (ns.size, v) }
+      k = math.max(k, ns.size.toLong)
+      want(v) = k
+      ns.foreach(u => adj(u) -= v)
+      adj -= v
+    }
+    assert(got == want.toMap, "coreness peel replay diverges")
+    // cross-query law: the 16-core's membership is exactly the
+    // coreness ≥ 16 level set
+    val kc = SparkEntry.queries("graph_kcore")(spark, SparkSuite.Sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 >= 16).keySet == kc, "coreness vs kcore-16")
+    // the decomposition is non-trivial on this fixture
+    assert(got.values.toSet.size > 2, "degenerate coreness spectrum")
+  }
+
   test("dedup_soft_weight: weights are exact 1e6 div |cluster|, agree " +
       "with dedup_cc's clustering, and conserve the effective corpus") {
     val sw = SparkEntry.queries("dedup_soft_weight")(spark, SparkSuite.Sf001)
