@@ -1452,6 +1452,93 @@ object Analytics {
     // (quantile_cont 0.5), an independent implementation — its
     // a+(b-a)·0.5 interpolation shape only agrees bit-for-bit because
     // l_quantity is INTEGRAL (both shapes exact in double below 2^52);
+    // ── exact weighted median via domain collapse ──────────────────────
+
+    // Revenue-weighted median quantity per return flag — "the quantity
+    // at which half the money sits on each side", the robust center a
+    // mean-of-quantities misses entirely when price scales with size.
+    // The SCALE trick is domain collapse: l_quantity is a ≤50-value
+    // integer domain, so the corpus first collapses to (flag, quantity,
+    // Σcents) by one map-side-combined hash agg, and the running-weight
+    // window then rides a ≤50-row partition — exact weighted order
+    // statistics with NO corpus-scale sort at any data size (the same
+    // move agg_histogram makes). Weights are exact BIGINT cents
+    // (D38-summed, < 2⁶³ by fixture bounds); the median is the
+    // smallest q with 2·cum ≥ W, all-integer.
+    Q("agg_weighted_median",
+      """WITH w AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+        |              * 100 AS DECIMAL(38,0))) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT flag, q, cents,
+        |         SUM(cents) OVER (PARTITION BY flag ORDER BY q
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         SUM(cents) OVER (PARTITION BY flag) AS total
+        |  FROM w
+        |)
+        |SELECT flag, CAST(MIN(CASE WHEN 2 * cum >= total THEN q END)
+        |         AS BIGINT) AS wmedian,
+        |       CAST(MIN(total) AS BIGINT) AS total_cents
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(sum((col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 4)) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("cents"))
+      val wc = Window.partitionBy("flag").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("flag")
+      w.select(col("flag"), col("q"), col("cents"),
+          sum("cents").over(wc).as("cum"),
+          sum("cents").over(wt).as("total"))
+        .groupBy("flag")
+        .agg(min(when(lit(2) * col("cum") >= col("total"), col("q")))
+          .as("wmedian"),
+          min("total").cast("long").as("total_cents"))
+        .orderBy("flag")
+    },
+
+    // ── running distinct (first-seen cumulative) per user ──────────────
+
+    // "How many distinct event types has this user touched, to date?" —
+    // the breadth-of-engagement curve. Windowed COUNT(DISTINCT) does
+    // not exist in either engine; the scalable identity is first-seen
+    // collapse: min(day) per (user, type) — one map-side-combined agg —
+    // then a running count over the user's FIRST-SEEN days only
+    // (user-partitioned, bounded by the type vocabulary, not by
+    // events). Rows exist only on days a new type appears, by contract.
+    Q("win_running_distinct",
+      """WITH fs AS (
+        |  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id, event_type
+        |), nd AS (
+        |  SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS new_types
+        |  FROM fs GROUP BY user_id, day
+        |)
+        |SELECT user_id, day, new_types,
+        |       CAST(SUM(new_types) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_types
+        |FROM nd ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fs = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("ts").cast("date")).as("day"))
+      val nd = fs.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("new_types"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nd.select(col("user_id"), col("day"), col("new_types"),
+          sum("new_types").over(w).cast("long").as("cum_types"))
+        .orderBy("user_id", "day")
+    },
+
     // arbitrary-decimal columns would need the sufficient-statistics
     // route instead. Exact medians need the per-group sort; the
     // approximate-at-scale path is sketch_quantile's bounded-state

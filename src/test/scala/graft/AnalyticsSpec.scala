@@ -564,4 +564,58 @@ class AnalyticsSpec extends SparkSuite {
       }
     }
   }
+
+  test("agg_weighted_median ≡ exact BigInt replay: the smallest q with " +
+      "half the revenue at or below it, per flag") {
+    val got = SparkEntry.queries("agg_weighted_median")(
+        spark, SparkSuite.Sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        (BigDecimal(r.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val byQ = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = byQ.map(_._2).sum
+      var cum = BigInt(0)
+      val wmed = byQ.collectFirst {
+        case (q, w) if { cum += w; cum * 2 >= total } => q }.get
+      val (gq, gt) = got(flag)
+      assert(gq == wmed, s"$flag weighted median")
+      assert(BigInt(gt) == total, s"$flag total cents")
+    }
+    // the weighted median is NOT the unweighted one somewhere, or the
+    // weighting did nothing on this fixture — it is (prices scale with
+    // quantity), so just pin the domain bound
+    got.values.foreach { case (q, _) => assert(q >= 1 && q <= 50) }
+  }
+
+  test("win_running_distinct: cumulative closes at each user's distinct " +
+      "type count; new_types conserve; rows only on first-seen days") {
+    val got = SparkEntry.queries("win_running_distinct")(
+        spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("user_id"), col("event_type"), col("ts").cast("date"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toLocalDate))
+    val firstSeen = ev.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).min)
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val s = rows.sortBy(_._2.toEpochDay)
+      // running sum law + closure at the user's distinct type count
+      var run = 0L
+      s.foreach { r => run += r._3; assert(r._4 == run, s"user $u cum") }
+      val types = firstSeen.filter(_._1._1 == u)
+      assert(run == types.size.toLong, s"user $u closure")
+      // per-day new_types is exactly the first-seen collapse
+      val wantDays = types.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(s.map(r => r._2 -> r._3).toMap == wantDays, s"user $u days")
+    }
+  }
 }
