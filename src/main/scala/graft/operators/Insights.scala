@@ -2625,6 +2625,65 @@ object Insights {
         .orderBy("day")
     },
 
+    // ── supplier concentration (Herfindahl-Hirschman index) ────────────
+
+    // Market-concentration audit per nation: HHI = Σ share², the
+    // number a supply-chain risk review reads first (10000·HHI > 2500
+    // ppm-scaled ⇒ "highly concentrated" in the DOJ convention). Exact
+    // channel: per-supplier revenue as exact BIGINT whole dollars
+    // (cents div 100 — positive, so div ≡ floor both engines), Σd and
+    // Σd² exact BIGINTs within 2⁵³ at driver SFs, then ONE pinned
+    // double chain floor(Σd²·10⁶ / (T·T)) — identical IEEE ops both
+    // engines. Scale shape: one map-side supplier rollup (supplier
+    // cardinality ≪ lineitem), broadcast nation dims, nation-level agg.
+    Q("agg_hhi",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+        |              * 100 AS DECIMAL(38,0))) AS BIGINT) // 100 AS d
+        |  FROM lineitem GROUP BY l_suppkey
+        |), bysup AS (
+        |  SELECT s_nationkey, d FROM rev
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |), g AS (
+        |  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |         CAST(SUM(d) AS BIGINT) AS total_dollars,
+        |         CAST(SUM(d * d) AS BIGINT) AS s2
+        |  FROM bysup GROUP BY s_nationkey
+        |)
+        |SELECT n_name AS nation, n_suppliers, total_dollars,
+        |       CAST(floor(CAST(s2 AS DOUBLE) * 1000000.0
+        |            / (CAST(total_dollars AS DOUBLE)
+        |               * CAST(total_dollars AS DOUBLE))) AS BIGINT)
+        |         AS hhi_ppm
+        |FROM g JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val D = org.apache.spark.sql.types.DecimalType
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice").cast(D(12, 4)) * 100)
+          .cast(D(38, 0))).cast("long").as("cents"))
+        .select(col("l_suppkey"), expr("cents div 100").as("d"))
+      val g = rev
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("d").as("total_dollars"),
+          sum(col("d") * col("d")).as("s2"))
+      g.join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"),
+          col("total_dollars"),
+          floor(col("s2").cast("double") * lit(1000000.0)
+            / (col("total_dollars").cast("double")
+              * col("total_dollars").cast("double")))
+            .cast("long").as("hhi_ppm"))
+        .orderBy("nation")
+    },
+
     // ── calibration curve (reliability diagram) of the spend score ─────
 
     // evt_score_auc asks "does pre-period spend RANK converters

@@ -1078,6 +1078,38 @@ class InsightsSpec extends SparkSuite {
     assert(feed.size < batch.size && feed.nonEmpty)
   }
 
+  test("agg_hhi ≡ exact replay; bounds 1/n ≤ HHI ≤ 1 hold per nation") {
+    val got = SparkEntry.queries("agg_hhi")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .select("l_suppkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), (BigDecimal(r.getDouble(1)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
+    val sup = Tables.supplier(spark, SparkSuite.Sf001)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        r.getAs[Number](1).longValue).toMap
+    val nat = Tables.nation(spark, SparkSuite.Sf001)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val bySup = li.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum / 100).toLong)
+    val want = bySup.toSeq.groupBy(x => nat(sup(x._1)))
+      .map { case (nation, xs) =>
+        val ds = xs.map(_._2)
+        val t = ds.sum; val s2 = ds.map(x => x * x).sum
+        nation -> (ds.length.toLong, t,
+          math.floor(s2.toDouble * 1000000.0
+            / (t.toDouble * t.toDouble)).toLong)
+      }
+    assert(got == want, "HHI replay diverges")
+    got.foreach { case (nation, (n, _, hhi)) =>
+      assert(hhi <= 1000000L && hhi * n >= 1000000L - n,
+        s"$nation HHI outside [1/n, 1]")
+    }
+  }
+
   test("evt_calibration_curve: deciles partition the user base with " +
       "the exact cross-multiplied cut; counts and rates replay; AUC " +
       "consistency (monotone-ish lift from a positive-AUC score)") {
