@@ -242,4 +242,29 @@ class DedupScaleSpec extends SparkSuite {
       .filter(col("b_id") === col("a_id") + 10000L).count()
     assert(confirmed > 0, "no planted containment pairs at the ×40 corpus")
   }
+
+  test("line-dedup chunk work and removal mass grow near-linearly; " +
+      "exactly one survivor per distinct chunk at any scale") {
+    // replica-salted tokens: chunks collide only WITHIN a replica, so
+    // total chunks, distinct chunks, and removed mass must all scale
+    // ×k — a first-occurrence agg that regressed to something pairwise
+    // (or a chunk key that collided across replicas) shows up here
+    val d1 = corpusDir(Reps1)
+    val d2 = corpusDir(Reps2)
+    def run(d: String): (Long, Long, Long) = {
+      val r = SparkEntry.queries("txt_line_dedup")(spark, d)
+        .agg(sum("n_chunks").as("c"), sum("n_kept").as("k"),
+          count(lit(1)).as("docs")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    run(d1) // warm
+    val ((c1, k1, _), t1) = timed(run(d1))
+    val ((c2, k2, _), t2) = timed(run(d2))
+    val k = Reps2.toDouble / Reps1
+    assert(c1 > k1, s"no duplicate chunks in the base corpus ($c1 vs $k1)")
+    assert(c2 == (c1 * k).toLong, s"chunk mass not ×$k: $c1 -> $c2")
+    assert(k2 == (k1 * k).toLong,
+      s"survivor mass not ×$k (cross-replica collision?): $k1 -> $k2")
+    timeCheck(t2 <= t1 * k * 3 + 1.0, s"line-dedup time superlinear: $t1 -> $t2")
+  }
 }
