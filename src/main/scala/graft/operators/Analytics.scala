@@ -1452,6 +1452,107 @@ object Analytics {
     // (quantile_cont 0.5), an independent implementation — its
     // a+(b-a)·0.5 interpolation shape only agrees bit-for-bit because
     // l_quantity is INTEGRAL (both shapes exact in double below 2^52);
+    // ── rolling 7-day median of the daily revenue series ───────────────
+
+    // The robust twin of ts_moving_avg: a single outlier day drags a
+    // trailing mean for a week but leaves the rolling median untouched
+    // — the series an on-call dashboard should alert on. Exact order
+    // statistics inside each ROWS frame: the 7-day window collects
+    // exact cents, sorts in-plan, and DOUBLES the median before the
+    // single division (odd/even frames share one integer expression,
+    // the evt_mad_anomaly discipline). The days dimension is calendar-
+    // bounded, so the partition-less frame is the documented
+    // evt_cum_users exception.
+    Q("ts_rolling_median",
+      """WITH dly AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |              * 100 AS DECIMAL(38,0))) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), f AS (
+        |  SELECT day, cents,
+        |         list_sort(list(cents) OVER (ORDER BY day
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+        |  FROM dly
+        |)
+        |SELECT day, cents,
+        |       CAST(CASE WHEN len(w) % 2 = 1 THEN 2 * w[(len(w)+1)//2]
+        |            ELSE w[len(w)//2] + w[len(w)//2 + 1] END AS BIGINT)
+        |         AS med2,
+        |       CAST(CAST(CASE WHEN len(w) % 2 = 1 THEN 2 * w[(len(w)+1)//2]
+        |            ELSE w[len(w)//2] + w[len(w)//2 + 1] END AS DOUBLE)
+        |            / 200 AS DOUBLE) AS median_dollars
+        |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dly = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum((col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 4)) * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("cents"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      val f = dly.select(col("day"), col("cents"),
+        array_sort(collect_list("cents").over(w7)).as("w"))
+      val n = size(col("w"))
+      val med2 = when(n % 2 === 1,
+          lit(2) * element_at(col("w"), ((n + 1) / 2).cast("int")))
+        .otherwise(element_at(col("w"), (n / 2).cast("int"))
+          + element_at(col("w"), (n / 2).cast("int") + 1))
+      f.select(col("day"), col("cents"), med2.cast("long").as("med2"),
+          (med2.cast("double") / 200).as("median_dollars"))
+        .orderBy("day")
+    },
+
+    // ── longest active-day streak per user (gaps and islands) ──────────
+
+    // The canonical gaps-and-islands exercise as a product metric:
+    // consecutive-active-day streaks. day − row_number() is constant
+    // within a run of consecutive days and unique per run, so one
+    // user-partitioned window + two hash aggs produce every user's
+    // longest streak, current streak length, and island count — no
+    // self-join, no recursion. All windows user-partitioned (bounded
+    // by a user's active days).
+    Q("win_streak",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(ts AS DATE) - DATE '1970-01-01' AS dnum
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id, dnum,
+        |         dnum - row_number() OVER (PARTITION BY user_id
+        |           ORDER BY dnum) AS island
+        |  FROM ud
+        |), runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |         MAX(dnum) AS last_day
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id,
+        |       CAST(MAX(len) AS BIGINT) AS longest,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       CAST(MAX(CASE WHEN last_day = (SELECT MAX(dnum) FROM isl i2
+        |              WHERE i2.user_id = runs.user_id) THEN len END)
+        |         AS BIGINT) AS last_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).as("dnum"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("dnum")
+      val runs = ud
+        .withColumn("island", col("dnum") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), max("dnum").as("last_day"))
+      val lastDay = ud.groupBy("user_id").agg(max("dnum").as("mx"))
+      runs.join(lastDay, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest"), count(lit(1)).as("n_streaks"),
+          max(when(col("last_day") === col("mx"), col("len")))
+            .as("last_streak"))
+        .orderBy("user_id")
+    },
+
     // ── exact weighted median via domain collapse ──────────────────────
 
     // Revenue-weighted median quantity per return flag — "the quantity

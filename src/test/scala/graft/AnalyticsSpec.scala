@@ -565,6 +565,49 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ts_rolling_median ≡ exact frame replay; robust to the frame's " +
+      "extremes where the trailing mean is not") {
+    val got = SparkEntry.queries("ts_rolling_median")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val daily = got.map(x => (x._1, x._2)).sortBy(_._1.toEpochDay)
+    got.sortBy(_._1.toEpochDay).zipWithIndex.foreach {
+      case ((day, _, med2, medD), i) =>
+        val w = daily.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+        val want = if (w.length % 2 == 1) 2 * w(w.length / 2)
+          else w(w.length / 2 - 1) + w(w.length / 2)
+        assert(med2 == want, s"$day median2")
+        assert(medD == want.toDouble / 200, s"$day dollars")
+        // order-statistic sandwich: the median is inside the frame hull
+        assert(med2 >= 2 * w.min && med2 <= 2 * w.max, s"$day hull")
+    }
+  }
+
+  test("win_streak ≡ exact islands replay; streak laws hold") {
+    val got = SparkEntry.queries("win_streak")(spark, SparkSuite.Sf001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ud = Tables.events(spark, SparkSuite.Sf001)
+      .select(col("user_id"), col("ts").cast("date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val want = ud.groupBy(_._1).map { case (u, xs) =>
+      val days = xs.map(_._2).distinct.sorted
+      val runs = days.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) => acc match {
+          case (h :: t) :: rest if h == d - 1 => (d :: h :: t) :: rest
+          case _ => List(d) :: acc
+        }
+      }.map(_.length.toLong)
+      // runs is built newest-first: head is the LAST streak
+      u -> (runs.max, runs.length.toLong, runs.head)
+    }
+    assert(got == want, "streak replay diverges")
+    got.foreach { case (u, (longest, n, last)) =>
+      assert(last <= longest && n >= 1 && longest >= 1, s"user $u laws")
+    }
+    assert(got.values.exists(_._1 >= 3), "no 3-day streak — vacuous fixture")
+  }
+
   test("agg_weighted_median ≡ exact BigInt replay: the smallest q with " +
       "half the revenue at or below it, per flag") {
     val got = SparkEntry.queries("agg_weighted_median")(
