@@ -48,12 +48,14 @@ object Vectors {
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
 
-  private val normedSql =
+  private def normedSqlFrom(src: String): String =
     s"""nrm AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
-       |  FROM embeddings
+       |  FROM $src
        |)""".stripMargin
+
+  private val normedSql = normedSqlFrom("embeddings")
 
   /** Packed sign-bit signatures (vec_binary_sign + sim_binary_hamming):
     * dimension p's sign lands in bit p of two 32-bit BIGINT halves.
@@ -297,8 +299,8 @@ object Vectors {
   /** CTE chain up to cell assignment (normed → literal centroid table →
     * per-vector list assignment): the front half of every fixed-
     * quantizer pipeline (IVF probe search AND semantic dedup). */
-  private def cellAssignCtes(nlist: Int): String =
-    s"""$normedSql,
+  private def cellAssignCtes(nlist: Int, src: String = "embeddings"): String =
+    s"""${normedSqlFrom(src)},
        |cen AS (SELECT * FROM (VALUES
        |    ${(0 until nlist).map { c =>
              val arr = (1 to Dim).map(j => fixedCentroid(c, j)).mkString("[", ", ", "]")
@@ -316,8 +318,9 @@ object Vectors {
   /** The shared IVF-fixed CTE chain (cell assignment → queries → probe
     * lists); the cosine re-rank and the PQ-ADC re-rank both continue
     * from `probes`/`assigned`. */
-  private def ivfFixedCtes(nlist: Int, nprobe: Int): String =
-    s"""${cellAssignCtes(nlist)},
+  private def ivfFixedCtes(nlist: Int, nprobe: Int,
+      src: String = "embeddings"): String =
+    s"""${cellAssignCtes(nlist, src)},
        |q AS (SELECT vec_id AS q_id, embedding, nrm FROM assigned WHERE vec_id < 5),
        |probes AS (
        |  SELECT q_id, list_id FROM (
@@ -1807,6 +1810,135 @@ object Vectors {
       best.groupBy(col("label"), (col("m") % 100).cast("int").as("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
+    },
+
+    // ── the vector-index build pipeline, end to end (§2.13 flagship) ───
+    //
+    // pipeline_curate's vector-side twin: the five stages every serving
+    // index build runs, as ONE ledger query over a corpus with planted
+    // exact-duplicate vectors (every 5th vector re-ingested under a new
+    // id — the re-crawl). 1_ingest counts the raw corpus and its
+    // distinct quantized signatures; 2_dedup keeps each signature's
+    // min-id representative (the clones vanish); 3_assign runs the
+    // fixed-quantizer cell assignment on SURVIVORS only (zero-shuffle
+    // per-row expression) and reports non-empty lists; 4_balance
+    // reports the max list occupancy (the skew an IVF serving tier
+    // provisions for); 5_recall probes the deduped index with the 5
+    // query vectors at nprobe=3 and reports exact hits@10 vs brute
+    // force over the same survivors. Every metric is an exact BIGINT.
+    Q("pipeline_index", {
+      val sigSql = "md5(array_to_string(list_transform(embedding, " +
+        "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) " +
+        "AS VARCHAR)), ','))"
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 5 = 0
+         |), sig AS (
+         |  SELECT vec_id, embedding, $sigSql AS h FROM corpus
+         |), ded AS (
+         |  SELECT s.vec_id, s.embedding FROM sig s
+         |  JOIN (SELECT h, MIN(vec_id) AS m FROM sig GROUP BY h) g
+         |    ON s.h = g.h AND s.vec_id = g.m
+         |), ${ivfFixedCtes(FixedNList, FixedNProbe, "ded")},
+         |bf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "b.embedding")}) / (q.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |    FROM q JOIN nrm b ON b.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |), ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY (${dotSql("q.embedding", "a.embedding")}) / (q.nrm * a.nrm) DESC, a.vec_id) AS rn
+         |    FROM probes pr
+         |    JOIN assigned a ON a.list_id = pr.list_id
+         |    JOIN q ON q.q_id = pr.q_id
+         |    WHERE a.vec_id <> q.q_id) t
+         |  WHERE rn <= 10
+         |), occ AS (
+         |  SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM assigned GROUP BY list_id
+         |)
+         |SELECT stage, n_vecs, metric FROM (
+         |  SELECT '1_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |         CAST(COUNT(DISTINCT h) AS BIGINT) AS metric FROM sig
+         |  UNION ALL SELECT '2_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM ded),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM sig)
+         |           - (SELECT CAST(COUNT(*) AS BIGINT) FROM ded)
+         |  UNION ALL SELECT '3_assign',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM occ)
+         |  UNION ALL SELECT '4_balance',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned),
+         |         (SELECT CAST(MAX(n) AS BIGINT) FROM occ)
+         |  UNION ALL SELECT '5_recall',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bf),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bf b
+         |          JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id)
+         |) t ORDER BY stage""".stripMargin
+    }) { (s, dir) =>
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = base.unionByName(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val sig = graft.Caches.shared(corpus.withColumn("h",
+        md5(array_join(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long").cast("string")),
+          ","))))
+      val ded = sig.join(sig.groupBy("h").agg(min("vec_id").as("m")),
+          Seq("h"))
+        .filter(col("vec_id") === col("m"))
+        .select("vec_id", "embedding")
+      val assigned = graft.Caches.shared(ded
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("list_id",
+          array_min(centroidScores(col("embedding"), FixedNList))
+            .getField("list_id")))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+          col("nrm").as("nq"))
+      val probes = q.select(col("q_id"), explode(
+          slice(array_sort(centroidScores(col("eq"), FixedNList)),
+            1, FixedNProbe)).as("sc"))
+        .select(col("q_id"), col("sc.list_id").as("list_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val bf = q.join(assigned, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("eq"), col("embedding")) / (col("nq") * col("nrm")))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select("q_id", "vec_id")
+      val ivf = probes.join(assigned, Seq("list_id")).join(q, Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("eq"), col("embedding")) / (col("nq") * col("nrm")))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select("q_id", "vec_id")
+      val occ = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+      def st(name: String, nv: DataFrame, m: DataFrame): DataFrame =
+        nv.crossJoin(m).select(lit(name).as("stage"),
+          col("n_vecs"), col("metric"))
+      val nSig = sig.agg(count(lit(1)).as("n_vecs"),
+        count_distinct(col("h")).as("metric"))
+        .select(lit("1_ingest").as("stage"), col("n_vecs"), col("metric"))
+      val nDed = ded.agg(count(lit(1)).as("n_vecs"))
+      val s2 = st("2_dedup", nDed,
+        sig.agg(count(lit(1)).as("c")).crossJoin(nDed.select(
+          col("n_vecs").as("d")))
+          .select((col("c") - col("d")).as("metric")))
+      val s3 = st("3_assign", assigned.agg(count(lit(1)).as("n_vecs")),
+        occ.agg(count(lit(1)).as("metric")))
+      val s4 = st("4_balance", assigned.agg(count(lit(1)).as("n_vecs")),
+        occ.agg(max("n").as("metric")))
+      val s5 = st("5_recall", bf.agg(count(lit(1)).as("n_vecs")),
+        bf.join(ivf, Seq("q_id", "vec_id")).agg(count(lit(1)).as("metric")))
+      nSig.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+        .orderBy("stage")
     }
   )
 }

@@ -529,6 +529,31 @@ class VectorsSpec extends SparkSuite {
     assert(full.toSeq == bf.toSeq, "nprobe=nlist must equal brute force")
   }
 
+  test("pipeline_index: stage ledger laws — planted clones all die in " +
+      "dedup, survivors are the original corpus, recall reconciles " +
+      "with sim_ivf_recall exactly") {
+    val st = SparkEntry.queries("pipeline_index")(spark, Sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val n = Tables.embeddings(spark, Sf001).count()
+    val clones = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(st("1_ingest") == (n + clones, n),
+      "ingest must count the clone-planted corpus and its true classes")
+    assert(st("2_dedup") == (n, clones),
+      "dedup must remove exactly the planted clones")
+    assert(st("3_assign")._1 == n && st("3_assign")._2 <= Vectors.FixedNList)
+    assert(st("4_balance")._2 >= (n + Vectors.FixedNList - 1)
+      / Vectors.FixedNList, "max occupancy below the pigeonhole floor")
+    // survivors ≡ the original corpus (clones had strictly larger ids),
+    // so the pipeline's probe search IS sim_ivf_recall's — hit counts
+    // must reconcile exactly
+    val recallHits = SparkEntry.queries("sim_ivf_recall")(spark, Sf001)
+      .collect().map(_.getLong(1)).sum
+    assert(st("5_recall") == (50L, recallHits),
+      s"pipeline recall ${st("5_recall")} vs sim_ivf_recall $recallHits")
+  }
+
   test("vec_power_iter ≡ exact BigInt matvec replay; Rayleigh quotient " +
       "nonnegative (XᵀX is PSD) and consistent with the ledger") {
     val got = SparkEntry.queries("vec_power_iter")(spark, Sf001)
