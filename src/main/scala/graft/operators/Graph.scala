@@ -868,6 +868,93 @@ object Graph {
       coreness(e).select(col("id"), col("h").as("coreness")).orderBy("id")
     },
 
+    // ── semi-supervised label spreading (catalog enrichment) ───────────
+
+    // Zhu–Ghahramani label propagation WITH CLAMPED SEEDS, the catalog-
+    // enrichment form: every third part keeps its true brand as a seed,
+    // the rest take the argmax neighbor-brand vote over 3 synchronous
+    // rounds (count DESC, label ASC — fully deterministic), seeds never
+    // move. The output is simultaneously the prediction table AND its
+    // eval ledger (true brand, is_seed, correct — null where no
+    // labeled neighbor reaches the node). Differs from graph_lpa: LPA
+    // discovers unsupervised communities from id-labels; this spreads
+    // KNOWN labels from a clamped seed set. Scale shape per round: one
+    // adjacency⋈labels equi-join + two hash aggs (vote count, argmax
+    // via struct-min) — never a per-node scan of the graph.
+    Q("graph_label_spread", {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS MATERIALIZED (
+           |  SELECT s.src, l.label, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM s0 s JOIN l${i - 1} l ON l.id = s.dst
+           |  GROUP BY s.src, l.label
+           |), a$i AS (
+           |  SELECT src AS id, label FROM (
+           |    SELECT src, label, row_number() OVER (PARTITION BY src
+           |      ORDER BY c DESC, label) AS rn FROM v$i) t
+           |  WHERE rn = 1
+           |), l$i AS MATERIALIZED (
+           |  SELECT * FROM l0
+           |  UNION ALL
+           |  SELECT a.id, a.label FROM a$i a
+           |  WHERE a.id NOT IN (SELECT id FROM l0)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+         |), s0 AS MATERIALIZED (
+         |  SELECT p1 AS src, p2 AS dst FROM e
+         |  UNION ALL
+         |  SELECT p2 AS src, p1 AS dst FROM e
+         |), part400 AS (
+         |  SELECT p_partkey AS id, p_brand AS brand FROM part
+         |  WHERE p_partkey < 400
+         |), l0 AS MATERIALIZED (
+         |  SELECT id, brand AS label FROM part400 WHERE id % 3 = 0
+         |),
+         |$rounds
+         |SELECT p.id, p.brand, l.label AS pred,
+         |       p.id % 3 = 0 AS is_seed,
+         |       l.label = p.brand AS correct
+         |FROM part400 p LEFT JOIN l3 l ON l.id = p.id
+         |ORDER BY p.id""".stripMargin
+    }) { (s, d) =>
+      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val part400 = graft.Tables.part(s, d)
+        .filter(col("p_partkey") < 400)
+        .select(col("p_partkey").as("id"), col("p_brand").as("brand"))
+      val seeds = part400.filter(col("id") % 3 === 0)
+        .select(col("id"), col("brand").as("label"))
+      var labels = seeds
+      for (_ <- 1 to 3) {
+        val votes = sym.join(labels, col("dst") === col("id"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val arg = votes.groupBy("src")
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("a"))
+          .select(col("src").as("id"), col("a.label").as("label"))
+        labels = seeds.unionByName(
+          arg.join(seeds.select("id"), Seq("id"), "left_anti"))
+          .localCheckpoint()
+      }
+      part400.join(labels.select(col("id"), col("label").as("pred")),
+          Seq("id"), "left")
+        .select(col("id"), col("brand"), col("pred"),
+          (col("id") % 3 === 0).as("is_seed"),
+          (col("pred") === col("brand")).as("correct"))
+        .orderBy("id")
+    },
+
     // ── k-truss decomposition (5-truss of the co-purchase graph) ───────
 
     // The cohesion screen one notch past graph_kcore: an edge stays

@@ -606,6 +606,55 @@ class GraphSpec extends SparkSuite {
     assert(got.values.toSet.size > 2, "degenerate coreness spectrum")
   }
 
+  test("graph_label_spread ≡ exact 3-round synchronous replay; seeds " +
+      "clamped; spreading beats the seed floor on this fixture") {
+    val got = SparkEntry.queries("graph_label_spread")(spark, SparkSuite.Sf001)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          r.getBoolean(3))
+      }.toMap
+    val li = Tables.lineitem(spark, SparkSuite.Sf001)
+      .filter(col("l_partkey") < 400)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        adj.getOrElseUpdate(ps(i), scala.collection.mutable.Set.empty) += ps(j)
+        adj.getOrElseUpdate(ps(j), scala.collection.mutable.Set.empty) += ps(i)
+      }
+    }
+    val brand = Tables.part(spark, SparkSuite.Sf001)
+      .filter(col("p_partkey") < 400)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seeds = brand.filter(_._1 % 3 == 0)
+    var labels: Map[Long, String] = seeds
+    for (_ <- 1 to 3) {
+      val spread = adj.keys.filterNot(seeds.contains).flatMap { v =>
+        val votes = adj(v).toSeq.flatMap(labels.get)
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        if (votes.isEmpty) None
+        else Some(v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      labels = seeds ++ spread
+    }
+    brand.foreach { case (id, b) =>
+      val (gb, gpred, gseed) = got(id)
+      assert(gb == b && gseed == (id % 3 == 0), s"part $id meta")
+      assert(Option(gpred) == labels.get(id), s"part $id pred")
+    }
+    // seeds clamped and the spread is non-trivial: strictly more
+    // correct predictions than seeds alone
+    seeds.foreach { case (id, b) => assert(got(id)._2 == b, s"seed $id") }
+    val correctSpread = got.count { case (id, (b, p, seed)) =>
+      !seed && p != null && p == b }
+    assert(correctSpread > 0, "label spreading predicted nothing right")
+  }
+
   test("dedup_soft_weight: weights are exact 1e6 div |cluster|, agree " +
       "with dedup_cc's clustering, and conserve the effective corpus") {
     val sw = SparkEntry.queries("dedup_soft_weight")(spark, SparkSuite.Sf001)
