@@ -35,6 +35,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Functions.registerAll(spark)
 
     // schema tripwire: report drift loudly but keep benching — a partial
     // bench with a labeled cause beats an empty file (Verify, by

@@ -22,6 +22,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Functions.registerAll(spark)
     // schema tripwire (VERDICT r6 #2): drift = one labeled failure here,
     // not N opaque per-query analysis errors below
     Contract.preflight(spark, sfDir)

@@ -488,7 +488,25 @@ object Relational {
     // decimal equality (/root/reference/src/parse.ts:139-143 — done in
     // Decimal, not the reference's float ===). Unbalanced days exist by
     // fixture design (the perturbed rows).
-    Q("agg_balance_check", o.withCtes(
+    //
+    // The oracle text leads with three connection-level SETs: the
+    // correctness harness runs all 337 oracles sequentially on ONE
+    // DuckDB connection in sorted order, and `agg_balance_check` sorts
+    // first. An in-memory DuckDB connection has NO temp_directory, so
+    // nothing can ever spill — allocator state accumulated across
+    // hundreds of heavy oracles eventually trips the buffer-manager
+    // limit and every later query dies with a spurious OutOfMemory
+    // (the r9 cascade: 136 false `err`s from sorted position 194 on).
+    // Arming a spill directory plus a conservative 4GB memory_limit
+    // (8× the heaviest single oracle's measured demand) makes the
+    // whole run's footprint bounded and host-independent. DuckDB
+    // executes multi-statement strings and returns the final SELECT;
+    // the SETs persist for the connection, so one oracle arms the run.
+    Q("agg_balance_check",
+      "SET temp_directory='/tmp/graft_duckdb_spill.tmp'; " +
+      "SET max_temp_directory_size='64GB'; " +
+      "SET memory_limit='4GB'; " +
+      o.withCtes(
       """SELECT xs.date, CAST(xs.sx AS DOUBLE) AS xlsxTotal,
         |       CAST(db.sdb AS DOUBLE) AS dbTotal, xs.sx = db.sdb AS isBalanced
         |FROM (SELECT date, SUM(amount) AS sx FROM xlsx GROUP BY date) xs

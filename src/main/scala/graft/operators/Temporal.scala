@@ -581,13 +581,19 @@ object Temporal {
       def chg(df: DataFrame): DataFrame =
         df.withColumn("prev", lag("event_type", 1).over(wOrd))
           .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-          .select(col("user_id"), col("us"), col("event_type"))
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("event_type"))
       val preChg = chg(e.filter(col("us") < col("cut")))
       val postChg = chg(e.filter(col("us") >= col("cut")))
-      // open state + version count of the EXISTING dimension, per user
+      // open state + version count of the EXISTING dimension, per user.
+      // The open state must be the change point the REBUILD's lag sees
+      // as the first batch event's predecessor, i.e. the max in the
+      // same (us, event_id, event_type) total order the lag window
+      // uses — tie-breaking by event_type alone could pick a different
+      // same-microsecond change point and close the wrong version.
       val open = preChg.groupBy("user_id")
         .agg(count(lit(1)).as("k"),
-          max(struct(col("us"), col("event_type"))).as("o"))
+          max(struct(col("us"), col("event_id"), col("event_type"))).as("o"))
         .select(col("user_id"), col("k"),
           col("o.event_type").as("open_state"))
       val wVer = Window.partitionBy("user_id").orderBy("us", "event_type")

@@ -287,10 +287,17 @@ object TextOps {
 
   /** SQL mirror of nearCloneShingles→minhashSig→minhashCandidates as a
     * CTE chain (docs, t, sig, bands, cand) — shared by every oracle that
-    * starts from the banded MinHash candidate pairs. */
+    * starts from the banded MinHash candidate pairs. sig aggregates over
+    * unnest(sh) rather than list_transform'ing four md5-string lists per
+    * doc: same mins (min over the same md5 set), same shape as the Spark
+    * explode→hash-agg side, and ~half the DuckDB peak memory — measured
+    * 1GB→512MB on the graph_pagerank/pipeline_curate oracles, which
+    * matters because the driver runs all 337 oracles on one connection
+    * (the r9 allocator-exhaustion cascade). `t` keeps the list form
+    * because downstream CTEs in several consumers read `sh`. */
   private[operators] val minhashCandSql: String = {
     val sigs = (0 until 4).map(k =>
-      s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
+      s"min(md5(concat('salt$k#', sx))) AS h$k")
       .mkString(",\n         ")
     s"""$withNearClonesSql,
        |t AS (
@@ -300,7 +307,8 @@ object TextOps {
        |), sig AS (
        |  SELECT doc_id,
        |         $sigs
-       |  FROM t
+       |  FROM (SELECT doc_id, unnest(sh) AS sx FROM t) u
+       |  GROUP BY doc_id
        |), bands AS (
        |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
        |  UNION ALL
@@ -998,7 +1006,7 @@ object TextOps {
     // the exact-Jaccard audit joins shingles only through candidates.
     Q("dedup_bbit", {
       val sigs = (0 until 32).map(k =>
-        s"list_min(list_transform(sh, x -> md5(concat('bb$k#', x)))) AS h$k")
+        s"min(md5(concat('bb$k#', sx))) AS h$k")
         .mkString(",\n         ")
       val pack = (0 until 32).map(k =>
         s"CASE WHEN substr(h$k, 32, 1) IN ('1','3','5','7','9','b','d','f')"
@@ -1007,7 +1015,8 @@ object TextOps {
          |bsig AS (
          |  SELECT doc_id,
          |         $sigs
-         |  FROM t
+         |  FROM (SELECT doc_id, unnest(sh) AS sx FROM t) u
+         |  GROUP BY doc_id
          |), packed AS (
          |  SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM bsig
          |), agree AS (
@@ -1356,7 +1365,7 @@ object TextOps {
     // the band key, never all-pairs.
     Q("dedup_minhash", {
       val sigs = (0 until 4).map(k =>
-        s"list_min(list_transform(sh, x -> md5(concat('salt$k#', x)))) AS h$k")
+        s"min(md5(concat('salt$k#', sx))) AS h$k")
         .mkString(",\n         ")
       s"""WITH $withNearClonesSql,
          |t AS (
@@ -1366,7 +1375,8 @@ object TextOps {
          |), sig AS (
          |  SELECT doc_id,
          |         $sigs
-         |  FROM t
+         |  FROM (SELECT doc_id, unnest(sh) AS sx FROM t) u
+         |  GROUP BY doc_id
          |), bands AS (
          |  SELECT doc_id, 0 AS band, concat(h0, h1) AS key FROM sig
          |  UNION ALL
@@ -3590,11 +3600,12 @@ object TextOps {
          |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+7)//8)) AS i
          |        FROM t) x
          |), f AS (
-         |  SELECT chunk, MIN(doc_id*1000 + idx) AS fk FROM ch GROUP BY chunk
+         |  SELECT chunk, MIN({'d': doc_id, 'i': idx}) AS fk
+         |  FROM ch GROUP BY chunk
          |), k AS (
          |  SELECT ch.doc_id, ch.idx, ch.chunk
          |  FROM ch JOIN f ON ch.chunk = f.chunk
-         |              AND ch.doc_id*1000 + ch.idx = f.fk
+         |              AND {'d': ch.doc_id, 'i': ch.idx} = f.fk
          |), tot AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
          |  FROM ch GROUP BY doc_id
@@ -3618,7 +3629,11 @@ object TextOps {
             floor((size(tt) + lit(7)) / lit(8)).cast("int") - 1),
             i => array_join(slice(tt, i * 8 + 1, lit(8)), " "))), 1)))
         .toDF("doc_id", "idx", "chunk")
-      val key = col("doc_id") * 1000 + col("idx")
+      // first occurrence = lexicographic min (doc_id, idx) as a struct —
+      // a packed doc_id*K + idx key silently corrupts past K chunks per
+      // doc (keys collide ACROSS documents, identically in both engines,
+      // so the cross-engine check can't see it)
+      val key = struct(col("doc_id").as("d"), col("idx").as("i"))
       val f = ch.groupBy("chunk").agg(min(key).as("fk"))
       val k = ch.join(f, Seq("chunk")).filter(key === col("fk"))
       val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))

@@ -50,6 +50,22 @@ object StreamSrm {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The 0-second delay keeps the day-closure contract (every day up
+    // to max event time is emitted), but it makes the DEDUP guarantee
+    // single-batch-only: a (user_id, day) repeated in a LATER
+    // micro-batch would find its dedup state already evicted (the
+    // watermark passed the event time at the previous batch boundary)
+    // while the day's window is still open, and count twice. The
+    // drop-dir is one parquet file today, so AvailableNow delivers one
+    // data batch — but that's an input-layout accident, not a law, so
+    // refuse loudly if it ever stops holding rather than silently
+    // inflating arm counts (SRM would read as FALSE mismatch).
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"StreamSrm: ${dataBatches} data micro-batches — the 0-second " +
+        "dedup watermark only guarantees exactly-once counting within " +
+        "one batch; widen the dedup horizon (e.g. withWatermark '1 day' " +
+        "on the dedup stream) before splitting the drop-dir")
     spark.table(queryName)
   }
 }

@@ -17,6 +17,7 @@ object SparkSuite {
         java.nio.file.Files.createTempDirectory("wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.Functions.registerAll(s)
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
