@@ -86,19 +86,38 @@ object Bench {
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY
     // comma-list restricts the query set; SPARK_GRAFT_REPEAT=N times
-    // each query N times. PROTOCOL (VERDICT r7 #1): `value` and the
-    // per-query seconds are the FIRST pass — cold, exactly what the
-    // driver's single-pass run measures, so BENCH_BASELINE (recorded
-    // with this same main) and BENCH_r{N} compare like with like. With
+    // each query N times. PROTOCOL (VERDICT r7 #1, amended r10):
+    // `value` and the per-query seconds are the first TIMED pass, run
+    // after the untimed pre-pass below — so both BENCH_BASELINE
+    // (recorded with this same main) and BENCH_r{N} measure the same
+    // prewarmed state and compare like with like. With
     // REPEAT>1 the min-of-N steady-state totals are emitted ALONGSIDE
     // (`steady_total`, `queries_steady` in the full file), never as the
     // headline — the r7 2.5×-looking "regression" was a warm min-of-3
     // baseline read against a cold driver pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    // (name, coldSec [negative = time-to-failure], steadySec, firstErr)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Untimed PRE-PASS of every selected query (VERDICT r9 #5): the
+    // two-query warm-up above absorbs session init but not the long
+    // JIT/codegen ramp — in driver runs the first ~dozen alphabetical
+    // queries read as fake 6–9× regressions (flt_eq4 0.33→2.16 s on a
+    // trivial scan) because they pay C2 compilation of the whole
+    // scan/shuffle machinery. Running each query once untimed means
+    // the timed pass hits Spark's generated-class cache (keyed on the
+    // generated source, so the SAME query recompiles nothing) and
+    // steady JIT state, symmetrically for baseline recording and
+    // driver runs alike — per-query deltas then measure code, not ramp
+    // position. Skipped under REPEAT>1 (the first repeat already
+    // serves as the warm pass) or SPARK_GRAFT_PREPASS=0.
+    val prepass = repeat == 1 &&
+      sys.env.getOrElse("SPARK_GRAFT_PREPASS", "1") == "1"
+    if (prepass) selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
+    // (name, coldSec [negative = time-to-failure], steadySec, firstErr)
+    val results = selected
       .map { case (name, fn) =>
         var firstErr: Option[String] = None
         val secs = (1 to repeat).map { _ =>
@@ -139,7 +158,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
     val protocol =
-      if (repeat == 1) "cold-single-pass" else s"cold-first-of-$repeat"
+      if (prepass) "prewarmed-single-pass"
+      else if (repeat == 1) "cold-single-pass"
+      else s"cold-first-of-$repeat"
     // peak-ish storage footprint of the shared caches (bytes in memory at
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum

@@ -315,8 +315,14 @@ object Graph {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     val w = Window.partitionBy("src").orderBy(col("nh").desc, col("dst"))
+    // lazy SER checkpoints (the graph_ppr discipline): the convergence
+    // probe right below is the first action on each round's h, so a
+    // lazy checkpoint materializes inside THAT job instead of paying a
+    // separate eager-checkpoint job per round — halves the loop's job
+    // count (~12 rounds) while still cutting lineage identically
     var h = sym.groupBy(col("src")).agg(count(lit(1)).as("h"))
-      .select(col("src").as("id"), col("h")).localCheckpoint()
+      .select(col("src").as("id"), col("h"))
+      .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
     var prevSum = h.agg(sum("h")).collect()(0).getLong(0)
     var converged = false
     var iter = 0
@@ -328,7 +334,7 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(least(col("rn").cast("long"), col("nh"))).as("h"))
         .select(col("src").as("id"), col("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
       val s = next.agg(sum("h")).collect()(0).getLong(0)
       converged = s == prevSum
       h = next; prevSum = s; iter += 1

@@ -80,4 +80,31 @@ class ContractSpec extends SparkSuite {
     assert(e.getMessage.contains("TESTDATA SCHEMA DRIFT"))
     assert(e.getMessage.contains("region.r_regionkey")) // bigint, not int
   }
+
+  test("mm-family ASCII payload invariant holds at every SF, and the " +
+      "check catches a multi-byte payload") {
+    // The mm family's oracle parity treats CHAR positions as BYTE
+    // offsets: DuckDB md5/substr/length over the text payload vs
+    // Spark substring/length agree only while every documents.text is
+    // single-byte (mm_decode_stub head_hex, mm_frame_sample and
+    // mm_dedup_frames chunk md5s, mm_resize truncation, mm_scene_cuts
+    // window sums). That is a FIXTURE invariant, not a law — pin it
+    // here so a regenerated multi-byte corpus fails one labeled test
+    // instead of producing silent byte/char drift in five queries.
+    import org.apache.spark.sql.functions.{col, length}
+    val multiByte = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(length(col("text")) =!= length(col("text").cast("binary")))
+    for (sf <- Seq(SparkSuite.Sf0001, SparkSuite.Sf001,
+        "/root/testdata/sf0.1")) {
+      val n = multiByte(Tables.documents(spark, sf)).count()
+      assert(n == 0, s"$sf: $n multi-byte documents.text payloads — the " +
+        "mm family's char≡byte oracle parity no longer holds; convert " +
+        "the mm oracles to char semantics before trusting them")
+    }
+    // self-test: the predicate must actually catch a multi-byte payload
+    // (an always-zero tripwire pins nothing)
+    import spark.implicits._
+    val bad = Seq("plain ascii", "café au lait").toDF("text")
+    assert(multiByte(bad).count() == 1)
+  }
 }

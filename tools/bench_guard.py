@@ -2,13 +2,15 @@
 """Per-query bench regression guard.
 
 Compares a Bench run's per-query seconds against the checked-in
-baseline (BENCH_BASELINE.json). PROTOCOL (VERDICT r7 #1): both sides
-are COLD single-pass — Bench's `queries` numbers are always the first
-pass, and the baseline is recorded by running Bench exactly the way
-the driver does (fresh JVM, REPEAT=1, local[32], sf0.1) — so the 2x
-gate compares like with like. The r7 headline read 2.5x purely
+baseline (BENCH_BASELINE.json). PROTOCOL (VERDICT r7 #1, amended r10):
+both sides are PREWARMED single-pass — Bench runs every query once
+untimed first (absorbing the JIT/codegen ramp that made early
+alphabetical queries read as fake 6-9x regressions in driver runs),
+then times one pass; the baseline is recorded by running Bench exactly
+the way the driver does (fresh JVM, REPEAT=1, local[32], sf0.1) — so
+the 2x gate compares like with like. The r7 headline read 2.5x purely
 because a warm min-of-3 baseline was compared against a cold driver
-pass. Without per-query baselines, machine noise and real regressions
+pass; the r9 flag list was phantom cold-ramp asymmetry. Without per-query baselines, machine noise and real regressions
 are indistinguishable — round 4's driver run showed the same plan at
 3.3s (builder) and 17.2s (driver, cold cache/contention); this guard
 is the tie-breaker you re-run locally.
