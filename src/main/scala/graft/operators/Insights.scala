@@ -2047,27 +2047,38 @@ object Insights {
     // independent Poisson(1) weight per (row, replica), so B = 32
     // replica means of each event type's value ride ONE exploded
     // map-side-combined aggregate — no per-replica passes, no RNG
-    // state. Weights are DETERMINISTIC: u = first 8 md5 hex chars of
-    // (replica, event_id), inverse-CDF'd through Poisson(1) cumulative
+    // state. Weights are DETERMINISTIC: replica b's uniform u is a
+    // 16-bit (4 hex char) SLICE of one of four per-row md5s
+    // (md5('boot<b/8>#'‖event_id), slice (b%8) — 4 hash invocations
+    // per row, not 32: the md5 is the whole query's cost at sf0.1,
+    // and a 128-bit digest already holds eight independent 16-bit
+    // uniforms), inverse-CDF'd through Poisson(1) cumulative
     // thresholds embedded as hex literals (computed once from e⁻¹,
     // capped at w = 5 — P(w>5) ≈ 6·10⁻⁴, and the cap is what makes
     // both engines produce the identical integer weight). Replica
     // means are exact-integer num/den pairs with single pinned double
     // divisions; the 90% interval is the (2nd, 31st) ORDER STATISTIC
     // of the 32 means ((B+1)·5% — rank-based, no interpolation to
-    // disagree across engines). Scale shape: the ×32 explode feeds a
-    // (type, replica)-keyed partial agg — at 100 TB this is the
-    // standard production bootstrap plan.
+    // disagree across engines). Scale shape: the hashes ride the
+    // pre-explode rows, and the ×32 explode feeds a (type, replica)-
+    // keyed partial agg — at 100 TB this is the standard production
+    // bootstrap plan.
     Q("agg_bootstrap_ci", {
       val p = math.exp(-1.0)
       val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
-      val t = cum.map(c =>
-        f"${math.floor(c * 4294967296.0).toLong}%08x")
+      val t = cum.map(c => f"${math.floor(c * 65536.0).toLong}%04x")
+      val hs = (0 until 4).map(g =>
+        s"md5(concat('boot$g#', CAST(event_id AS VARCHAR))) AS h$g")
+        .mkString(",\n         ")
       s"""WITH xr AS (
          |  SELECT event_type, event_id,
          |         CAST(CAST(value AS DECIMAL(10,4)) * 10000 AS BIGINT)
          |           AS x
          |  FROM events
+         |), hx AS (
+         |  SELECT event_type, x,
+         |         $hs
+         |  FROM xr
          |), wts AS (
          |  SELECT event_type, x, b,
          |         CAST(CASE
@@ -2076,9 +2087,11 @@ object Insights {
          |           WHEN u < '${t(4)}' THEN 4 ELSE 5 END AS BIGINT) AS w
          |  FROM (
          |    SELECT event_type, x, r.b AS b,
-         |           substr(md5(concat('boot', CAST(r.b AS VARCHAR), '#',
-         |                  CAST(event_id AS VARCHAR))), 1, 8) AS u
-         |    FROM xr, UNNEST(range(0, 32)) AS r(b)) y
+         |           substr(CASE CAST(r.b // 8 AS INTEGER)
+         |                    WHEN 0 THEN h0 WHEN 1 THEN h1
+         |                    WHEN 2 THEN h2 ELSE h3 END,
+         |                  CAST((r.b % 8) * 4 + 1 AS INTEGER), 4) AS u
+         |    FROM hx, UNNEST(range(0, 32)) AS r(b)) y
          |), rep AS (
          |  SELECT event_type, CAST(b AS BIGINT) AS b,
          |         SUM(CAST(w * x AS DECIMAL(38,0))) AS num,
@@ -2107,18 +2120,20 @@ object Insights {
     }) { (s, d) =>
       val p = math.exp(-1.0)
       val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
-      val t = cum.map(c =>
-        f"${math.floor(c * 4294967296.0).toLong}%08x")
+      val t = cum.map(c => f"${math.floor(c * 65536.0).toLong}%04x")
       val xr = Tables.events(s, d)
         .select(col("event_type"), col("event_id"),
           (col("value").cast("decimal(10,4)") * 10000).cast("long")
             .as("x"))
-      val u = substring(md5(concat(lit("boot"), col("b").cast("string"),
-        lit("#"), col("event_id").cast("string"))), 1, 8)
+      val hx = xr.select(col("event_type"), col("x"),
+        array((0 until 4).map(g => md5(concat(lit(s"boot$g#"),
+          col("event_id").cast("string")))): _*).as("hs"))
+      val u = element_at(col("hs"), (col("b") / 8).cast("int") + 1)
+        .substr((col("b") % 8).cast("int") * 4 + 1, lit(4))
       val w = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
         .when(u < t(3), 3L).when(u < t(4), 4L).otherwise(5L)
-      val rep = xr
-        .select(col("event_type"), col("event_id"), col("x"),
+      val rep = hx
+        .select(col("event_type"), col("hs"), col("x"),
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .select(col("event_type"), col("b"), col("x"), w.as("w"))
         .groupBy("event_type", "b")

@@ -839,7 +839,7 @@ class InsightsSpec extends SparkSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val p = math.exp(-1.0)
     val cum = Seq(p, 2 * p, 2.5 * p, 8.0 / 3 * p, 65.0 / 24 * p)
-    val thr = cum.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    val thr = cum.map(c => f"${math.floor(c * 65536.0).toLong}%04x")
     val rows = Tables.events(spark, SparkSuite.Sf0001)
       .select(col("event_type"), col("event_id"),
         col("value").cast("decimal(10,4)").as("v"))
@@ -853,7 +853,9 @@ class InsightsSpec extends SparkSuite {
       val means = (0 until 32).map { b =>
         var num = BigInt(0); var den = 0L
         xs.foreach { case (_, id, x) =>
-          val u = md5hex(s"boot$b#$id").substring(0, 8)
+          // replica b's uniform = 16-bit slice b%8 of per-row md5 b/8
+          val u = md5hex(s"boot${b / 8}#$id")
+            .substring((b % 8) * 4, (b % 8) * 4 + 4)
           val w = thr.indexWhere(u < _) match {
             case -1 => 5L; case k => k.toLong
           }
