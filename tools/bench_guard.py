@@ -6,11 +6,14 @@ baseline (BENCH_BASELINE.json). PROTOCOL (VERDICT r7 #1, amended r10):
 both sides are PREWARMED single-pass — Bench runs every query once
 untimed first (absorbing the JIT/codegen ramp that made early
 alphabetical queries read as fake 6-9x regressions in driver runs),
-then times one pass; the baseline is recorded by running Bench exactly
-the way the driver does (fresh JVM, REPEAT=1, local[32], sf0.1) — so
-the 2x gate compares like with like. The r7 headline read 2.5x purely
-because a warm min-of-3 baseline was compared against a cold driver
-pass; the r9 flag list was phantom cold-ramp asymmetry. Without per-query baselines, machine noise and real regressions
+then times one pass; the baseline is the per-query MEDIAN of three
+such runs (tools/record_baseline.py — fresh JVM each, same protocol
+the driver uses) — so the 2x gate compares a run against TYPICAL
+per-query behavior. The r7 headline read 2.5x purely because a warm
+min-of-3 baseline was compared against a cold driver pass; the r9
+flag list was phantom cold-ramp asymmetry; the r10 single-run baseline
+flagged six 2.0-2.7x pure-variance excursions on iterative graph
+queries, which the median absorbs. Without per-query baselines, machine noise and real regressions
 are indistinguishable — round 4's driver run showed the same plan at
 3.3s (builder) and 17.2s (driver, cold cache/contention); this guard
 is the tie-breaker you re-run locally.
