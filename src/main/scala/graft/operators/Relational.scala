@@ -489,20 +489,34 @@ object Relational {
     // Decimal, not the reference's float ===). Unbalanced days exist by
     // fixture design (the perturbed rows).
     //
-    // The oracle text leads with three connection-level SETs: the
+    // The oracle text leads with connection-level SETs: the
     // correctness harness runs all 337 oracles sequentially on ONE
     // DuckDB connection in sorted order, and `agg_balance_check` sorts
-    // first. An in-memory DuckDB connection has NO temp_directory, so
-    // nothing can ever spill — allocator state accumulated across
-    // hundreds of heavy oracles eventually trips the buffer-manager
-    // limit and every later query dies with a spurious OutOfMemory
-    // (the r9 cascade: 136 false `err`s from sorted position 194 on).
-    // Arming a spill directory plus a conservative 4GB memory_limit
-    // (8× the heaviest single oracle's measured demand) makes the
-    // whole run's footprint bounded and host-independent. DuckDB
-    // executes multi-statement strings and returns the final SELECT;
-    // the SETs persist for the connection, so one oracle arms the run.
+    // first. DuckDB executes multi-statement strings and returns the
+    // final SELECT; the SETs persist for the connection, so one oracle
+    // arms the whole run.
+    //
+    // Root cause of the r9 cascade (136 false `err`s from sorted
+    // position 194 — the sim_* family — onward): NOT RAM. At the
+    // default threads=32, a heavy oracle's concurrent tasks hold tens
+    // of thousands of live mmap'd allocator blocks, and the process
+    // crosses the Linux vm.max_map_count ceiling (default 65530 maps)
+    // — after which EVERY allocation fails as a spurious
+    // "Out of Memory" with gigabytes of RAM free, including pyarrow's
+    // in the compare glue, until the connection (and its maps) is
+    // dropped. Reproduced deterministically: the full 337-oracle
+    // double-execution run peaks at 65531 maps at sim_ivf_recall with
+    // threads=32, and at 13.6k with threads=8 (10.0k with the 16mb
+    // flush threshold added) — measured via /proc/self/maps, artifacts
+    // in CORRECTNESS_mimic_*.json. threads=8 is the decisive lever;
+    // the aggressive allocator flush returns retained blocks between
+    // tasks; the spill directory plus the 4GB memory_limit (8× the
+    // heaviest single oracle's fresh-connection demand) additionally
+    // bound the buffer-manager footprint so the run is
+    // host-independent.
     Q("agg_balance_check",
+      "SET threads=8; " +
+      "SET allocator_flush_threshold='16mb'; " +
       "SET temp_directory='/tmp/graft_duckdb_spill.tmp'; " +
       "SET max_temp_directory_size='64GB'; " +
       "SET memory_limit='4GB'; " +

@@ -1,39 +1,60 @@
 #!/usr/bin/env python3
 """Retry-LESS mimic of the driver's oracle leg, for reproducing and then
-proving the fix for the r9 allocator-exhaustion cascade (VERDICT r9 #1).
+proving the fix for the r9 cascade (VERDICT r9 #1).
 
 The driver runs all 337 oracles on ONE DuckDB connection, in sorted
-order, with no fresh-connection retry. At registry size 338 that run
-died at sorted position 194 (sim_binary_hamming) with a cascade of
-spurious OutOfMemory errors: allocator state accumulated by the heavy
-unrolled-recursive-CTE oracles never drains, and eventually a trivial
-query can't allocate. tools/oracle_check.py survives this only via its
-fresh-connection retry — which the driver does not have.
+order, with no fresh-connection retry, and converts results to pandas
+for the hash compare. At registry size 338 that run died at sorted
+position 194 (sim_binary_hamming) with a cascade of spurious
+OutOfMemory errors. ROOT CAUSE (r10 diagnosis): not RAM — at DuckDB's
+default threads=32 a heavy oracle's concurrent tasks hold tens of
+thousands of live mmap'd allocator blocks and the process crosses the
+Linux vm.max_map_count ceiling (default 65530), after which every
+allocation (DuckDB's AND pyarrow's) fails as "Out of Memory" with
+gigabytes free, until the connection's maps are dropped — which is
+exactly why tools/oracle_check.py's fresh-connection retry always
+recovered. The fix ships inside the sorted-first oracle's text
+(`agg_balance_check` leads with SET threads=8 + allocator flush +
+spill SETs; they persist for the connection).
 
-This script is the no-retry repro: one connection, sorted order, run
-every oracle AND read every Spark parquet dump through that same
-connection (as the driver does), record per-query peak DuckDB memory,
-and write a JSON artifact. Exit 1 iff any query errors.
+This script is the no-retry repro: one connection, sorted order,
+every oracle AND every Spark parquet dump read through that same
+connection, each executed BOTH via fetchall() and via .df() (the
+pandas leg is where the map spike peaks — r9's three "pyarrow
+allocation errors" were the same ceiling), with the process's peak
+/proc/self/maps count recorded in the artifact. Exit 1 iff any query
+errors.
 
 Usage: driver_mimic.py <sfDir> <verifyOutDir> [jsonOut] [--cap BYTES]
+                       [--strip-sets]
 
---cap sets an explicit memory_limit on the connection to mimic a more
-constrained driver host (the driver box showed OOM at 338 queries on a
-host we can't profile; a hard cap lets us reproduce the cascade locally
-and verify the fix holds under pressure).
+--cap sets an explicit memory_limit at connect, mimicking a more
+constrained driver host; the shipped SETs in the first oracle then
+override it (as they would on the driver).
+
+--strip-sets is the NEGATIVE CONTROL: drop every leading SET from the
+oracle texts, restoring the r9 driver configuration (threads=32, no
+flush/spill). Expected outcome: the run crashes with spurious
+OutOfMemory or grazes the 65530-map ceiling at the sim_* family —
+reproducing the r9 cascade on demand.
 """
-import sys, json, glob, time
+import sys, json, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def n_maps():
+    with open(f"/proc/{os.getpid()}/maps") as f:
+        return sum(1 for _ in f)
+
+
 def main(argv):
     args = [a for a in argv
-            if not a.startswith("--cap") and a != "--spill-first"]
+            if not a.startswith("--cap") and a != "--strip-sets"]
     cap = None
-    spill_first = "--spill-first" in argv
+    strip_sets = "--strip-sets" in argv
     for a in argv:
         if a.startswith("--cap="):
             cap = a.split("=", 1)[1]
@@ -50,17 +71,14 @@ def main(argv):
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-
-    if spill_first:
-        # simulate shipping the spill-arming SETs inside the sorted-first
-        # oracle (the real fix lives in the Scala oracle text); keeps the
-        # --cap pressure in force by NOT overriding memory_limit here
-        first = sorted(oracles)[0]
-        oracles[first] = (
-            "SET temp_directory='/tmp/graft_duckdb_spill.tmp'; "
-            "SET max_temp_directory_size='64GB'; " + oracles[first])
+    if strip_sets:
+        oracles = {
+            name: (sql.rsplit("SET ", 1)[1].split("; ", 1)[1]
+                   if sql.lstrip().startswith("SET ") else sql)
+            for name, sql in oracles.items()}
 
     n_ok = n_err = 0
+    peak_maps = n_maps()
     results = {}
     for name, sql in sorted(oracles.items()):
         t0 = time.time()
@@ -69,29 +87,31 @@ def main(argv):
             srows = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
             drows = con.execute(sql).fetchall()
-            mem = con.execute(
-                "SELECT memory_usage_bytes FROM duckdb_memory() "
-                "WHERE tag='BASE_TABLE'").fetchall()
-            used = con.execute(
-                "SELECT sum(memory_usage_bytes) FROM duckdb_memory()"
-            ).fetchall()[0][0]
+            # the pandas leg the driver's hash compare actually runs —
+            # the per-query map-count spike peaks here
+            con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+            con.execute(sql).df()
+            m = n_maps()
+            peak_maps = max(peak_maps, m)
             n_ok += 1
             results[name] = {"ok": True, "spark_rows": len(srows),
                              "oracle_rows": len(drows),
-                             "mem_after_bytes": used,
+                             "maps_after": m,
                              "sec": round(time.time() - t0, 2)}
-            print(f"ok   {name:36s} {len(drows):7d} rows  "
-                  f"mem={used/1e6:8.1f}MB  {time.time()-t0:6.2f}s")
+            print(f"ok   {name:36s} {len(drows):7d} rows  maps={m:6d}  "
+                  f"{time.time()-t0:6.2f}s")
         except Exception as e:
             n_err += 1
             results[name] = {"ok": False,
                              "err": f"{type(e).__name__}: {e}"}
             print(f"ERR  {name}: {type(e).__name__}: {e}")
-    print(f"\n{n_ok} ok, {n_err} err")
+    print(f"\n{n_ok} ok, {n_err} err, peak maps {peak_maps} "
+          f"(vm.max_map_count ceiling: 65530 default)")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "cap": cap, "n_ok": n_ok,
-                       "n_err": n_err, "queries": results},
+                       "n_err": n_err, "peak_maps": peak_maps,
+                       "queries": results},
                       f, indent=1, sort_keys=True)
     return 1 if n_err else 0
 
