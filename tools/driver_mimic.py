@@ -72,10 +72,12 @@ def main(argv):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     if strip_sets:
-        oracles = {
-            name: (sql.rsplit("SET ", 1)[1].split("; ", 1)[1]
-                   if sql.lstrip().startswith("SET ") else sql)
-            for name, sql in oracles.items()}
+        def strip(sql):
+            s = sql.lstrip()
+            while s.startswith("SET "):  # drop each leading SET stmt
+                s = s.split("; ", 1)[1].lstrip()
+            return s
+        oracles = {name: strip(sql) for name, sql in oracles.items()}
 
     n_ok = n_err = 0
     peak_maps = n_maps()
