@@ -1785,12 +1785,12 @@ object Vectors {
          |  FROM d JOIN cent c ON c.dim = d.dim
          |  GROUP BY d.vec_id, d.label, c.clabel
          |), best AS (
-         |  SELECT vec_id, label, MIN(dist * 100 + clabel) AS m
+         |  SELECT vec_id, label, MIN({'d': dist, 'c': clabel}) AS m
          |  FROM sc GROUP BY vec_id, label
          |)
-         |SELECT label, CAST(m % 100 AS INTEGER) AS pred,
+         |SELECT label, CAST(m.c AS INTEGER) AS pred,
          |       CAST(COUNT(*) AS BIGINT) AS n
-         |FROM best GROUP BY label, m % 100
+         |FROM best GROUP BY label, m.c
          |ORDER BY label, pred""".stripMargin) { (s, dir) =>
       val d = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
@@ -1805,9 +1805,14 @@ object Vectors {
         .groupBy("vec_id", "label", "clabel")
         .agg(sum((col("xq") - col("mq")) * (col("xq") - col("mq")))
           .cast("long").as("dist"))
+      // argmin as a lexicographic STRUCT min (ties to the smallest
+      // class label) — a packed dist*K + clabel key silently corrupts
+      // past K labels per fixture, identically in both engines, so the
+      // cross-engine check can't see it (the txt_line_dedup lesson)
       val best = sc.groupBy("vec_id", "label")
-        .agg(min(col("dist") * 100 + col("clabel")).as("m"))
-      best.groupBy(col("label"), (col("m") % 100).cast("int").as("pred"))
+        .agg(min(struct(col("dist").as("d"), col("clabel").as("c")))
+          .as("m"))
+      best.groupBy(col("label"), col("m.c").cast("int").as("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
     },

@@ -16,6 +16,29 @@ class EntrySpec extends SparkSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
+  test("the sorted-FIRST oracle carries the connection-arming SET " +
+      "prelude (threads/mmap-ceiling fix)") {
+    // The correctness harness runs all oracles on ONE DuckDB connection
+    // in sorted order; the fix for the r9 OOM cascade (Linux
+    // vm.max_map_count ceiling at DuckDB threads=32) lives as SET
+    // statements at the head of whichever oracle sorts FIRST. If a new
+    // query ever sorts before agg_balance_check, the prelude silently
+    // stops arming the run and the cascade returns — fail HERE instead,
+    // naming the move.
+    val first = SparkEntry.oracleSql.keys.min
+    assert(first == "agg_balance_check",
+      s"'$first' now sorts before agg_balance_check — move the SET " +
+        "prelude (threads=8, allocator_flush_threshold, temp_directory, " +
+        "memory_limit) to ITS oracle text or the single-connection " +
+        "oracle run loses its mmap-ceiling protection")
+    val sql = SparkEntry.oracleSql(first)
+    for (setting <- Seq("SET threads=", "SET allocator_flush_threshold=",
+        "SET temp_directory=", "SET memory_limit="))
+      assert(sql.contains(setting), s"first oracle lost '$setting'")
+    assert(sql.trim.startsWith("SET "),
+      "the SET prelude must LEAD the first oracle's text")
+  }
+
   test("query names are unique (a collision silently drops a query)") {
     val names = SparkEntry.allNames
     val dups = names.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
