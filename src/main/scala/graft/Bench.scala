@@ -92,17 +92,20 @@ object Bench {
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY
     // comma-list restricts the query set; SPARK_GRAFT_REPEAT=N times
-    // each query N times. PROTOCOL (VERDICT r7 #1, amended r10):
-    // `value` and the per-query seconds are the first TIMED pass, run
-    // after the untimed pre-pass below — so both BENCH_BASELINE
-    // (recorded with this same main) and BENCH_r{N} measure the same
-    // prewarmed state and compare like with like. With
-    // REPEAT>1 the min-of-N steady-state totals are emitted ALONGSIDE
-    // (`steady_total`, `queries_steady` in the full file), never as the
-    // headline — the r7 2.5×-looking "regression" was a warm min-of-3
-    // baseline read against a cold driver pass.
+    // each query N times (default 3). PROTOCOL (VERDICT r7 #1, amended
+    // r10 and r11): after the untimed pre-pass below, each query runs
+    // REPEAT timed passes BACK-TO-BACK and the headline per-query
+    // second (and `value`, their sum) is the per-query MEDIAN — so a
+    // single driver run carries its own variance control instead of
+    // comparing one lucky/unlucky pass against a median baseline.
+    // r10 showed why: with a single timed pass, trivial one-shuffle
+    // aggregates at the front of the pass read 3-5× their baseline
+    // (GC/page-cache churn right after 338 untimed executions) and ~19
+    // of the 25 flagged "regressions" were this protocol artifact, not
+    // code. The min-of-N is emitted ALONGSIDE (`steady_total`,
+    // `queries_steady`), never as the headline.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Untimed PRE-PASS of every selected query (VERDICT r9 #5): the
@@ -115,18 +118,26 @@ object Bench {
     // generated source, so the SAME query recompiles nothing) and
     // steady JIT state, symmetrically for baseline recording and
     // driver runs alike — per-query deltas then measure code, not ramp
-    // position. Skipped under REPEAT>1 (the first repeat already
-    // serves as the warm pass) or SPARK_GRAFT_PREPASS=0.
-    val prepass = repeat == 1 &&
-      sys.env.getOrElse("SPARK_GRAFT_PREPASS", "1") == "1"
-    if (prepass) selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    // position. Disabled with SPARK_GRAFT_PREPASS=0. A query that
+    // throws in the pre-pass is noted once (ADVICE r10) and its timed
+    // passes stop at the first failure, so a deterministic breakage
+    // costs two time-to-failures, not REPEAT+1.
+    val prepass = sys.env.getOrElse("SPARK_GRAFT_PREPASS", "1") == "1"
+    if (prepass) selected.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case t: Throwable =>
+        System.err.println(s"[bench] pre-pass error in $name: " +
+          Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("\\s+", " ").take(200))
+      }
     }
-    // (name, coldSec [negative = time-to-failure], steadySec, firstErr)
+    // (name, medianSec [negative = time-to-failure], steadySec, firstErr)
     val results = selected
       .map { case (name, fn) =>
         var firstErr: Option[String] = None
-        val secs = (1 to repeat).map { _ =>
+        val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var pass = 0
+        var broken = false
+        while (pass < repeat && !broken) {
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -139,16 +150,24 @@ object Bench {
               false
             }
           val sec = (System.nanoTime() - t0) / 1e9
-          if (ok) sec else -sec
+          secs += (if (ok) sec else -sec)
+          // a failure before any success is deterministic breakage —
+          // don't pay time-to-failure REPEAT times. A failure AFTER a
+          // success (transient) also stops the loop but the successes
+          // already recorded keep the query out of `errors`.
+          if (!ok) broken = true
+          pass += 1
         }
-        val steady =
-          if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else secs.min
-        // cold = the FIRST SUCCESSFUL pass (first pass under REPEAT=1);
-        // negative only when no repeat succeeded, so `queries`, `value`
-        // and `errors` can never contradict each other on a query that
-        // failed pass 1 but recovered (transient OOM under REPEAT>1)
-        val cold = secs.find(_ >= 0).getOrElse(secs.head)
-        (name, cold, steady, firstErr)
+        val good = secs.filter(_ >= 0).sorted
+        val steady = if (good.nonEmpty) good.min else secs.min
+        // headline = median of the successful timed passes; negative
+        // (time-to-failure) only when NO pass succeeded, so `queries`,
+        // `value` and `errors` can never contradict each other
+        val median =
+          if (good.isEmpty) secs.min
+          else if (good.size % 2 == 1) good(good.size / 2)
+          else (good(good.size / 2 - 1) + good(good.size / 2)) / 2
+        (name, median, steady, firstErr)
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -163,10 +182,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
+    val warmth = if (prepass) "prewarmed" else "cold"
     val protocol =
-      if (prepass) "prewarmed-single-pass"
-      else if (repeat == 1) "cold-single-pass"
-      else s"cold-first-of-$repeat"
+      if (repeat == 1) s"$warmth-single-pass"
+      else s"$warmth-median-of-$repeat"
     // peak-ish storage footprint of the shared caches (bytes in memory at
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum

@@ -19,8 +19,13 @@ are indistinguishable — round 4's driver run showed the same plan at
 is the tie-breaker you re-run locally.
 
 Usage:
-  tools/bench_guard.py              # run Bench cold (REPEAT=1, sf0.1), compare
+  tools/bench_guard.py              # run Bench (prewarmed-median-of-3, sf0.1), compare
   tools/bench_guard.py RESULT.json  # compare an existing Bench output file
+
+Protocols must MATCH (r11): the baseline file and the compared run
+must carry the same `protocol` string, otherwise this guard refuses —
+a median-of-3 run read against a single-pass baseline measures the
+protocol difference, not the code.
 
 A query regresses when it is BOTH >2x its HOST-NORMALIZED baseline AND
 >0.5s absolute over it. Host normalization: the median cur/base ratio
@@ -59,9 +64,11 @@ def run_bench() -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-        SPARK_GRAFT_REPEAT=os.environ.get("SPARK_GRAFT_REPEAT", "1"),
         SPARK_GRAFT_BENCH_OUT=out,
     )
+    # default protocol (prewarmed-median-of-3) unless the caller
+    # explicitly overrides — must match how the baseline was recorded
+    env.pop("SPARK_GRAFT_ONLY", None)
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=REPO, env=env, check=True,
@@ -71,13 +78,24 @@ def run_bench() -> dict:
 
 
 def main() -> int:
-    base = json.loads(BASELINE.read_text())["queries"]
+    baseline = json.loads(BASELINE.read_text())
+    base = baseline["queries"]
     result = (
         json.loads(pathlib.Path(sys.argv[1]).read_text())
         if len(sys.argv) > 1
         else run_bench()
     )
     cur = result["queries"]
+    # like protocols only (VERDICT r10 #1): a median-of-3 run compared
+    # against a single-pass baseline (or vice versa) reports protocol,
+    # not code — refuse rather than emit an untrustworthy flag list
+    bp, rp = baseline.get("protocol"), result.get("protocol")
+    if bp != rp:
+        print(f"REFUSING to compare: result protocol {rp!r} != baseline "
+              f"protocol {bp!r} — re-record the baseline "
+              "(tools/record_baseline.py) or re-run Bench with matching "
+              "SPARK_GRAFT_REPEAT/SPARK_GRAFT_PREPASS")
+        return 1
 
     # host-speed factor: median cur/base ratio over stable baselines
     ratios = sorted(
