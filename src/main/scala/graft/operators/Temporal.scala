@@ -732,6 +732,98 @@ object Temporal {
         .orderBy("user_id")
     },
 
+    // ── streaming interval join feed, driver-visible (§2.10) ──────────
+
+    // StreamJoin's stream-stream interval join (two watermarked live
+    // streams, state bounded by the 1-day bound in the ON clause)
+    // drained AvailableNow must produce EXACTLY the batch join_range
+    // rows — the inner join emits each pair as soon as both sides are
+    // buffered, and nothing is watermark-late inside one delivery, so
+    // the oracle is the independent batch inequality join (DuckDB
+    // IEJoin). StreamJoinSpec pins ≡-batch in-JVM; this row re-proves
+    // it per round through the DuckDB hash gate (VERDICT r10 #3).
+    Q("stream_join_feed",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_type
+        |  FROM events
+        |)
+        |SELECT i.user_id, i.event_id AS click_id, p.event_id AS error_id,
+        |       p.us AS error_us, p.us - i.us AS lag_us
+        |FROM (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click') i
+        |JOIN (SELECT user_id, event_id, us FROM ev WHERE event_type = 'error') p
+        |  ON i.user_id = p.user_id
+        | AND p.us >= i.us AND p.us < i.us + 86400000000
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      graft.streaming.StreamJoin
+        .runAvailableNow(s, d, "stream_join_feed_sink")
+        .orderBy("user_id", "click_id", "error_id")
+    },
+
+    // ── streaming as-of enrichment feed, driver-visible (§2.10) ───────
+
+    // StreamAsOf's flatMapGroupsWithState enrichment (clicks enriched
+    // with the latest purchase at-or-before, emission gated on the
+    // watermark) drained AvailableNow: emitted rows are exactly the
+    // batch as-of rows for clicks at-or-before the run's final
+    // watermark — the ms-floored min over both sides of max event time
+    // (the multipleWatermarkPolicy min; StreamAsOfSpec pins the
+    // equivalence in-JVM). The oracle recomputes that cutoff in SQL
+    // and uses DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of the semantics — over updates pre-aggregated to
+    // max(value) per (user, us), the same deterministic tie-break the
+    // stream applies to equal-ts updates.
+    Q("stream_asof_feed",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         value, event_type
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'
+        |), ups AS (
+        |  SELECT user_id, us, max(value) AS value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, us
+        |), wm AS (
+        |  SELECT m - m % 1000 AS wm_us FROM (
+        |    SELECT least((SELECT max(us) FROM clicks),
+        |                 (SELECT max(us) FROM ups)) AS m)
+        |)
+        |SELECT * FROM (
+        |  SELECT c.user_id AS key, c.event_id, c.us AS ts_us,
+        |         u.us AS asof_us, u.value AS asof_value
+        |  FROM clicks c ASOF LEFT JOIN ups u
+        |    ON c.user_id = u.user_id AND c.us >= u.us) x
+        |WHERE ts_us <= (SELECT wm_us FROM wm)
+        |ORDER BY key, event_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamAsOf
+        .runAvailableNow(s, d, "stream_asof_feed_sink")
+        .orderBy("key", "event_id")
+    },
+
+    // ── streaming exactly-once dedup feed, driver-visible (§2.10) ─────
+
+    // StreamDedup over an at-least-once DOUBLE DELIVERY of the events
+    // stream (two file-stream sources over the same file, unioned):
+    // every event id arrives twice, and each must come out exactly
+    // once — in-horizon duplicates collapse against the watermark-
+    // bounded id state, watermark-late ones are dropped before the
+    // operator, so the emitted set is the unique event set regardless
+    // of how AvailableNow batches the two deliveries. The oracle is
+    // simply the events table (event ids are unique at the source) —
+    // any double emission or lost event breaks the hash. The
+    // checkpoint-restart half of the contract stays pinned in
+    // StreamDedupSpec.
+    Q("stream_dedup_feed",
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |       value, event_type
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamDedup
+        .runAvailableNow(s, d, "stream_dedup_feed_sink")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"), col("event_type"))
+        .orderBy("event_id")
+    },
+
     // ── SCD2 point-in-time snapshot: state table at each day close ─────
 
     // Reconstruct the daily snapshot a consumer would have read at the

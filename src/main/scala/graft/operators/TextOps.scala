@@ -1557,6 +1557,58 @@ object TextOps {
         .orderBy("term")
     },
 
+    // ── streaming heavy-hitters feed, driver-visible (§2.10) ──────────
+
+    // StreamFreq's per-key Misra-Gries state (K counters per source,
+    // folded forward each micro-batch) drained AvailableNow over the
+    // documents stream, then CLOSED against exact batch counts: the
+    // final snapshot per source must (a) carry the n cursor equal to
+    // the source's exact token count (state lost ⇒ cursor short ⇒ rows
+    // vanish ⇒ hash fail) and (b) CONTAIN every exact heavy hitter
+    // (cnt·(K+1) > n — the MG guarantee), so the inner join against
+    // the exact counts filtered at that bar reproduces the exact
+    // heavy-hitter set, which IS SQL-expressible even though the
+    // sketch's order-dependent estimates are not. StreamFreqSpec pins
+    // the estimate band + checkpoint restart in-JVM.
+    Q("stream_freq_feed",
+      s"""WITH wc AS (
+         |  SELECT source, term, COUNT(*) AS cnt
+         |  FROM (SELECT source, unnest($toksSql) AS term FROM documents) t
+         |  GROUP BY source, term
+         |), tot AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_terms
+         |  FROM wc GROUP BY source
+         |)
+         |SELECT wc.source, wc.term, wc.cnt, tot.n_terms
+         |FROM wc JOIN tot ON wc.source = tot.source
+         |WHERE wc.cnt * 65 > tot.n_terms
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(d).schema
+      val items = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("source").as("key"), explode(toks(col("text"))).as("item"))
+        .as[graft.streaming.StreamFreq.Item]
+      val feed = graft.streaming.StreamFreq
+        .runAvailableNow(s, items, "stream_freq_feed_sink")
+      // freshest snapshot per key = the rows carrying the key's max n
+      val snap = feed
+        .withColumn("maxn", max("n").over(Window.partitionBy("key")))
+        .filter(col("n") === col("maxn"))
+        .select(col("key").as("source"), col("item").as("term"), col("n"))
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val tot = wc.groupBy("source").agg(sum("cnt").as("n_terms"))
+      snap.join(wc, Seq("source", "term"))
+        .join(tot, Seq("source"))
+        .filter(col("cnt") * (graft.functions.FreqSketch.K + 1) > col("n_terms") &&
+          col("n") === col("n_terms"))
+        .select(col("source"), col("term"), col("cnt"), col("n_terms"))
+        .orderBy("source", "term")
+    },
+
     // ── TF-IDF top terms per document ──────────────────────────────────
 
     // Top-3 characteristic terms per doc. The idf is the RATIONAL form

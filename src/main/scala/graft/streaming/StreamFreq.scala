@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.functions.FreqSketch
 
@@ -45,5 +45,21 @@ object StreamFreq {
           state.update((sketch, n))
           sketch.iterator.map { case (item, est) => HH(key, item, est, n) }
       }
+  }
+
+  /** Drain a prepared streaming Item set AvailableNow into a memory
+    * sink and return the appended snapshots. The freshest snapshot per
+    * key is the rows carrying the key's max `n` cursor. Production:
+    * kafka source + durable checkpoint (StreamFreqSpec pins the
+    * checkpoint-restart fold); the harness stays hermetic. */
+  def runAvailableNow(spark: SparkSession, items: Dataset[Item],
+      queryName: String = "streamfreq_out"): DataFrame = {
+    val q = heavyHitters(spark, items).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 }

@@ -299,10 +299,11 @@ class VectorsSpec extends SparkSuite {
   }
 
   test("IVF sample-fit quantizer: fixed-seed KMeans centroid fingerprint " +
-      "is pinned (sim_ivf_bucketed's rows-only entry gets a deterministic " +
-      "anchor)") {
-    // sim_ivf_bucketed is the one registry entry without a DuckDB oracle
-    // (a sample-fit KMeans is not SQL-expressible). Its determinism was
+      "is pinned (ivfTopK's library API keeps a deterministic anchor)") {
+    // ivfTopK's sample-fit ML KMeans is not SQL-expressible; since r11
+    // the REGISTERED sim_ivf_bucketed uses the data-fit md5-lottery +
+    // integer-Lloyd quantizer and is DuckDB-oracled, while ivfTopK
+    // stays available as library API. Its determinism was
     // previously same-session only (two runs, one JVM); this pins the
     // FIT itself across sessions: a fixture-independent LCG corpus,
     // explicit hash partitioning (sample() is per-partition, so layout
