@@ -88,6 +88,12 @@ object Bench {
       // txt_rouge2) — same ingest-artifact reasoning as the stages above
       Caches.shared(operators.TextOps.lmSuffStats(spark, sfDir)).count()
       Caches.shared(operators.TextOps.distinctBigramShingles(spark, sfDir)).count()
+      // storage ceiling (SPARK_GRAFT_CACHE_BUDGET_MB, VERDICT r10 #6):
+      // no-op without the env var; at sf >= 1 it bounds the shared-stage
+      // footprint by FIFO-evicting the oldest registered stages
+      val ev = Caches.enforceBudget(spark)
+      if (ev > 0) System.err.println(
+        s"[bench] cache budget evicted $ev shared stage(s)")
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY

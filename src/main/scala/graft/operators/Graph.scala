@@ -1315,7 +1315,7 @@ object Graph {
          |), clus AS (
          |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
          |), planted AS (
-         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  SELECT doc_id AS a_id, doc_id + ${TextOps.cloneOffSql} AS b_id FROM documents
          |  WHERE doc_id % 10 = 0
          |), sizes AS (
          |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM clus
@@ -1339,7 +1339,8 @@ object Graph {
       val labels = nearCloneClusters(s, d)
       val planted = graft.Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + TextOps.cloneOff(s, d)).as("b_id"))
       val nPred = labels.groupBy("label").agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("n_pred"))
       val tp = labels.select(col("id").as("a_id"), col("label").as("ca"))

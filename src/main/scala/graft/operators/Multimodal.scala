@@ -279,7 +279,8 @@ object Multimodal {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, concat(text, ' zz9 qq8') AS text
+         |  SELECT doc_id + ${TextOps.cloneOffSql} AS doc_id,
+         |         concat(text, ' zz9 qq8') AS text
          |  FROM documents WHERE doc_id % 10 = 0
          |), fr AS (
          |  SELECT DISTINCT doc_id,

@@ -97,20 +97,51 @@ object TextOps {
         col("ok_sym") && col("ok_alpha") && col("ok_stop"))
   }
 
-  /** documents ∪ exact clones (doc_id+10000 for doc_id%5=0) — the exact
-    * dedup needs real duplicates to collapse. */
+  /** Planted-fixture id offset: the smallest power of ten STRICTLY
+    * ABOVE max(doc_id), so planted clone ids can never collide with a
+    * real document id at ANY scale factor. The r11 sf1 leg caught the
+    * old literal 10000 colliding at 50 k docs (clone of doc 0 became
+    * real doc 10000 — graph_pagerank's vertex set silently double-
+    * counted 4 000 ids). A round power of ten (not max+1) keeps the
+    * "is this a planted id" reading human-checkable in dumps and
+    * specs: originals live below it, first-tier plants in
+    * [off, 2·off), second-tier plants in [2·off, 3·off).
+    * Memoized per (session, dir) — one parquet-stat max per corpus. */
+  private val offMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+  private[graft] def cloneOff(s: SparkSession, d: String): Long = {
+    offMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    offMemo.computeIfAbsent((s, d), { _ =>
+      val mx = Tables.documents(s, d).agg(max("doc_id")).head.getLong(0)
+      var off = 10L
+      while (off <= mx) off *= 10L
+      off
+    })
+  }
+  /** SQL mirror of [[cloneOff]] — the same integer, derived from the
+    * same table, as a scalar subquery the oracles embed. Digit count
+    * (not log10: float log of an exact power of ten can land a hair
+    * below the integer and floor the exponent wrong) — 10^digits(max)
+    * IS the smallest power of ten strictly above max for max ≥ 0. */
+  private[operators] val cloneOffSql: String =
+    "(SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) " +
+      "AS BIGINT) FROM documents)"
+
+  /** documents ∪ exact clones (doc_id+cloneOff for doc_id%5=0) — the
+    * exact dedup needs real duplicates to collapse. */
   private def withClones(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text")
     base.unionByName(
       base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + cloneOff(s, d)).as("doc_id"), col("text")))
   }
   private val withClonesSql =
-    """docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-      |)""".stripMargin
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $cloneOffSql AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 = 0
+       |)""".stripMargin
 
   /** documents ∪ near-clones (tail-perturbed text) — MinHash candidate
     * generation needs near-duplicates to find. */
@@ -118,16 +149,17 @@ object TextOps {
     val base = Tables.documents(s, d).select("doc_id", "text")
     base.unionByName(
       base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + cloneOff(s, d)).as("doc_id"),
           concat(col("text"), lit(" zz9 qq8")).as("text")))
   }
   private val withNearClonesSql =
-    """docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, concat(text, ' zz9 qq8') AS text
-      |  FROM documents WHERE doc_id % 10 = 0
-      |)""".stripMargin
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $cloneOffSql AS doc_id,
+       |         concat(text, ' zz9 qq8') AS text
+       |  FROM documents WHERE doc_id % 10 = 0
+       |)""".stripMargin
 
   // ── shared ExactSubstr stages (dedup_substring / _cut) ───────────────
 
@@ -2615,7 +2647,7 @@ object TextOps {
     // are bucketed by doc_id so the join co-locates, and only hashes
     // ride the shuffle (the snk_merge scale note).
     Q("chk_snapshot_diff",
-      """WITH v1 AS (
+      s"""WITH v1 AS (
         |  SELECT doc_id, source, md5(text) AS h FROM documents
         |), v2 AS (
         |  SELECT doc_id, source,
@@ -2623,7 +2655,7 @@ object TextOps {
         |                  ELSE text END) AS h
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, source, md5(text) AS h
+        |  SELECT doc_id + $cloneOffSql AS doc_id, source, md5(text) AS h
         |  FROM documents WHERE doc_id % 10 = 0
         |), d AS (
         |  SELECT coalesce(v1.source, v2.source) AS source,
@@ -2647,7 +2679,7 @@ object TextOps {
           md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" upd7")))
             .otherwise(col("text"))).as("h"))
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+          .select((col("doc_id") + cloneOff(s, d)).as("doc_id"), col("source"),
             md5(col("text")).as("h")))
       val d1 = v1.select(col("doc_id"), col("source").as("s1"), col("h").as("h1"))
       val d2 = v2.select(col("doc_id"), col("source").as("s2"), col("h").as("h2"))
@@ -3189,7 +3221,7 @@ object TextOps {
     Q("dedup_minhash_recall",
       s"""WITH $minhashCandSql,
          |planted AS (
-         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  SELECT doc_id AS a_id, doc_id + $cloneOffSql AS b_id FROM documents
          |  WHERE doc_id % 10 = 0
          |), hit AS (
          |  SELECT c.a_id FROM cand c
@@ -3204,7 +3236,8 @@ object TextOps {
          |         AS recall_ppm""".stripMargin) { (s, d) =>
       val cand = minhashCandidates(s, d).select("a_id", "b_id")
       val planted = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + cloneOff(s, d)).as("b_id"))
       val nP = planted.agg(count(lit(1)).as("n_planted"))
       val nH = cand.join(broadcast(planted), Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_caught"))
@@ -3249,7 +3282,7 @@ object TextOps {
          |    ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2
          |   AND a.h3 = b.h3 AND a.doc_id < b.doc_id
          |), planted AS (
-         |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM documents
+         |  SELECT doc_id AS a_id, doc_id + $cloneOffSql AS b_id FROM documents
          |  WHERE doc_id % 10 = 0
          |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM planted)
          |SELECT config, n_cand, n_caught,
@@ -3271,7 +3304,8 @@ object TextOps {
          |) t CROSS JOIN np ORDER BY config""".stripMargin) { (s, d) =>
       val sig = graft.Caches.shared(minhashSig(s, d))
       val planted = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a_id"), (col("doc_id") + 10000).as("b_id"))
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + cloneOff(s, d)).as("b_id"))
       def candPairs(bands: DataFrame): DataFrame =
         bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
           .join(bands.select(col("doc_id").as("b_id"), col("band"),
@@ -3304,7 +3338,7 @@ object TextOps {
 
     // The training-data twin of dd_rollup's reference composite: a
     // five-stage curation funnel over a corpus with PLANTED hazards —
-    // exact copies (+20000, %7), near clones (+10000, %10), and
+    // exact copies (+2*cloneOff, %7), near clones (+cloneOff, %10), and
     // cross-corpus LEAKAGE (copies/clones of EVAL documents, which are
     // excluded from the corpus at ingest) — emitting the stage LEDGER
     // (docs, tokens per stage) a curation run reports:
@@ -3337,9 +3371,9 @@ object TextOps {
          |), corpus AS (
          |  SELECT doc_id, text FROM documents WHERE NOT ($evalPred)
          |  UNION ALL
-         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+         |  SELECT doc_id + 2 * $cloneOffSql, text FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 10000, concat(text, ' zz9 qq8') FROM documents
+         |  SELECT doc_id + $cloneOffSql, concat(text, ' zz9 qq8') FROM documents
          |  WHERE doc_id % 10 = 0
          |), tokd AS (
          |  SELECT doc_id, text,
@@ -3396,9 +3430,9 @@ object TextOps {
       val base = Tables.documents(s, d).select("doc_id", "text")
       val corpus = base.filter(!isEval(col("doc_id")))
         .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2 * cloneOff(s, d)).as("doc_id"), col("text")))
         .unionByName(base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"),
+          .select((col("doc_id") + cloneOff(s, d)).as("doc_id"),
             concat(col("text"), lit(" zz9 qq8")).as("text")))
       val tokd = graft.Caches.shared(corpus.select(col("doc_id"), col("text"),
         size(toks(col("text"))).as("n_tok")))

@@ -29,6 +29,23 @@ class CachesSpec extends SparkSuite {
     assert(!cached(probe), "releaseAll left the registered plan cached")
   }
 
+  test("enforceBudget FIFO-evicts oldest stages until under the ceiling") {
+    Caches.releaseAll()
+    def mk(c: String) = Tables.events(spark, SparkSuite.Sf0001)
+      .select(col(c)).distinct()
+    val first = Caches.shared(mk("event_id")); first.count()
+    val second = Caches.shared(mk("user_id")); second.count()
+    assert(Caches.storageBytes(spark) > 0L)
+    // generous ceiling: no-op
+    assert(Caches.enforceBudget(spark, Long.MaxValue) == 0)
+    assert(cached(first) && cached(second))
+    // zero ceiling: everything goes, oldest first, registry drains
+    val evicted = Caches.enforceBudget(spark, 0L)
+    assert(evicted >= 2, s"expected both stages evicted, got $evicted")
+    assert(!cached(first) && !cached(second))
+    assert(Caches.registered == 0)
+  }
+
   test("re-registering the same canonical plan is idempotent on release") {
     def mk() = Tables.events(spark, SparkSuite.Sf0001)
       .select(col("user_id")).distinct()

@@ -239,7 +239,8 @@ class DedupScaleSpec extends SparkSuite {
     // the planted source→clone pairs still confirm at ×40
     val confirmed = SparkEntry.queries("dedup_containment_ensemble")(
       spark, d2)
-      .filter(col("b_id") === col("a_id") + 10000L).count()
+      .filter(col("b_id") === col("a_id") +
+        operators.TextOps.cloneOff(spark, d2)).count()
     assert(confirmed > 0, "no planted containment pairs at the ×40 corpus")
   }
 

@@ -8,6 +8,9 @@ import graft.operators.Graph
   * empty-edge degenerate case. */
 class GraphSpec extends SparkSuite {
 
+  /** Planted-clone id offset (scale-derived since r11). */
+  private lazy val off = operators.TextOps.cloneOff(spark, SparkSuite.Sf001)
+
   private def cc(vs: Seq[Long], es: Seq[(Long, Long)],
       maxIter: Int = 50): Map[Long, Long] = {
     val sp = spark
@@ -133,11 +136,11 @@ class GraphSpec extends SparkSuite {
       assert(members.count(_.getBoolean(2)) == 1,
         s"cluster $cl: exactly one canonical expected")
     }
-    // the seeded near-clones (doc_id+10000) must share their source's cluster
+    // the seeded near-clones (doc_id+off) must share their source's cluster
     val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cloned = m.keys.filter(_ >= 10000L)
+    val cloned = m.keys.filter(_ >= off)
     assert(cloned.nonEmpty)
-    val joined = cloned.count(c => m(c) == m(c - 10000L))
+    val joined = cloned.count(c => m(c) == m(c - off))
     assert(joined * 100 >= cloned.size * 80,
       s"only $joined/${cloned.size} near-clones clustered with their source")
   }
@@ -411,8 +414,8 @@ class GraphSpec extends SparkSuite {
     val wantPred = labels.groupBy(_._2).values
       .map(g => g.size.toLong * (g.size - 1) / 2).sum
     assert(npred == wantPred, "predicted-pair volume != sigma C(n,2)")
-    val planted = labels.keys.filter(k => k < 10000 && k % 10 == 0)
-      .map(i => (i, i + 10000)).toSeq
+    val planted = labels.keys.filter(k => k < off && k % 10 == 0)
+      .map(i => (i, i + off)).toSeq
     assert(np == planted.size)
     assert(tp == planted.count { case (a, b) =>
       labels.get(a).isDefined && labels.get(a) == labels.get(b) })

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * decode, feature/metadata consistency. */
 class MultimodalSpec extends SparkSuite {
 
+  /** Planted-clone id offset (scale-derived since r11). */
+  private lazy val off = operators.TextOps.cloneOff(spark, Sf001)
+
   test("media table: binary payload + typed metadata struct") {
     val m = Multimodal.mediaTable(spark, Sf001)
     val schema = m.schema
@@ -88,19 +91,19 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(j - nInter.toDouble / (nA + nB - nInter)) < 1e-12)
       assert(j >= 0.5 && j <= 1.0)
     }
-    // planted clones (doc_id+10000, 8 chars appended → last frame
+    // planted clones (doc_id+off, 8 chars appended → last frame
     // perturbed): band recall is deterministic (md5) but < 1 by design
     // (~0.87 for J≈0.8 under 2×2 bands) — require the bulk caught, and
     // every caught clone strictly below J=1 (the appended tail really
     // does change the frame set)
-    val clonePairs = pairs.filter { case (a, b, _, _, _, _) => b == a + 10000 }
+    val clonePairs = pairs.filter { case (a, b, _, _, _, _) => b == a + off }
     val planted = Tables.documents(spark, Sf001)
       .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0).count()
     assert(clonePairs.length >= (planted * 0.7).toInt,
       s"caught ${clonePairs.length} of $planted planted clones")
     assert(clonePairs.forall(_._6 < 1.0))
     // the corpus's own generator-planted near-dups surface too (pairs
-    // NOT of the +10000 clone shape) — frame-set dedup is not just
+    // NOT of the +off clone shape) — frame-set dedup is not just
     // finding our fixture
     assert(pairs.length > clonePairs.length)
   }

@@ -6,22 +6,27 @@ import graft.SparkSuite.Sf001
   * bands recover planted near-duplicates, SimHash is stable. */
 class TextOpsSpec extends SparkSuite {
 
+  /** Planted-clone id offset — scale-derived since r11 (the literal
+    * 10000 collided with real ids at sf1); identical for the sf0.001
+    * and sf0.01 fixtures (both 500 docs -> 1000). */
+  private lazy val off = operators.TextOps.cloneOff(spark, Sf001)
+
   test("dedup_exact: every planted clone collapses onto its source") {
     val rows = SparkEntry.queries("dedup_exact")(spark, Sf001).collect()
     val byCopies = rows.groupBy(_.getLong(2))
     // 100 planted clones (doc_id%5=0 of 500) → 100 groups of 2, 400 of 1
     assert(byCopies(2L).length == 100)
     assert(byCopies(1L).length == 400)
-    // survivor is always the original (min doc_id < 10000)
-    assert(rows.forall(_.getLong(1) < 10000))
+    // survivor is always the original (min doc_id < off)
+    assert(rows.forall(_.getLong(1) < off))
   }
 
   test("dedup_minhash: planted near-duplicates are found as candidates") {
     val pairs = SparkEntry.queries("dedup_minhash")(spark, Sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // near-clones are doc_id → doc_id+10000 with a 2-token tail change;
+    // near-clones are doc_id → doc_id+off with a 2-token tail change;
     // at least 80% must share a MinHash band (2 bands × 2 hashes)
-    val planted = (0 until 500 by 10).map(i => (i.toLong, (i + 10000).toLong))
+    val planted = (0 until 500 by 10).map(i => (i.toLong, (i + off)))
     val found = planted.count(pairs.contains)
     assert(found >= (planted.size * 8) / 10, s"found only $found/${planted.size}")
   }
@@ -136,7 +141,7 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val corpus = docs ++ docs.filter(_._1 % 10 == 0)
-      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }
+      .map { case (id, t) => (id + off, t + " zz9 qq8") }
     val sets = corpus.flatMap { case (id, text) =>
       val t = text.split(" ").filter(_.nonEmpty)
       if (t.length < 2) None
@@ -155,8 +160,8 @@ class TextOpsSpec extends SparkSuite {
     }
     // every source is contained in its tail-padded clone — all such
     // directed pairs must be reported
-    val clonePairs = sets.keys.filter(_ >= 10000L)
-      .map(c => (c - 10000L, c)).filter(want.contains).toSeq
+    val clonePairs = sets.keys.filter(_ >= off)
+      .map(c => (c - off, c)).filter(want.contains).toSeq
     assert(clonePairs.nonEmpty, "fixture produced no clone pairs")
     clonePairs.foreach { p =>
       assert(got.contains(p), s"missed source→clone containment $p")
@@ -306,10 +311,10 @@ class TextOpsSpec extends SparkSuite {
     // trades a little recall (band hit = J⁴ ≈ 0.81 at J ≈ 0.95) for
     // candidate volume; ≥ 90% of planted directed pairs must survive
     val clonePairs = ens.collect {
-      case (a, b, _, _, _, _, _) if b == a + 10000L => (a, b) }.toSet
+      case (a, b, _, _, _, _, _) if b == a + off => (a, b) }.toSet
     val planted = Tables.documents(spark, SparkSuite.Sf0001)
       .select("doc_id").collect().map(_.getLong(0))
-      .filter(_ % 10 == 0).map(i => (i, i + 10000L)).toSet
+      .filter(_ % 10 == 0).map(i => (i, i + off)).toSet
     assert(planted.nonEmpty)
     assert(clonePairs.size * 10 >= planted.size * 9,
       s"planted recall ${clonePairs.size}/${planted.size} below 90%")
@@ -324,7 +329,7 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val corpus = docs ++ docs.filter(_._1 % 10 == 0)
-      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }
+      .map { case (id, t) => (id + off, t + " zz9 qq8") }
     val grams = corpus.flatMap { case (id, text) =>
       val t = text.split(" ").filter(_.nonEmpty)
       if (t.length < 8) Nil
@@ -347,8 +352,8 @@ class TextOpsSpec extends SparkSuite {
     // must cover every gram position (1 .. n-7 start, so end = n)
     val lens = corpus.toMap.map { case (id, t) =>
       id -> t.split(" ").count(_.nonEmpty) }
-    val cloneIds = corpus.map(_._1).filter(_ >= 10000L)
-      .map(_ - 10000L).filter(lens(_) >= 8)
+    val cloneIds = corpus.map(_._1).filter(_ >= off)
+      .map(_ - off).filter(lens(_) >= 8)
     assert(cloneIds.nonEmpty)
     cloneIds.foreach { id =>
       val spans = out.filter(_._1 == id)
@@ -367,7 +372,7 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val corpus = (docs ++ docs.filter(_._1 % 10 == 0)
-      .map { case (id, t) => (id + 10000L, t + " zz9 qq8") }).toMap
+      .map { case (id, t) => (id + off, t + " zz9 qq8") }).toMap
     // every corpus doc present exactly once
     assert(out.map(_._1).sorted == corpus.keys.toSeq.sorted)
     def ntoks(t: String) = t.split(" ").count(_.nonEmpty)
@@ -671,7 +676,7 @@ class TextOpsSpec extends SparkSuite {
     // deterministic guarantee MinHash banding does not have
     val docs = Tables.documents(spark, SparkSuite.Sf0001)
       .select("doc_id").collect().map(_.getLong(0))
-    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + 10000))
+    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + off))
     val missed = planted.filterNot(pairs.contains)
     assert(missed.isEmpty, s"guarantee violated for: ${missed.take(5).toSeq}")
     // clone pairs must dominate organic word-salad overlap: each shares
@@ -706,7 +711,7 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val corpus = base ++ base.filter(_._1 % 10 == 0)
-      .map { case (id, t) => (id + 10000, t + " zz9 qq8") }
+      .map { case (id, t) => (id + off, t + " zz9 qq8") }
     val perDoc = corpus.map { case (id, t) =>
       id -> fps(t.split(" ").filter(_.nonEmpty).toSeq)
     }
@@ -759,9 +764,9 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val corpus = base.filterNot(t => isEval(t._1)) ++
-      base.filter(_._1 % 7 == 0).map { case (i, t) => (i + 20000, t) } ++
+      base.filter(_._1 % 7 == 0).map { case (i, t) => (i + 2 * off, t) } ++
       base.filter(_._1 % 10 == 0)
-        .map { case (i, t) => (i + 10000, t + " zz9 qq8") }
+        .map { case (i, t) => (i + off, t + " zz9 qq8") }
     val a2 = corpus.filter(t => tk(t._2).length >= 50)
     val a3 = a2.groupBy(t => md5hex(t._2)).values
       .map(_.minBy(_._1)).toSeq
@@ -795,8 +800,8 @@ class TextOpsSpec extends SparkSuite {
     assert(dropped5.nonEmpty, "no leakage reached the decontam gate — " +
       "fixture degenerate")
     dropped5.foreach { i =>
-      val orig = if (i >= 20000) i - 20000 else i - 10000
-      assert(i >= 10000 && isEval(orig),
+      val orig = if (i >= 2 * off) i - 2 * off else i - off
+      assert(i >= off && isEval(orig),
         s"decontam dropped non-leakage doc $i")
     }
   }
@@ -812,7 +817,7 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val docs = Tables.documents(spark, Sf001)
       .select("doc_id").collect().map(_.getLong(0))
-    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + 10000)).toSet
+    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + off)).toSet
     assert(nPlanted == planted.size)
     assert(nCaught == planted.count(cand.contains))
     assert(nCand == cand.size)
@@ -866,7 +871,7 @@ class TextOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val corpus = base ++ base.filter(_._1 % 10 == 0)
-      .map { case (id, t) => (id + 10000, t + " zz9 qq8") }
+      .map { case (id, t) => (id + off, t + " zz9 qq8") }
     val shingles = corpus.map { case (id, t) =>
       val tk = t.split(" ").filter(_.nonEmpty)
       id -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
@@ -886,7 +891,7 @@ class TextOpsSpec extends SparkSuite {
     }
     // planted tail-padded clones share almost all shingles: their
     // 1-bit signatures must agree on (nearly) every position
-    val clonePairs = got.keys.filter { case (a, b) => b == a + 10000L }
+    val clonePairs = got.keys.filter { case (a, b) => b == a + off }
     assert(clonePairs.nonEmpty, "no planted clone pair in candidates")
     clonePairs.foreach { p =>
       assert(got(p)._1 >= 28, s"clone pair $p agreement ${got(p)._1}") }

@@ -75,7 +75,11 @@ def main(argv):
         def strip(sql):
             s = sql.lstrip()
             while s.startswith("SET "):  # drop each leading SET stmt
-                s = s.split("; ", 1)[1].lstrip()
+                parts = s.split(";", 1)
+                if len(parts) != 2:  # ADVICE r10: a SET with no trailing
+                    raise ValueError(  # ';' must fail with a label, not
+                        f"--strip-sets: unterminated SET prelude: {s[:80]!r}")
+                s = parts[1].lstrip()
             return s
         oracles = {name: strip(sql) for name, sql in oracles.items()}
 

@@ -22,19 +22,51 @@ def rows_key(rows):
         (tuple(str(type(x).__name__) + ":" + repr(norm(x)) for x in r))
         for r in rows)
 
+def apply_sets(con):
+    # same environment caps the agg_balance_check SET prelude applies
+    # (ADVICE r10): applying them at connect time AND re-applying before
+    # every query means (a) the mmap-ceiling protection no longer
+    # depends on that oracle sorting first, and (b) an oracle's own SET
+    # prelude can't pin its limits onto every later query in the run.
+    # ORACLE_MEMORY_LIMIT raises the ceiling for big local scale legs
+    # (sf1's dedup graph CTEs need > 4GB); the driver's own gate runs
+    # at sf0.01 where the default is generous.
+    import os
+    con.execute("SET TimeZone='UTC'")
+    con.execute("SET threads=8")
+    con.execute("SET allocator_flush_threshold='16mb'")
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill.tmp'")
+    con.execute("SET max_temp_directory_size='64GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("ORACLE_MEMORY_LIMIT", "4GB"))
+
+
 def fresh_con(sf_dir):
     con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
+    apply_sets(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
 
 def main(sf_dir, out_dir, json_out=None):
+    import os
+    import threading
+    # per-query wall-clock ceiling (seconds). Unset = no ceiling (the
+    # driver's sf0.01 gate). Local SCALE legs set it: some oracles are
+    # deliberately quadratic forms of linear engine kernels (the
+    # recursive-CTE transitive closure behind dedup_cc is O(sum
+    # cluster_size^2) — 200M closure rows at sf1 where the engine's
+    # min-label propagation is linear), so at big sf the ORACLE is the
+    # bottleneck; a hung oracle is then recorded as `oracle_timeout`
+    # (a statement about the checker, distinct from a FAIL, which
+    # remains a statement about the engine).
+    t_limit = os.environ.get("ORACLE_TIMEOUT_SEC")
+    t_limit = float(t_limit) if t_limit else None
     con = fresh_con(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_timeout = 0
     results = {}
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -48,11 +80,17 @@ def main(sf_dir, out_dir, json_out=None):
         # Out of Memory that a clean connection answers in a second —
         # observed at sf0.001 on sim_ivf_recall_curve
         err = None
+        timed_out = False
         for attempt in (0, 1):
             if attempt:
                 con.close()
                 con = fresh_con(sf_dir)
+            timer = (threading.Timer(t_limit, con.interrupt)
+                     if t_limit else None)
+            if timer:
+                timer.start()
             try:
+                apply_sets(con)  # undo any prior oracle's SET prelude
                 spark_rel = con.execute(
                     f"SELECT * FROM read_parquet({files!r})")
                 spark_cols = [c[0] for c in spark_rel.description]
@@ -62,8 +100,22 @@ def main(sf_dir, out_dir, json_out=None):
                 duck_rows = duck_rel.fetchall()
                 err = None
                 break
+            except duckdb.InterruptException:
+                timed_out = True
+                err = None
+                break  # a timeout is deterministic here — don't retry
             except Exception as e:
                 err = e
+            finally:
+                if timer:
+                    timer.cancel()
+        if timed_out:
+            print(f"TIMEOUT {name}: oracle exceeded {t_limit:.0f}s")
+            n_timeout += 1
+            results[name] = {"ok": False, "err": "oracle_timeout"}
+            con.close()
+            con = fresh_con(sf_dir)
+            continue
         if err is not None:
             print(f"FAIL {name}: {type(err).__name__}: {err}"); n_bad += 1
             results[name] = {"ok": False,
@@ -95,6 +147,12 @@ def main(sf_dir, out_dir, json_out=None):
             if attempt:
                 con.close()
                 con = fresh_con(sf_dir)
+            # generous 2x budget for the re-execution: the first pass
+            # already proved the oracle completes within t_limit
+            timer = (threading.Timer(2 * t_limit, con.interrupt)
+                     if t_limit else None)
+            if timer:
+                timer.start()
             try:
                 sdt = con.execute(
                     f"SELECT * FROM read_parquet({files!r})").df().dtypes
@@ -103,6 +161,9 @@ def main(sf_dir, out_dir, json_out=None):
                 break
             except Exception as e:
                 err = e
+            finally:
+                if timer:
+                    timer.cancel()
         if err is not None:
             print(f"FAIL {name}: dtype check: {type(err).__name__}: {err}")
             n_bad += 1
@@ -132,10 +193,13 @@ def main(sf_dir, out_dir, json_out=None):
         print(f"ok   {name} ({len(srows)} rows)")
         n_ok += 1
         results[name] = {"ok": True, "rows": len(srows)}
-    print(f"\n{n_ok} ok, {n_bad} fail")
+    suffix = f", {n_timeout} oracle_timeout" if n_timeout else ""
+    print(f"\n{n_ok} ok, {n_bad} fail{suffix}")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_bad,
+                       "n_oracle_timeout": n_timeout,
+                       "oracle_timeout_sec": t_limit,
                        "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
