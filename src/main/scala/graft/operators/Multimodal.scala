@@ -67,6 +67,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Real-codec decode stage at the SAME seam as [[decodeFeatures]]:
+    * partition-batched `mapPartitions` over the opaque payload, but the
+    * lambda dispatches into [[MediaCodec.decode]] — a real RIFF/WAVE
+    * chunk walk and real ImageIO pixel decode (PNG/GIF/BMP), stub shape
+    * only as the unrecognized-container fallback. */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => MediaCodec.decode(id, bytes) }
+      }
+      .toDF()
+  }
+
   /** Resize stage STUB: a real implementation decodes + rescales pixel
     * data; the fake derives target-bounded dimensions and a truncated
     * payload, keeping the batch shape (mapPartitions, binary in/out).
@@ -548,6 +563,90 @@ object Multimodal {
             .as("tail_trim"),
           when(col("fl").isNull, 0L).otherwise(col("ll") - col("fl") + 1)
             .as("kept_frames"))
+        .orderBy("doc_id")
+    },
+
+    // ── REAL codec roundtrips (the honest end of the decode seam) ──────
+    //
+    // Both queries run an actual encoder AND an actual decoder in the
+    // engine — WAV through the byte-level RIFF writer/chunk-walker,
+    // PNG through the JDK's ImageIO pixel codec — and the oracle checks
+    // the DECODER's output against the construction invariants (stream
+    // parameters, dimensions, data hash, decoded-pixel sum), all pure
+    // arithmetic in SQL. A header-skimming or formula-faking "decoder"
+    // cannot reproduce the pixel sum / data hash. Scale shape: map-only
+    // mapPartitions (codec state amortized per partition), no shuffle
+    // except the output ordering.
+
+    // Audio leg: each document's ASCII bytes become the PCM payload of
+    // a mono 16-bit WAV at a doc-derived sample rate; the engine
+    // re-parses the container and reports the stream facts + the md5 of
+    // the PCM data. ASCII invariant (mm-family fixture rule): DuckDB's
+    // char-substr md5 hashes the same bytes the encoder framed.
+    Q("mm_decode_wav",
+      """SELECT doc_id, 'audio/wav' AS mime,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(16 AS INTEGER) AS bits,
+        |       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
+        |       CAST((octet_length(encode(text)) // 2) * 1000
+        |         // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+        |       md5(substr(text, 1,
+        |         CAST(2 * (octet_length(encode(text)) // 2) AS INTEGER)))
+        |         AS data_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            // 16-bit mono frames: truncate to an even byte count
+            val data =
+              java.util.Arrays.copyOf(bytes, bytes.length - bytes.length % 2)
+            val rate = 8000 + (id % 8).toInt * 1000
+            val dm =
+              MediaCodec.decode(id, MediaCodec.encodeWav(rate, 1, 16, data))
+            (dm.doc_id, dm.mime, dm.sample_rate, dm.channels,
+              dm.bits_per_sample, dm.n_frames, dm.duration_ms,
+              dm.content_md5)
+          }
+        }
+        .toDF("doc_id", "mime", "sample_rate", "channels", "bits",
+          "n_frames", "duration_ms", "data_md5")
+        .orderBy("doc_id")
+    },
+
+    // Image leg: a doc-formula truecolor PNG is encoded and pixel-
+    // decoded back through ImageIO; the reported dimensions and the sum
+    // over DECODED samples must equal the closed-form the oracle
+    // computes from the same formula (lossless roundtrip ⇒ equality).
+    Q("mm_decode_png",
+      """SELECT d.doc_id, 'image/png' AS mime,
+        |       CAST(8 + d.doc_id % 24 AS INTEGER) AS width,
+        |       CAST(8 + (d.doc_id * 3) % 16 AS INTEGER) AS height,
+        |       CAST(SUM((d.doc_id * 7 + x.x * 13 + y.y * 31) % 256)
+        |         AS BIGINT) AS px_sum
+        |FROM documents d,
+        |     UNNEST(range(0, CAST(8 + d.doc_id % 24 AS INTEGER))) AS x(x),
+        |     UNNEST(range(0, CAST(8 + (d.doc_id * 3) % 16 AS INTEGER)))
+        |       AS y(y)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 16).toInt
+            val png = MediaCodec.encodePng(w, h,
+              (x, y) => ((id * 7 + x * 13L + y * 31L) % 256).toInt)
+            val img = MediaCodec.decodeImage(png).get
+            (id, "image/png", img.getWidth, img.getHeight,
+              MediaCodec.pixelSum(img))
+          }
+        }
+        .toDF("doc_id", "mime", "width", "height", "px_sum")
         .orderBy("doc_id")
     }
   )

@@ -227,4 +227,126 @@ class MultimodalSpec extends SparkSuite {
         s"doc $id frame $f: token range not contiguous")
     }
   }
+
+  // ── real codec (MediaCodec): exercised against real container bytes ──
+
+  test("WAV roundtrip: encoder bytes parse back exactly, and the JDK's " +
+      "own audio reader agrees on every stream parameter") {
+    import graft.operators.MediaCodec
+    // 200 frames of a deterministic 16-bit ramp, mono 8 kHz
+    val data = Array.tabulate(400)(i => ((i * 37 + 11) % 256 - 128).toByte)
+    val wav = MediaCodec.encodeWav(8000, 1, 16, data)
+    val info = MediaCodec.parseWav(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 &&
+      info.bitsPerSample == 16)
+    assert(info.nFrames == 200 && info.durationMs == 25)
+    assert(wav.slice(info.dataOffset, info.dataOffset + info.dataLen)
+      .sameElements(data))
+    // independent check: javax.sound.sampled reads the same container
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 200)
+    // stereo 24-bit parses too (frame math generalizes)
+    val st = MediaCodec.parseWav(
+      MediaCodec.encodeWav(44100, 2, 24, new Array[Byte](44100 * 6))).get
+    assert(st.nFrames == 44100 && st.durationMs == 1000)
+  }
+
+  test("strict WAV parser rejects text that merely starts with RIFF " +
+      "and truncated/non-PCM containers") {
+    import graft.operators.MediaCodec
+    val textish = ("RIFFxxxxWAVE" + "the quick brown fox " * 4).getBytes
+    assert(MediaCodec.parseWav(textish).isEmpty)
+    val good = MediaCodec.encodeWav(8000, 1, 16, new Array[Byte](64))
+    assert(MediaCodec.parseWav(good.take(40)).isEmpty) // truncated
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt code 3 = IEEE float
+    assert(MediaCodec.parseWav(nonPcm).isEmpty)
+    val overrun = good.clone(); overrun(40) = 127 // data size > payload
+    assert(MediaCodec.parseWav(overrun).isEmpty)
+  }
+
+  test("PNG roundtrip through ImageIO is pixel-exact; decode dispatch " +
+      "sniffs containers and falls back to the stub shape") {
+    import graft.operators.{MediaCodec, Multimodal}
+    val px = (x: Int, y: Int) => (x * 13 + y * 31 + 7) % 256
+    val png = MediaCodec.encodePng(20, 12, px)
+    val img = MediaCodec.decodeImage(png).get
+    assert(img.getWidth == 20 && img.getHeight == 12)
+    for (y <- 0 until 12; x <- 0 until 20)
+      assert((img.getRGB(x, y) & 0xff) == px(x, y), s"pixel ($x,$y)")
+    assert(MediaCodec.pixelSum(img) ==
+      (for (y <- 0 until 12; x <- 0 until 20) yield px(x, y).toLong).sum)
+    // dispatch: image vs audio vs fallback-to-stub
+    val di = MediaCodec.decode(1L, png)
+    assert(di.mime == "image/png" && di.width == 20 && di.height == 12)
+    val wav = MediaCodec.encodeWav(9000, 1, 16, new Array[Byte](90))
+    val da = MediaCodec.decode(2L, wav)
+    assert(da.mime == "audio/wav" && da.sample_rate == 9000 &&
+      da.n_frames == 45 && da.duration_ms == 5)
+    val txt = "plain old document text".getBytes
+    val fb = MediaCodec.decode(3L, txt)
+    val stub = Multimodal.decodeStub(3L, txt)
+    assert(fb.mime == "application/octet-stream" &&
+      fb.width == stub.width && fb.height == stub.height)
+  }
+
+  test("real resize bounds dimensions, never upscales, and its output " +
+      "re-decodes as a valid PNG at those dimensions") {
+    import graft.operators.MediaCodec
+    val src = MediaCodec.encodePng(64, 48, (x, y) => (x + y) % 256)
+    val (w, h, out) = MediaCodec.resizeImage(src, 16, 16).get
+    assert(w == 16 && h == 12) // aspect preserved
+    val back = MediaCodec.decodeImage(out).get
+    assert(back.getWidth == 16 && back.getHeight == 12)
+    // no upscale: an already-small image passes through at its own dims
+    val (w2, h2, _) = MediaCodec.resizeImage(src, 256, 256).get
+    assert(w2 == 64 && h2 == 48)
+    assert(MediaCodec.resizeImage("not an image".getBytes, 16, 16).isEmpty)
+  }
+
+  test("decodeMedia stage runs the real dispatch partition-batched " +
+      "over a mixed-modality corpus") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.{MediaCodec, Multimodal}
+    val rows = Seq(
+      (1L, MediaCodec.encodePng(10, 8, (x, y) => x + y)),
+      (2L, MediaCodec.encodeWav(8000, 1, 16, Array.fill(100)(3: Byte))),
+      (3L, "opaque text payload".getBytes))
+    val media = rows.toDF("doc_id", "payload").repartition(2)
+    val got = Multimodal.decodeMedia(media)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getString(1)).toSeq ==
+      Seq("image/png", "audio/wav", "application/octet-stream"))
+    assert(got(0).getInt(3) == 10 && got(0).getInt(4) == 8)
+    assert(got(1).getInt(5) == 8000 && got(1).getLong(8) == 50L)
+    assert(Multimodal.decodeMedia(media).rdd.getNumPartitions == 2)
+  }
+
+  test("mm_decode_wav / mm_decode_png queries: decoder output equals " +
+      "the construction invariants (in-JVM replay at sf0.001)") {
+    val wav = SparkEntry.queries("mm_decode_wav")(spark, Sf001).collect()
+    val docs = Tables.documents(spark, Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wav.length == docs.size)
+    wav.foreach { r =>
+      val id = r.getLong(0)
+      val n = docs(id).getBytes("UTF-8").length
+      assert(r.getLong(5) == n / 2, s"doc $id frames")
+      assert(r.getLong(6) == (n / 2) * 1000L / (8000 + (id % 8) * 1000))
+    }
+    val png = SparkEntry.queries("mm_decode_png")(spark, Sf001).collect()
+    png.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (8 + (id % 24).toInt, 8 + ((id * 3) % 16).toInt)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"doc $id dims")
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 7 + x * 13L + y * 31L) % 256).sum
+      assert(r.getLong(4) == want, s"doc $id pixel sum")
+    }
+  }
 }
