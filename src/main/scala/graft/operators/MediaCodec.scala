@@ -63,21 +63,24 @@ object MediaCodec {
   def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
-    var pos = 12
+    // cursor is a Long: a hostile chunk size near Int.MaxValue must
+    // fail the bounds check, not wrap it
+    var pos = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None // (offset, len)
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(b, pos)
-      val size = leInt(b, pos + 4)
+      val at = pos.toInt
+      val id = tag(b, at)
+      val size = leInt(b, at + 4)
       if (size < 0 || pos + 8 + size > b.length) return None
       if (id == "fmt ") {
-        if (size < 16 || leShort(b, pos + 8) != 1) return None // PCM only
-        fmt = Some((leShort(b, pos + 10), leInt(b, pos + 12),
-          leShort(b, pos + 22)))
+        if (size < 16 || leShort(b, at + 8) != 1) return None // PCM only
+        fmt = Some((leShort(b, at + 10), leInt(b, at + 12),
+          leShort(b, at + 22)))
       } else if (id == "data") {
-        data = Some((pos + 8, size))
+        data = Some((at + 8, size))
       }
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+      pos += 8L + size + (size & 1) // chunks are word-aligned
     }
     for ((ch, rate, bits) <- fmt; (off, len) <- data
          if ch > 0 && rate > 0 && bits % 8 == 0 && bits > 0)
@@ -145,19 +148,19 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // one bulk getRGB per image: the per-pixel getRGB(x, y) call pays a
+  // color-model conversion + bounds check per pixel, ~10× slower on the
+  // TYPE_3BYTE_BGR images ImageIO.read returns
+  private def rgbRowMajor(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   /** Sum of the blue-channel samples in row-major order — the decoded-
     * pixel aggregate the oracle can recompute arithmetically. */
   def pixelSum(img: BufferedImage): Long = {
+    val px = rgbRowMajor(img)
     var s = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        s += (img.getRGB(x, y) & 0xff)
-        x += 1
-      }
-      y += 1
-    }
+    var i = 0
+    while (i < px.length) { s += (px(i) & 0xff); i += 1 }
     s
   }
 
@@ -168,20 +171,14 @@ object MediaCodec {
   /** md5 over the decoded RGB samples (3 bytes/pixel, row-major) —
     * encoder-independent, proves a full pixel decode happened. */
   def pixelMd5(img: BufferedImage): String = {
-    val buf = new Array[Byte](img.getWidth * img.getHeight * 3)
+    val px = rgbRowMajor(img)
+    val buf = new Array[Byte](px.length * 3)
     var i = 0
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        buf(i) = ((rgb >> 16) & 0xff).toByte
-        buf(i + 1) = ((rgb >> 8) & 0xff).toByte
-        buf(i + 2) = (rgb & 0xff).toByte
-        i += 3
-        x += 1
-      }
-      y += 1
+    while (i < px.length) {
+      buf(i * 3) = ((px(i) >> 16) & 0xff).toByte
+      buf(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+      buf(i * 3 + 2) = (px(i) & 0xff).toByte
+      i += 1
     }
     md5hex(buf)
   }

@@ -38,12 +38,16 @@ object HttpTransport {
     resp.body()
   }
 
+  // query components are RFC 3986, not form data: a '+' in the request
+  // line is a literal plus to a strict peer, so spaces must be %20
+  private def encQ(s: String) = enc(s).replace("+", "%20")
+
   /** GET with url-encoded query params (sorted for a stable request
     * line) → response body; non-2xx throws [[HttpError]]. */
   def get(baseUrl: String, params: Map[String, String],
       headers: Map[String, String] = Map.empty): String = {
     val qs = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      .map { case (k, v) => s"${encQ(k)}=${encQ(v)}" }.mkString("&")
     val b = HttpRequest
       .newBuilder(URI.create(if (qs.isEmpty) baseUrl else s"$baseUrl?$qs"))
       .GET().timeout(Duration.ofSeconds(30))
@@ -75,27 +79,25 @@ object HttpTransport {
       "xero-tenant-id" -> tenantId,
       "Accept" -> "application/json"))
 
-  /** [[TokenStore.Refresher]] over real HTTP: the OAuth2
-    * `refresh_token` grant with basic client authentication
+  /** [[TokenStore.AuthServer]] over real HTTP: the token endpoint POST
+    * with basic client authentication
     * (/root/reference/src/apiFunctions.ts:15-27 `refreshTokenSet` —
-    * client id/secret from config, refresh token from the stored set).
-    * A token endpoint answers with `expires_in` (a duration); the
-    * stored set carries `expires_at` (an instant) — the injected clock
-    * does the conversion deterministically. */
-  def refresher(tokenUrl: String, clientId: String, clientSecret: String,
-      nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000)
-      : TokenStore.Refresher = { t =>
+    * client id/secret from config). Response PARSING stays in
+    * TokenStore (one parser for canned and HTTP transports alike —
+    * including the expires_in→expires_at conversion via the caller's
+    * clock). */
+  def authServer(tokenUrl: String, clientId: String,
+      clientSecret: String): TokenStore.AuthServer = { form =>
     val basic = java.util.Base64.getEncoder.encodeToString(
       s"$clientId:$clientSecret".getBytes(StandardCharsets.UTF_8))
-    val body = postForm(tokenUrl,
-      Map("grant_type" -> "refresh_token", "refresh_token" -> t.refreshToken),
-      Map("Authorization" -> s"Basic $basic"))
-    val parsed = TokenStore.fromJson(body)
-    if (parsed.expiresAt > 0) parsed
-    else {
-      val expiresIn = "\"expires_in\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
-      parsed.copy(expiresAt = nowEpochSec() + expiresIn)
-    }
+    postForm(tokenUrl, form, Map("Authorization" -> s"Basic $basic"))
   }
+
+  /** [[TokenStore.Refresher]] over real HTTP — [[authServer]] composed
+    * with TokenStore's own refresh grant + response parser. */
+  def refresher(tokenUrl: String, clientId: String, clientSecret: String,
+      nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000)
+      : TokenStore.Refresher =
+    t => TokenStore.refresher(
+      authServer(tokenUrl, clientId, clientSecret), nowEpochSec())(t)
 }

@@ -154,13 +154,20 @@ object TokenStore {
 
   /** A real token endpoint answers with a RELATIVE `expires_in`; the
     * stored set carries the absolute `expires_at` (helpers.ts writes
-    * what auth.ts/apiFunctions.ts computed). */
+    * what auth.ts/apiFunctions.ts computed). A response WITHOUT
+    * `expires_in` fails loudly: defaulting it to 0 would persist an
+    * already-expired set that validate() accepts (expires_at = now > 0)
+    * and every later loadFresh silently re-fires the refresh grant —
+    * perpetual refresh churn, and a lockout under rotate-and-invalidate
+    * refresh tokens. */
   private def parseTokenResponse(json: String, nowEpochSec: Long): TokenSet =
     TokenSet(
       idToken = field(json, "id_token").getOrElse(""),
       accessToken = field(json, "access_token").getOrElse(""),
       expiresAt = nowEpochSec +
-        field(json, "expires_in").map(_.toLong).getOrElse(0L),
+        field(json, "expires_in").map(_.toLong).getOrElse(
+          throw new InvalidTokenSetException(
+            "token response has no expires_in")),
       tokenType = field(json, "token_type").getOrElse(""),
       refreshToken = field(json, "refresh_token").getOrElse(""),
       scope = field(json, "scope").getOrElse(""))

@@ -266,6 +266,11 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.parseWav(nonPcm).isEmpty)
     val overrun = good.clone(); overrun(40) = 127 // data size > payload
     assert(MediaCodec.parseWav(overrun).isEmpty)
+    // a hostile chunk size near Int.MaxValue must fail the bounds
+    // check, not wrap it into a crash
+    val huge = good.clone()
+    huge(16) = -16; huge(17) = -1; huge(18) = -1; huge(19) = 127
+    assert(MediaCodec.parseWav(huge).isEmpty) // fmt size 0x7FFFFFF0
   }
 
   test("PNG roundtrip through ImageIO is pixel-exact; decode dispatch " +

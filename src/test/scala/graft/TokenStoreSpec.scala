@@ -144,4 +144,24 @@ class TokenStoreSpec extends AnyFunSuite {
       Config.activeTenant("pw", Nil)
     }
   }
+
+  test("a token response without expires_in fails loudly instead of " +
+      "persisting an already-expired set") {
+    val noExpiry: TokenStore.AuthServer = _ =>
+      """{"id_token":"i","access_token":"a","token_type":"Bearer",
+        |"refresh_token":"r","scope":"s"}""".stripMargin.replace("\n", "")
+    val e = intercept[TokenStore.InvalidTokenSetException] {
+      TokenStore.refresher(noExpiry, 5000L)(
+        TokenStore.TokenSet("i", "a", 1L, "Bearer", "old", "s"))
+    }
+    assert(e.getMessage.contains("expires_in"))
+    // a QUOTED expires_in (providers do this) still parses
+    val quoted: TokenStore.AuthServer = _ =>
+      """{"id_token":"i","access_token":"a","expires_in":"1800",
+        |"token_type":"Bearer","refresh_token":"r","scope":"s"}"""
+        .stripMargin.replace("\n", "")
+    assert(TokenStore.refresher(quoted, 5000L)(
+      TokenStore.TokenSet("i", "a", 1L, "Bearer", "old", "s"))
+      .expiresAt == 6800L)
+  }
 }
