@@ -2097,6 +2097,59 @@ object Vectors {
         bf.join(ivf, Seq("q_id", "vec_id")).agg(count(lit(1)).as("metric")))
       nSig.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
         .orderBy("stage")
+    },
+
+    // ── covariance ledger of the matryoshka serving prefix ─────────────
+    //
+    // The whitening/PCA input vec_power_iter iterates on: the exact
+    // upper-triangle covariance matrix of the FIRST 8 dims (the
+    // vec_mrl/vec_mrl_energy serving prefix — whitening the truncated
+    // block is what rescues its anisotropic cosine). Coordinates are
+    // milli-quantized to exact BIGINTs (the vec_drift discipline), so
+    // Σq_iq_j / Σq_i / n are associative integer sums and the only
+    // doubles are ONE pinned chain per cell. Scale shape: one scan, a
+    // ×36 BOUNDED explode (pairs of a fixed prefix, never dim²·rows
+    // for the full 64 — that is the full-matrix job vec_power_iter's
+    // matvec already covers), one ≤36-group map-side-combined agg.
+    Q("vec_covariance", {
+      val qd = (k: String) =>
+        s"CAST(floor(CAST(embedding[$k] AS DOUBLE) * 1000) AS BIGINT)"
+      s"""SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(${qd("CAST(i.i AS INTEGER)")}) AS BIGINT) AS sum_qi,
+         |       CAST(SUM(${qd("CAST(j.j AS INTEGER)")}) AS BIGINT) AS sum_qj,
+         |       CAST(SUM(${qd("CAST(i.i AS INTEGER)")}
+         |         * ${qd("CAST(j.j AS INTEGER)")}) AS BIGINT) AS sum_qiqj,
+         |       CAST((CAST(SUM(${qd("CAST(i.i AS INTEGER)")}
+         |           * ${qd("CAST(j.j AS INTEGER)")}) AS DOUBLE)
+         |         - CAST(SUM(${qd("CAST(i.i AS INTEGER)")}) AS DOUBLE)
+         |           * CAST(SUM(${qd("CAST(j.j AS INTEGER)")}) AS DOUBLE)
+         |           / COUNT(*))
+         |         / COUNT(*) / 1000000.0 AS DOUBLE) AS cov
+         |FROM embeddings,
+         |     UNNEST(range(1, 9)) AS i(i),
+         |     UNNEST(range(1, 9)) AS j(j)
+         |WHERE j.j >= i.i
+         |GROUP BY i.i, j.j ORDER BY i, j""".stripMargin
+    }) { (s, d) =>
+      val q = Tables.embeddings(s, d).select(
+        transform(slice(col("embedding"), 1, 8),
+          x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      val cells = q.select(explode(expr(
+        """flatten(transform(sequence(1, 8), i ->
+          |  transform(sequence(i, 8), j -> struct(
+          |    i AS i, j AS j, q[i-1] AS qi, q[j-1] AS qj,
+          |    q[i-1] * q[j-1] AS p))))""".stripMargin)).as("e"))
+      cells.groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum("e.qi").as("sum_qi"),
+          sum("e.qj").as("sum_qj"), sum("e.p").as("sum_qiqj"))
+        .select(col("i"), col("j"), col("n"), col("sum_qi"), col("sum_qj"),
+          col("sum_qiqj"),
+          ((col("sum_qiqj").cast("double")
+            - col("sum_qi").cast("double") * col("sum_qj").cast("double")
+              / col("n"))
+            / col("n") / 1000000.0).as("cov"))
+        .orderBy("i", "j")
     }
   )
 }

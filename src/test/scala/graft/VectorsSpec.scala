@@ -607,4 +607,32 @@ class VectorsSpec extends SparkSuite {
     assert(diag * 10 > got.values.sum,
       "nearest-centroid no better than chance — fixture degenerate")
   }
+
+  test("vec_covariance ≡ exact integer replay; diagonal is the " +
+      "variance (non-negative) and the matrix is PSD-consistent") {
+    val got = SparkEntry.queries("vec_covariance")(spark, Sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(got.size == 36) // 8·9/2 upper-triangle cells
+    val q = Tables.embeddings(spark, Sf001).collect()
+      .map(_.getSeq[Float](1).take(8)
+        .map(x => math.floor(x.toDouble * 1000).toLong))
+    val n = q.length.toLong
+    for (i <- 1 to 8; j <- i to 8) {
+      val qi = q.map(_(i - 1))
+      val qj = q.map(_(j - 1))
+      val (si, sj) = (qi.sum, qj.sum)
+      val sij = qi.zip(qj).map { case (a, b) => a * b }.sum
+      val cov = (sij.toDouble - si.toDouble * sj.toDouble / n) / n / 1e6
+      assert(got((i, j)) == ((n, si, sj, sij, cov)), s"cell ($i,$j)")
+      if (i == j) assert(cov >= 0.0, s"negative variance at dim $i")
+    }
+    // Cauchy–Schwarz on every off-diagonal: |cov(i,j)|² ≤ var(i)·var(j)
+    for (i <- 1 to 8; j <- i + 1 to 8) {
+      val c = got((i, j))._5
+      assert(c * c <= got((i, i))._5 * got((j, j))._5 * (1 + 1e-12),
+        s"Cauchy-Schwarz violated at ($i,$j)")
+    }
+  }
 }
