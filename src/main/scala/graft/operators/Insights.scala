@@ -2745,6 +2745,91 @@ object Insights {
         .orderBy("decile")
     },
 
+    // ── Qini curve: uplift captured by targeting depth ─────────────────
+
+    // The question every targeting model answers (Radcliffe 2007):
+    // ranking users by the pre-period covariate (a real uplift score
+    // plugs into the same rank), how much INCREMENTAL post-period
+    // revenue does targeting the top k/10 capture? Qini(k) = Yt(k) −
+    // Yc(k)·Nt(k)/Nc(k), the treated outcome minus the control outcome
+    // scaled to the treated count — the causal family's cousin of
+    // evt_score_auc's ranking ledger, on the same exact-integer spine
+    // (x, y are BIGINT ten-thousandths; qini is ONE pinned double
+    // chain). Deciles by integer cross-multiplication over the
+    // range-partitioned global rank (the evt_calibration_curve
+    // discipline); cumulation rides the 10-row decile dimension — the
+    // documented bounded-window exception. Qini(10) ≡ the overall lift
+    // by construction, spec-pinned.
+    Q("evt_uplift_qini",
+      s"""WITH $causalUsersSql,
+         |r AS (
+         |  SELECT user_id, grp, y,
+         |         row_number() OVER (ORDER BY x DESC, user_id) AS rk,
+         |         COUNT(*) OVER () AS n
+         |  FROM u
+         |), dk AS (
+         |  SELECT CAST(((rk - 1) * 10) // n + 1 AS INTEGER) AS decile,
+         |         grp, y
+         |  FROM r
+         |), g AS (
+         |  SELECT decile,
+         |         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nt,
+         |         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nc,
+         |         CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+         |           AS yt,
+         |         CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+         |           AS yc
+         |  FROM dk GROUP BY decile
+         |), c AS (
+         |  SELECT decile,
+         |         CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+         |         CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+         |         CAST(SUM(yt) OVER w AS BIGINT) AS cum_yt,
+         |         CAST(SUM(yc) OVER w AS BIGINT) AS cum_yc
+         |  FROM g
+         |  WINDOW w AS (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT decile, cum_nt, cum_nc, cum_yt, cum_yc,
+         |       CAST(CASE WHEN cum_nc = 0 THEN NULL ELSE
+         |         (CAST(cum_yt AS DOUBLE)
+         |          - CAST(cum_yc AS DOUBLE) * cum_nt / cum_nc) / 10000
+         |         END AS DOUBLE) AS qini
+         |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = causalUsers(s, d).select(col("user_id"), col("grp"),
+        col("y"), (-col("x")).as("xneg")) // xneg asc ≡ x desc
+      val ranked = Ranking.globalRowNumber(u, Seq("xneg", "user_id"), 32)
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      val g = ranked.crossJoin(broadcast(tot))
+        .select(expr("CAST(((row_num - 1) * 10) div n + 1 AS INT)")
+          .as("decile"), col("grp"), col("y"))
+        .groupBy("decile")
+        .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("yt"),
+          sum(when(col("grp") === 0, col("y")).otherwise(0L)).as("yc"))
+      // 10-row decile dimension — the documented bounded partition-less
+      // window exception
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("decile"),
+          sum("nt").over(w).cast("long").as("cum_nt"),
+          sum("nc").over(w).cast("long").as("cum_nc"),
+          sum("yt").over(w).cast("long").as("cum_yt"),
+          sum("yc").over(w).cast("long").as("cum_yc"))
+        .select(col("decile"), col("cum_nt"), col("cum_nc"),
+          col("cum_yt"), col("cum_yc"),
+          when(col("cum_nc") === 0L, lit(null).cast("double"))
+            .otherwise((col("cum_yt").cast("double")
+              - col("cum_yc").cast("double") * col("cum_nt")
+                / col("cum_nc")) / 10000)
+            .as("qini"))
+        .orderBy("decile")
+    },
+
     // ── AR(1) fit of the daily order-count series ──────────────────────
 
     // How sticky is yesterday? The lag-1 autoregression y_t = α + φ·y_{t−1}

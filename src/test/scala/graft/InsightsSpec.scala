@@ -1140,6 +1140,31 @@ class InsightsSpec extends SparkSuite {
       "every decile converts identically — calibration vacuous")
   }
 
+  test("evt_uplift_qini: cumulative ledgers conserve the user base and " +
+      "outcome mass; Qini(10) is exactly the overall lift") {
+    val got = SparkEntry.queries("evt_uplift_qini")(spark, SparkSuite.Sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    // cumulative ledgers are monotone and end at the full population
+    got.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5)
+    }
+    val (_, nt, nc, yt, yc, q10) = got.last
+    val auc = SparkEntry.queries("evt_score_auc")(spark, SparkSuite.Sf001)
+      .collect().head
+    assert(nt + nc == auc.getLong(0) + auc.getLong(1),
+      "population vs AUC ledger")
+    // Qini at full depth ≡ the overall lift, recomputed on the same
+    // double chain
+    assert(q10 == (yt.toDouble - yc.toDouble * nt / nc) / 10000)
+    // arm split is the user_id % 2 coin: arms within 10% of each other
+    assert(math.abs(nt - nc) * 10 < nt + nc, s"arm skew nt=$nt nc=$nc")
+    // non-vacuous: the curve moves
+    assert(got.map(_._6).distinct.length > 1, "flat qini curve")
+  }
+
   test("ts_ar1 ≡ exact OLS replay on consecutive-day pairs; gap days " +
       "pair with nothing") {
     val r = SparkEntry.queries("ts_ar1")(spark, SparkSuite.Sf001)
