@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Parallel, hard-timeout front-end for the DuckDB oracle compare —
+the big-scale-leg companion to oracle_check.py (which stays the
+faithful serial mimic of the driver's single-connection gate).
+
+Why it exists (r11, sf1 leg): DuckDB's `interrupt()` is only honored
+between pipeline tasks, so a quadratic oracle inside ONE monster
+hash-join/recursive-CTE iteration overruns a threading.Timer by tens
+of minutes (observed: dedup_cc_star 25 min past a 600 s timer). At
+sf >= 1 the only reliable per-query ceiling is a process boundary:
+each oracle runs in its own subprocess (fresh connection, its own
+allocator, its own mmap budget) and is SIGKILLed at the wall —
+recorded as `oracle_timeout`, the same checker-limitation verdict
+oracle_check records, never a FAIL. W workers cut the wall clock of
+the ~340-oracle run by ~W.
+
+The per-query compare is oracle_check's, bit for bit: sorted-column
+multiset compare with python-type tags, pandas-dtype drift check, the
+same result-row schema and artifact shape (plus `protocol:
+"parallel-hard-timeout"` so artifacts are distinguishable).
+
+Usage:
+  tools/oracle_par.py <sfDir> <verifyOutDir> [artifact.json]
+      [--workers=6] [--timeout=600]
+  tools/oracle_par.py --one <sfDir> <verifyOutDir> <name> <resultFile>
+      (internal: run exactly one oracle and write its result row)
+"""
+import glob
+import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+import oracle_check  # noqa: E402  (fresh_con, rows_key, apply_sets)
+
+
+def check_one(sf_dir: str, out_dir: str, name: str) -> dict:
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        sql = json.load(f)[name]
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return {"ok": False, "err": "no spark parquet output"}
+    con = oracle_check.fresh_con(sf_dir)
+    spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
+    spark_cols = [c[0] for c in spark_rel.description]
+    spark_rows = spark_rel.fetchall()
+    duck_rel = con.execute(sql)
+    duck_cols = [c[0] for c in duck_rel.description]
+    duck_rows = duck_rel.fetchall()
+    if sorted(spark_cols) != sorted(duck_cols):
+        return {"ok": False,
+                "err": f"columns {sorted(spark_cols)} != {sorted(duck_cols)}"}
+    s_ix = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_ix = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    srows = [[r[i] for i in s_ix] for r in spark_rows]
+    drows = [[r[i] for i in d_ix] for r in duck_rows]
+    if len(srows) != len(drows):
+        return {"ok": False,
+                "err": f"rowcount spark={len(srows)} duck={len(drows)}"}
+    # pandas-dtype drift (driver compares .df() frames — see oracle_check)
+    sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
+    ddt = con.execute(sql).df().dtypes
+    s_dt = {c: str(t) for c, t in sdt.items()}
+    d_dt = {c: str(t) for c, t in ddt.items()}
+    drift = {c: (s_dt[c], d_dt[c])
+             for c in s_dt if c in d_dt and s_dt[c] != d_dt[c]}
+    if drift:
+        return {"ok": False, "err": f"pandas dtype drift {drift}"}
+    sk, dk = oracle_check.rows_key(srows), oracle_check.rows_key(drows)
+    if sk != dk:
+        diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:1]
+        return {"ok": False, "err": "value mismatch",
+                "first_diff": [repr(d) for d in diffs]}
+    return {"ok": True, "rows": len(srows)}
+
+
+def run_one(sf_dir: str, out_dir: str, name: str, result_file: str) -> int:
+    try:
+        res = check_one(sf_dir, out_dir, name)
+    except Exception as e:  # a worker crash is a FAIL row, not a hang
+        res = {"ok": False, "err": f"{type(e).__name__}: {e}"}
+    pathlib.Path(result_file).write_text(json.dumps(res))
+    return 0
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) if "=" in a else (a[2:], "1")
+                for a in sys.argv[1:] if a.startswith("--"))
+    if "one" in opts:
+        return run_one(*argv)
+    sf_dir, out_dir = argv[0], argv[1]
+    artifact = argv[2] if len(argv) > 2 else None
+    workers = int(opts.get("workers", "6"))
+    t_limit = float(opts.get("timeout",
+                             os.environ.get("ORACLE_TIMEOUT_SEC", "600")))
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        names = sorted(json.load(f))
+    res_dir = pathlib.Path(out_dir) / "_oracle_par"
+    res_dir.mkdir(exist_ok=True)
+    pending = list(names)
+    running = {}  # name -> (Popen, deadline, result_file)
+    results = {}
+
+    def reap(block: bool):
+        for name in list(running):
+            p, deadline, rf = running[name]
+            rc = p.poll()
+            if rc is None and time.monotonic() > deadline:
+                p.send_signal(signal.SIGKILL)
+                p.wait()
+                results[name] = {"ok": False, "err": "oracle_timeout"}
+                print(f"TIMEOUT {name}: hard-killed at {t_limit:.0f}s",
+                      flush=True)
+                del running[name]
+            elif rc is not None:
+                try:
+                    results[name] = json.loads(pathlib.Path(rf).read_text())
+                except Exception:
+                    results[name] = {"ok": False,
+                                     "err": f"worker exit {rc}, no result"}
+                r = results[name]
+                tag = ("ok  " if r.get("ok")
+                       else "FAIL" if r.get("err") != "oracle_timeout"
+                       else "TIMEOUT")
+                detail = (f"({r['rows']} rows)" if r.get("ok")
+                          else r.get("err", ""))
+                print(f"{tag} {name} {detail}", flush=True)
+                del running[name]
+        if block and running:
+            time.sleep(0.2)
+
+    while pending or running:
+        while pending and len(running) < workers:
+            name = pending.pop(0)
+            rf = str(res_dir / f"{name}.json")
+            p = subprocess.Popen(
+                [sys.executable, __file__, "--one", sf_dir, out_dir,
+                 name, rf],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            running[name] = (p, time.monotonic() + t_limit, rf)
+        reap(block=True)
+
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    n_timeout = sum(1 for r in results.values()
+                    if r.get("err") == "oracle_timeout")
+    n_bad = len(results) - n_ok - n_timeout
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_timeout} oracle_timeout")
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_bad,
+                       "n_oracle_timeout": n_timeout,
+                       "oracle_timeout_sec": t_limit,
+                       "protocol": "parallel-hard-timeout",
+                       "queries": results}, f, indent=1, sort_keys=True)
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

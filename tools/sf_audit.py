@@ -28,7 +28,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 TESTDATA = pathlib.Path(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"))
 
 
-def audit(sf: str) -> bool:
+def audit(sf: str, par: bool) -> bool:
     sf_dir = TESTDATA / f"sf{sf}"
     out_dir = pathlib.Path(f"/tmp/sf_audit_{sf}")
     subprocess.run(["rm", "-rf", str(out_dir)], check=True)
@@ -37,16 +37,26 @@ def audit(sf: str) -> bool:
         cwd=REPO, check=True, stdout=sys.stderr, stderr=subprocess.DEVNULL,
     )
     artifact = REPO / f"CORRECTNESS_sf{sf}.json"
-    rc = oracle_check.main(str(sf_dir), str(out_dir), str(artifact))
+    if par:
+        # big scale factors: subprocess-per-oracle with a HARD kill —
+        # DuckDB's interrupt() can overrun a threading.Timer by tens of
+        # minutes inside one monster pipeline task (see oracle_par.py)
+        rc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "oracle_par.py"),
+             str(sf_dir), str(out_dir), str(artifact)]).returncode
+    else:
+        rc = oracle_check.main(str(sf_dir), str(out_dir), str(artifact))
     print(f"sf{sf}: wrote {artifact.name}")
     return rc == 0
 
 
 def main() -> int:
-    sfs = sys.argv[1:] or ["0.001", "0.01", "0.1"]
+    par = "--par" in sys.argv[1:]
+    sfs = [a for a in sys.argv[1:] if not a.startswith("--")] or \
+        ["0.001", "0.01", "0.1"]
     ok = True
     for sf in sfs:
-        ok = audit(sf) and ok
+        ok = audit(sf, par) and ok
     return 0 if ok else 1
 
 
