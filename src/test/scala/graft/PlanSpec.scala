@@ -749,4 +749,42 @@ class PlanSpec extends SparkSuite {
       } finally { stageDf.unpersist(); () }
     }
   }
+
+  test("mm_decode_wav / mm_decode_png: the codec roundtrips are map-only " +
+      "— no Exchange except the output sort") {
+    for (q <- Seq("mm_decode_wav", "mm_decode_png")) {
+      val p = plan(q)
+      // one range-partitioning exchange for the ORDER BY is the entire
+      // shuffle budget; a hash-partitioning exchange would mean the
+      // decode stopped being a per-partition map
+      assert(!p.contains("hashpartitioning"),
+        s"$q grew a hash shuffle:\n${p.take(1200)}")
+      assert(p.contains("MapPartitions"), s"$q lost its codec seam")
+    }
+  }
+
+  test("vec_covariance: one map-side-combined aggregate over the " +
+      "bounded pair explode — exactly one hash shuffle") {
+    val p = plan("vec_covariance")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"covariance agg lost its map-side combine:\n${p.take(1200)}")
+    val shuffles = "hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, // partial->final agg; AQE may re-list one
+      s"vec_covariance has $shuffles hash exchanges:\n${p.take(1200)}")
+  }
+
+  test("evt_uplift_qini: the decile cumulation window rides the bounded " +
+      "10-row dimension, never the user spine") {
+    val p = plan("evt_uplift_qini")
+    // the user-scale rank comes from the range-partitioned zipWithIndex
+    // ranker (visible as the ExistingRDD boundary), NOT a partition-less
+    // Window over the spine; the one Window cumulates AFTER the decile
+    // collapse, above a SinglePartition exchange of ≤10 rows
+    assert(p.contains("Scan ExistingRDD"),
+      s"global rank no longer the zipWithIndex ranker:\n${p.take(1200)}")
+    val winAt = p.indexOf("+- Window")
+    val aggAt = p.indexOf("HashAggregate(keys=[decile")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"cumulation window not above the decile collapse:\n${p.take(1500)}")
+  }
 }
