@@ -136,56 +136,129 @@ object Bench {
             .replaceAll("\\s+", " ").take(200))
       }
     }
-    // (name, medianSec [negative = time-to-failure], steadySec, firstErr)
+    // one timed query execution: (seconds [negative = time-to-failure],
+    // rows, errMsg)
+    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Option[String]) = {
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n, None)
+      } catch { case t: Throwable =>
+        (-(System.nanoTime() - t0) / 1e9, -1L,
+          Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("\\s+", " ").take(300)))
+      }
+    }
+    def medianOf(good: Seq[Double]): Double = {
+      val s = good.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // (name, medianSec [negative = time-to-failure], steadySec, firstErr,
+    //  rowsOut [-1 = never succeeded])
     val results = selected
       .map { case (name, fn) =>
         var firstErr: Option[String] = None
+        var rowsOut = -1L
         val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
         var pass = 0
         var broken = false
         while (pass < repeat && !broken) {
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case t: Throwable =>
-              // keep the FIRST message: r6's 46-query outage was opaque
-              // precisely because the exception was discarded here
-              if (firstErr.isEmpty)
-                firstErr = Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-                  .replaceAll("\\s+", " ").take(300))
-              false
-            }
-          val sec = (System.nanoTime() - t0) / 1e9
-          secs += (if (ok) sec else -sec)
+          val (sec, n, err) = timedPass(fn)
+          // keep the FIRST message: r6's 46-query outage was opaque
+          // precisely because the exception was discarded here
+          if (err.isDefined && firstErr.isEmpty) firstErr = err
+          if (n >= 0) rowsOut = n
+          secs += sec
           // a failure before any success is deterministic breakage —
           // don't pay time-to-failure REPEAT times. A failure AFTER a
           // success (transient) also stops the loop but the successes
           // already recorded keep the query out of `errors`.
-          if (!ok) broken = true
+          if (sec < 0) broken = true
           pass += 1
         }
-        val good = secs.filter(_ >= 0).sorted
+        val good = secs.filter(_ >= 0)
         val steady = if (good.nonEmpty) good.min else secs.min
         // headline = median of the successful timed passes; negative
         // (time-to-failure) only when NO pass succeeded, so `queries`,
         // `value` and `errors` can never contradict each other
-        val median =
-          if (good.isEmpty) secs.min
-          else if (good.size % 2 == 1) good(good.size / 2)
-          else (good(good.size / 2 - 1) + good(good.size / 2)) / 2
-        (name, median, steady, firstErr)
+        val median = if (good.isEmpty) secs.min else medianOf(good.toSeq)
+        (name, median, steady, firstErr, rowsOut)
+      }
+
+    // ── self-adjudication (VERDICT r11 #1) ──────────────────────────────
+    // Three rounds running, driver-artifact per-query flags (r10: 25,
+    // r11: 3) dissolved on the judge's ISOLATED re-measure — the flags
+    // were contention inside the 346-query sweep (GC/page-cache churn),
+    // not code. Adjudicate here: any query reading >2x its
+    // BENCH_BASELINE entry (and >0.5s absolute over — bench_guard's
+    // floors) is RE-TIMED after the sweep, alone, same median-of-REPEAT
+    // protocol, after a GC + settle pause. The artifact records both
+    // numbers plus the run's host factor (median cur/base ratio over
+    // stable baselines — bench_guard's estimator), so a >2x row is
+    // self-explaining data, not judge archaeology. Skipped when the
+    // baseline's sf differs from this run's (a scale leg measured
+    // against an sf0.1 baseline would "flag" every query).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "/root/repo/BENCH_BASELINE.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else {
+        // whitespace-tolerant: record_baseline writes `"queries": {`
+        // (json.dump spacing), Bench itself writes `"queries":{`
+        """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+          case None => Map.empty
+          case Some(m) =>
+            val body = txt.substring(m.end, txt.indexOf('}', m.end))
+            """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
+              .findAllMatchIn(body)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val hostFactor: Double = {
+      val ratios = results.collect { case (n, sec, _, _, _)
+        if sec >= 0 && baseline.get(n).exists(_ >= 0.2) =>
+        sec / baseline(n)
+      }.sorted
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
+    val adjudicated: Seq[(String, Double, Double, Double)] = results
+      .collect { case (name, sec, _, _, _)
+        if sec >= 0 && baseline.get(name)
+          .exists(b => sec > 2 * b && sec > b + 0.5) =>
+        System.gc()
+        Thread.sleep(500)
+        val iso = (1 to repeat).map(_ => timedPass(SparkEntry.queries(name))._1)
+          .filter(_ >= 0)
+        (name, sec, if (iso.nonEmpty) medianOf(iso) else -1.0, baseline(name))
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsSteady = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+    val qsSteady = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // rows_out (VERDICT r11 #3): output cardinality per query, so a
+    // scale leg's >10x wall ratios carry their output ratios as data
+    // (sim_range_search x43 wall at x417 rows was judge archaeology in
+    // r11) — the count is free, it IS the benched action
+    val rowsOut = results.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     // error = NO repeat succeeded (steady < 0) — under REPEAT=1 this is
     // the first (only) pass, matching the driver's read of `queries`
     val errors = results.filter(_._3 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    val errorMsgs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+    val errorMsgs = results.collect { case (k, _, _, Some(m), _) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val adjJson = adjudicated.map { case (k, c, i, b) =>
+      "\"" + k + s"""\":{"contended":${f3(c)},"isolated":${f3(i)},"baseline":${f3(b)}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
     val warmth = if (prepass) "prewarmed" else "cold"
@@ -196,7 +269,7 @@ object Bench {
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
@@ -218,10 +291,9 @@ object Bench {
     // head is always cut. Emit a LAST line that is a complete, parseable
     // JSON summary small enough to fit in the window: total + the slowest
     // queries (3 decimals) + a pointer to the full per-query file.
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val qsCompact = slowest
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","steady_total":${f3(steadyTotal)},"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()

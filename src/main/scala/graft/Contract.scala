@@ -122,5 +122,27 @@ object Contract {
         "handle these shapes; extend the reader dispatch (e.g. " +
         "Tables.normalizeTs for events.ts) AND the matching Contract " +
         "entry together:\n  " + v.mkString("\n  "))
+    asciiPreflight(s, dir)
+  }
+
+  /** mm-family ASCII invariant (ADVICE r11): the mm_decode_wav/png
+    * oracles equate DuckDB's CHARACTER-based substr/md5 with the
+    * engine's UTF-8 BYTE md5 — sound only while documents.text is pure
+    * ASCII (char-substr ≡ byte-substr there). The corpus generator
+    * emits ASCII, but nothing enforced it; a single non-ASCII document
+    * would flip those oracle verdicts silently. Assert the invariant
+    * once per Verify run (one codegen'd rlike scan over documents —
+    * sub-second even at sf1) so a drift fails HERE with a name, not
+    * downstream as an unexplained mm-family hash mismatch. */
+  def asciiPreflight(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val n = Tables.documents(s, dir)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    if (n > 0) throw new IllegalStateException(
+      s"mm-family ASCII invariant broken in $dir: $n documents.text " +
+        "rows contain non-ASCII characters; the mm_decode_* oracles' " +
+        "char-substr ≡ byte-substr equivalence no longer holds — " +
+        "rewrite those oracles over encode(text) bytes before trusting " +
+        "their verdicts")
   }
 }

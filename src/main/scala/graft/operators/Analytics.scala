@@ -2226,11 +2226,17 @@ object Analytics {
           count(lit(1)).as("frequency"),
           sum(col("value").cast("decimal(10,4)")).as("monetary"))
       val t = u.agg(count(lit(1)).as("n"), max("last_day").as("anchor"))
-      val base = u.crossJoin(broadcast(t))
+      // persisted (VERDICT r11 #6): each Ranking.globalRowNumber pass
+      // drops to the RDD API (zipWithIndex), so the chained three-rank
+      // pipeline re-derives its input per pass — without the persist
+      // that re-runs the events scan+rollup up to six times (3 passes
+      // × zipWithIndex's count+main jobs); with it, events is scanned
+      // once and each pass re-reads a users-sized cached stage
+      val base = graft.Caches.shared(u.crossJoin(broadcast(t))
         .withColumn("recency_days",
           datediff(col("anchor"), col("last_day")).cast("long"))
         .withColumn("neg_f", -col("frequency"))
-        .withColumn("neg_m", -col("monetary"))
+        .withColumn("neg_m", -col("monetary")))
       val shuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
       def ranked(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
           as: String) =

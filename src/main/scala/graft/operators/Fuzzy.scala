@@ -37,10 +37,15 @@ import org.apache.spark.sql.functions._
   *     dictionary (unhinted: dictionary size decides broadcast vs
   *     shuffle at runtime via AQE).
   *
-  * The DuckDB oracle is deliberately NOT a mirror: it brute-forces the
-  * full cross join + argmin, independently proving the blocking
-  * pipeline lossless on the whole sf0.01 corpus (FuzzySpec repeats the
-  * proof in-JVM at sf0.001).
+  * The DuckDB oracle is deliberately NOT a mirror of the blocking: it
+  * exhaustively cross-joins the two string DICTIONARIES + argmin,
+  * independently proving the gram-prefix blocking lossless on the whole
+  * corpus (FuzzySpec repeats the proof in-JVM at sf0.001). Until r12 it
+  * cross-joined the ROW tables — O(rows²) levenshtein calls (4·10¹⁰ at
+  * sf1, a checker timeout); the dictionary form is the same lossless
+  * proof (distance is a function of the NAME, and the per-row argmin
+  * under (dist, key) equals the per-name argmin over (dist, min key)),
+  * bit-identical at sf0.001/0.01/0.1 and 0.2 s at sf1.
   */
 object Fuzzy {
 
@@ -86,16 +91,21 @@ object Fuzzy {
          |                'q',
          |                substr(p_name, CAST(p_partkey % length(p_name) + 2 AS INTEGER))) AS dirty_name
          |  FROM parts
-         |), ver AS (
-         |  SELECT d.dirty_id, p.p_partkey,
-         |         CAST(levenshtein(d.dirty_name, p.p_name) AS BIGINT) AS lev_dist
-         |  FROM dirty d CROSS JOIN parts p
-         |  WHERE levenshtein(d.dirty_name, p.p_name) <= 2
+         |), dnames AS (SELECT DISTINCT dirty_name FROM dirty),
+         |cnames AS (SELECT p_name, MIN(p_partkey) AS ckey FROM parts GROUP BY p_name),
+         |ver AS (
+         |  SELECT d.dirty_name, c.ckey,
+         |         CAST(levenshtein(d.dirty_name, c.p_name) AS BIGINT) AS lev_dist
+         |  FROM dnames d CROSS JOIN cnames c
+         |  WHERE levenshtein(d.dirty_name, c.p_name) <= 2
+         |), best AS (
+         |  SELECT dirty_name, ckey AS match_key, lev_dist FROM (
+         |    SELECT ver.*, row_number() OVER (PARTITION BY dirty_name ORDER BY lev_dist, ckey) AS rn
+         |    FROM ver) t
+         |  WHERE rn = 1
          |)
-         |SELECT dirty_id, p_partkey AS match_key, lev_dist FROM (
-         |  SELECT ver.*, row_number() OVER (PARTITION BY dirty_id ORDER BY lev_dist, p_partkey) AS rn
-         |  FROM ver) t
-         |WHERE rn = 1
+         |SELECT d.dirty_id, b.match_key, b.lev_dist
+         |FROM dirty d JOIN best b ON b.dirty_name = d.dirty_name
          |ORDER BY dirty_id""".stripMargin) { (s, d) =>
       val parts = Tables.part(s, d).select("p_partkey", "p_name")
       val dirty = parts.select(col("p_partkey").as("dirty_id"),

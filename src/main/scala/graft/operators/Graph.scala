@@ -27,8 +27,10 @@ import graft.Q
   * SoCC'14) in [[connectedComponentsStar]] is the O(log n)-in-
   * component-SIZE alternative with the same join-per-round shape.
   *
-  * The oracle is a DuckDB RECURSIVE CTE transitive closure — an
-  * independent fixpoint formulation, not a mirror of the loop.
+  * The oracle is a bounded pointer-jumped min-label propagation with a
+  * convergence certificate ([[TextOps.ccClusSql]]) — until r12 it was a
+  * RECURSIVE CTE transitive closure, which enumerates Σ|cluster|² pairs
+  * and blew the sf1 checker wall (VERDICT r11 #2).
   */
 object Graph {
 
@@ -455,19 +457,10 @@ object Graph {
     // with no candidate partner are their own singleton cluster (kept
     // verbatim by the dedup).
     Q("dedup_cc",
-      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
-         |sym AS (
-         |  SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL
-         |  SELECT b_id AS src, a_id AS dst FROM cand
-         |), reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |)
-         |SELECT src AS doc_id, MIN(dst) AS cluster,
-         |       MIN(dst) = src AS is_canonical
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH ${TextOps.minhashCandSql},
+         |${TextOps.ccClusSql()}
+         |SELECT doc_id, cluster, cluster = doc_id AS is_canonical
+         |FROM clus ORDER BY doc_id""".stripMargin) { (s, d) =>
       nearCloneClusters(s, d)
         .select(col("id").as("doc_id"), col("label").as("cluster"),
           (col("label") === col("id")).as("is_canonical"))
@@ -476,23 +469,14 @@ object Graph {
 
     // The SAME clustering through the large-star/small-star algorithm —
     // algorithm-independent answer, so it shares dedup_cc's oracle (the
-    // recursive-CTE transitive closure) verbatim. This gives the
+    // bounded label propagation) verbatim. This gives the
     // O(log n)-round variant oracle coverage, not just its round-count
     // spec.
     Q("dedup_cc_star",
-      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
-         |sym AS (
-         |  SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL
-         |  SELECT b_id AS src, a_id AS dst FROM cand
-         |), reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |)
-         |SELECT src AS doc_id, MIN(dst) AS cluster,
-         |       MIN(dst) = src AS is_canonical
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH ${TextOps.minhashCandSql},
+         |${TextOps.ccClusSql()}
+         |SELECT doc_id, cluster, cluster = doc_id AS is_canonical
+         |FROM clus ORDER BY doc_id""".stripMargin) { (s, d) =>
       val (vertices, edges) = dedupGraph(s, d)
       connectedComponentsStar(vertices, edges)._1
         .select(col("id").as("doc_id"), col("label").as("cluster"),
@@ -510,18 +494,9 @@ object Graph {
     // labels frame is the SAME persisted memo dedup_cc computed, so
     // the marginal cost is the size rollup.
     Q("dedup_soft_weight",
-      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
-         |sym AS (
-         |  SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL
-         |  SELECT b_id AS src, a_id AS dst FROM cand
-         |), reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |), clus AS (
-         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
-         |), cs AS (
+      s"""WITH ${TextOps.minhashCandSql},
+         |${TextOps.ccClusSql()},
+         |cs AS (
          |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |  FROM clus GROUP BY cluster
          |)
@@ -547,18 +522,9 @@ object Graph {
     // cluster (bounded partitions — cluster sizes are near-clone group
     // sizes, never corpus-scale).
     Q("dedup_keep_longest",
-      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
-         |sym AS (
-         |  SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL
-         |  SELECT b_id AS src, a_id AS dst FROM cand
-         |), reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |), clus AS (
-         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
-         |), m AS (
+      s"""WITH ${TextOps.minhashCandSql},
+         |${TextOps.ccClusSql()},
+         |m AS (
          |  SELECT c.cluster, c.doc_id, length(d.text) AS n
          |  FROM clus c JOIN docs d ON d.doc_id = c.doc_id
          |)
@@ -1304,17 +1270,9 @@ object Graph {
     // inflates predicted pairs) — exactly the precision/recall
     // asymmetry dedup pipelines tune their Jaccard re-rank gate for.
     Q("dedup_cc_quality",
-      s"""WITH RECURSIVE ${TextOps.minhashCandSql},
-         |sym AS (
-         |  SELECT a_id AS src, b_id AS dst FROM cand
-         |  UNION ALL SELECT b_id, a_id FROM cand
-         |), reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |), clus AS (
-         |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
-         |), planted AS (
+      s"""WITH ${TextOps.minhashCandSql},
+         |${TextOps.ccClusSql()},
+         |planted AS (
          |  SELECT doc_id AS a_id, doc_id + ${TextOps.cloneOffSql} AS b_id FROM documents
          |  WHERE doc_id % 10 = 0
          |), sizes AS (

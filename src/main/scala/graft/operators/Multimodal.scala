@@ -163,6 +163,45 @@ object Multimodal {
       .toDF("doc_id", "source", "byte_len", "shard_id", "shard_offset")
   }
 
+  /** Write-once STORED-media fixture (VERDICT r11 #5): real WAV and PNG
+    * payloads for every document, materialized to parquet ONCE per
+    * corpus fingerprint through [[graft.LayoutCache]] (the
+    * layout_bucket_join write-once discipline — staging dir + atomic
+    * rename, content-fingerprint key, so a regenerated corpus gets a
+    * fresh fixture). The decode queries then consume payloads they did
+    * NOT encode in the same plan — ingest-shaped, like the reference's
+    * FileAttachment read-streams over stored binaries
+    * (/root/reference/src/helpers.ts:74-80) — instead of the r11
+    * encode-then-decode roundtrip. Construction parameters
+    * (sample_rate, width, height) ride along as fixture columns; the
+    * oracles keep their closed forms over `documents` because every
+    * parameter is a pure function of doc_id/text. */
+  def mediaFixture(s: SparkSession, d: String): DataFrame = {
+    val path = graft.LayoutCache.materialize("media", d, "documents") { stage =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            // 16-bit mono frames: truncate to an even byte count
+            val data =
+              java.util.Arrays.copyOf(bytes, bytes.length - bytes.length % 2)
+            val rate = 8000 + (id % 8).toInt * 1000
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 16).toInt
+            (id, rate, MediaCodec.encodeWav(rate, 1, 16, data), w, h,
+              MediaCodec.encodePng(w, h,
+                (x, y) => ((id * 7 + x * 13L + y * 31L) % 256).toInt))
+          }
+        }
+        .toDF("doc_id", "sample_rate", "wav_payload",
+          "width", "height", "png_payload")
+        .write.mode("overwrite").parquet(stage)
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // WebDataset-style shard packing for the media payloads — the write
@@ -566,11 +605,12 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // ── REAL codec roundtrips (the honest end of the decode seam) ──────
+    // ── REAL codec decode over STORED payloads ─────────────────────────
     //
-    // Both queries run an actual encoder AND an actual decoder in the
-    // engine — WAV through the byte-level RIFF writer/chunk-walker,
-    // PNG through the JDK's ImageIO pixel codec — and the oracle checks
+    // The encoders ran ONCE at fixture-ingest time ([[mediaFixture]] —
+    // WAV through the byte-level RIFF writer, PNG through the JDK's
+    // ImageIO pixel codec); these queries read the STORED containers
+    // from parquet and run the actual decoder, and the oracle checks
     // the DECODER's output against the construction invariants (stream
     // parameters, dimensions, data hash, decoded-pixel sum), all pure
     // arithmetic in SQL. A header-skimming or formula-faking "decoder"
@@ -578,11 +618,14 @@ object Multimodal {
     // mapPartitions (codec state amortized per partition), no shuffle
     // except the output ordering.
 
-    // Audio leg: each document's ASCII bytes become the PCM payload of
-    // a mono 16-bit WAV at a doc-derived sample rate; the engine
-    // re-parses the container and reports the stream facts + the md5 of
-    // the PCM data. ASCII invariant (mm-family fixture rule): DuckDB's
-    // char-substr md5 hashes the same bytes the encoder framed.
+    // Audio leg: each document's ASCII bytes became the PCM payload of
+    // a mono 16-bit WAV at a doc-derived sample rate, written to the
+    // STORED media fixture at ingest (r12 — [[mediaFixture]]); the
+    // query reads those stored containers, re-parses them and reports
+    // the stream facts + the md5 of the PCM data. ASCII invariant
+    // (mm-family fixture rule, asserted by Contract.asciiPreflight):
+    // DuckDB's char-substr md5 hashes the same bytes the encoder
+    // framed.
     Q("mm_decode_wav",
       """SELECT doc_id, 'audio/wav' AS mime,
         |       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
@@ -596,18 +639,11 @@ object Multimodal {
         |         AS data_md5
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
+      mediaFixture(s, d).select(col("doc_id"), col("wav_payload"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val bytes =
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            // 16-bit mono frames: truncate to an even byte count
-            val data =
-              java.util.Arrays.copyOf(bytes, bytes.length - bytes.length % 2)
-            val rate = 8000 + (id % 8).toInt * 1000
-            val dm =
-              MediaCodec.decode(id, MediaCodec.encodeWav(rate, 1, 16, data))
+          it.map { case (id, wav) =>
+            val dm = MediaCodec.decode(id, wav)
             (dm.doc_id, dm.mime, dm.sample_rate, dm.channels,
               dm.bits_per_sample, dm.n_frames, dm.duration_ms,
               dm.content_md5)
@@ -618,10 +654,12 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Image leg: a doc-formula truecolor PNG is encoded and pixel-
-    // decoded back through ImageIO; the reported dimensions and the sum
-    // over DECODED samples must equal the closed-form the oracle
-    // computes from the same formula (lossless roundtrip ⇒ equality).
+    // Image leg: a doc-formula truecolor PNG was encoded into the
+    // STORED media fixture at ingest (r12 — [[mediaFixture]]); the
+    // query pixel-decodes the stored containers through ImageIO, and
+    // the reported dimensions + the sum over DECODED samples must equal
+    // the closed form the oracle computes from the construction formula
+    // (lossless roundtrip ⇒ equality).
     Q("mm_decode_png",
       """SELECT d.doc_id, 'image/png' AS mime,
         |       CAST(8 + d.doc_id % 24 AS INTEGER) AS width,
@@ -634,13 +672,10 @@ object Multimodal {
         |       AS y(y)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long]
+      mediaFixture(s, d).select(col("doc_id"), col("png_payload"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          it.map { id =>
-            val w = 8 + (id % 24).toInt
-            val h = 8 + ((id * 3) % 16).toInt
-            val png = MediaCodec.encodePng(w, h,
-              (x, y) => ((id * 7 + x * 13L + y * 31L) % 256).toInt)
+          it.map { case (id, png) =>
             val img = MediaCodec.decodeImage(png).get
             (id, "image/png", img.getWidth, img.getHeight,
               MediaCodec.pixelSum(img))

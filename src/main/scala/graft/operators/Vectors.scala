@@ -1283,30 +1283,22 @@ object Vectors {
     // was never scored), keep the min-id survivor per cluster. The
     // cluster step reuses Graph.connectedComponents (pointer-jumped
     // min-label propagation, non-convergence refusal); the oracle is an
-    // independent recursive-CTE transitive closure over the same
-    // in-cell pairs.
+    // an independently-formulated bounded label propagation over the
+    // same in-cell pairs (TextOps.ccClusSql).
     Q("dedup_semantic",
-      s"""WITH RECURSIVE ${cellAssignCtes(FixedNList)},
+      s"""WITH ${cellAssignCtes(FixedNList)},
          |pairs AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM assigned a JOIN assigned b
          |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
          |  WHERE (${dotSql("a.embedding", "b.embedding")})
          |          / (a.nrm * b.nrm) > 0.4
-         |), sym AS (
-         |  SELECT src, dst FROM pairs
-         |  UNION ALL
-         |  SELECT dst, src FROM pairs
-         |), reach(src, dst) AS (
-         |  SELECT vec_id, vec_id FROM assigned
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-         |)
-         |SELECT a.vec_id, CAST(a.list_id AS INTEGER) AS cell,
-         |       MIN(r.dst) AS cluster, MIN(r.dst) = a.vec_id AS is_kept
-         |FROM reach r JOIN assigned a ON a.vec_id = r.src
-         |GROUP BY a.vec_id, a.list_id
-         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+         |), ${TextOps.ccClusSql(cand = "pairs", aCol = "src", bCol = "dst",
+        nodes = "assigned", nodeId = "vec_id")}
+         |SELECT c.vec_id, CAST(a.list_id AS INTEGER) AS cell,
+         |       c.cluster, c.cluster = c.vec_id AS is_kept
+         |FROM clus c LEFT JOIN assigned a ON a.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
       val assigned = semanticAssigned(s, d, FixedNList)
       val pairs = semanticPairs(assigned)
       Graph.connectedComponents(

@@ -24,8 +24,28 @@ frequency-THRESHOLD queries (sketch_heavyhitters, stream_freq_feed)
 go empty at the scaled corpus — still hash-correct (both engines
 compute the same empty result), just degenerate there.
 
-Usage: tools/gen_sf.py <srcDir> <dstDir> [K=10]
+Skew mode (--skew, VERDICT r11 #4): after replication, plant the four
+pathological shapes a uniform corpus never exercises — deterministic
+CASE rewrites, so both engines still compute over identical data and
+every oracle stays valid:
+  - CELEBRITY USER: events with event_id % 50 = 0 (2%) reassign to
+    the corpus's min user_id — one user owns ~1% of all events (the
+    per-user window/sessionize partitions get a giant partition).
+  - GIANT DAY: events with event_id % 7 = 0 move to the corpus's max
+    date, keeping time-of-day — one day holds ~16% of events (~5x the organic max) (daily
+    rollups get a hot group).
+  - HOT JOIN KEY: lineitem with l_orderkey % 4 = 0 (25%) point
+    l_partkey at the min part key — one part joins a fat fact slice
+    (the salted-join shape).
+  - MEGA DEDUP CLUSTER: documents with doc_id % 40 = 0 (2.5%) share
+    ONE fixed text over a disjoint token universe — identical MinHash
+    signatures put every member (plus each one's planted near-clone:
+    40 % 10 = 0) in one band bucket, forming a single ~5%-of-corpus
+    connected component (the giant-cluster argmax/CC paths).
+
+Usage: tools/gen_sf.py <srcDir> <dstDir> [K=10] [--skew]
 e.g.:  tools/gen_sf.py /root/testdata/sf0.1 /root/repo/testdata_sf1 10
+       tools/gen_sf.py /root/testdata/sf0.1 /root/repo/testdata_skew 1 --skew
 """
 import pathlib
 import sys
@@ -34,9 +54,11 @@ import duckdb
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    skew = "--skew" in sys.argv
+    argv = [a for a in sys.argv if a != "--skew"]
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    dst = argv[2] if len(argv) > 2 else "/root/repo/testdata_sf1"
+    k = int(argv[3]) if len(argv) > 3 else 10
     pathlib.Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -106,6 +128,38 @@ def main() -> int:
             SELECT vec_id + r.k * {v} AS vec_id, embedding, label
             FROM embeddings, {reps} r""",
     }
+    if skew:
+        min_user = con.execute("SELECT MIN(user_id) FROM events").fetchone()[0]
+        max_day = con.execute(
+            "SELECT MAX(CAST(ts AS DATE)) FROM events").fetchone()[0]
+        min_part = con.execute(
+            "SELECT MIN(l_partkey) FROM lineitem").fetchone()[0]
+        # disjoint token universe: no organic doc can near-dup a mega doc
+        mega = " ".join(f"megadup{i}" for i in range(60))
+        jobs["events"] = f"""
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0
+                        THEN DATE '{max_day}' + (ts - CAST(ts AS DATE))
+                        ELSE ts END AS ts,
+                   CASE WHEN event_id % 50 = 0 THEN {min_user}
+                        ELSE user_id END AS user_id,
+                   event_type, value, props
+            FROM ({jobs['events']}) base"""
+        jobs["lineitem"] = f"""
+            SELECT l_orderkey,
+                   CASE WHEN l_orderkey % 4 = 0 THEN {min_part}
+                        ELSE l_partkey END AS l_partkey,
+                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM ({jobs['lineitem']}) base"""
+        jobs["documents"] = f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 40 = 0 THEN '{mega}' ELSE text END
+                     AS text,
+                   lang, source,
+                   CAST(length(CASE WHEN doc_id % 40 = 0 THEN '{mega}'
+                               ELSE text END) AS BIGINT) AS n_chars
+            FROM ({jobs['documents']}) base"""
     for t, q in jobs.items():
         order = {"region": "1", "nation": "1", "customer": "1",
                  "supplier": "1", "part": "1", "orders": "1",

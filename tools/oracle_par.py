@@ -43,14 +43,28 @@ def check_one(sf_dir: str, out_dir: str, name: str) -> dict:
         sql = json.load(f)[name]
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
-        return {"ok": False, "err": "no spark parquet output"}
+        return {"ok": False, "err": "no spark parquet output",
+                "phase": "engine_output"}
     con = oracle_check.fresh_con(sf_dir)
-    spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-    spark_cols = [c[0] for c in spark_rel.description]
-    spark_rows = spark_rel.fetchall()
-    duck_rel = con.execute(sql)
-    duck_cols = [c[0] for c in duck_rel.description]
-    duck_rows = duck_rel.fetchall()
+    # Phase tags (ADVICE r11): an OOM while reading the ENGINE's own
+    # parquet output is an engine-adjacent failure; an OOM inside the
+    # oracle SQL is a checker limitation. Tag which phase raised so
+    # merge_correctness can classify OOMs honestly instead of blanket-
+    # excusing every "Out of Memory" as checker-limited.
+    try:
+        spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        spark_cols = [c[0] for c in spark_rel.description]
+        spark_rows = spark_rel.fetchall()
+    except Exception as e:
+        return {"ok": False, "err": f"{type(e).__name__}: {e}",
+                "phase": "engine_output"}
+    try:
+        duck_rel = con.execute(sql)
+        duck_cols = [c[0] for c in duck_rel.description]
+        duck_rows = duck_rel.fetchall()
+    except Exception as e:
+        return {"ok": False, "err": f"{type(e).__name__}: {e}",
+                "phase": "oracle"}
     if sorted(spark_cols) != sorted(duck_cols):
         return {"ok": False,
                 "err": f"columns {sorted(spark_cols)} != {sorted(duck_cols)}"}
@@ -62,8 +76,12 @@ def check_one(sf_dir: str, out_dir: str, name: str) -> dict:
         return {"ok": False,
                 "err": f"rowcount spark={len(srows)} duck={len(drows)}"}
     # pandas-dtype drift (driver compares .df() frames — see oracle_check)
-    sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
-    ddt = con.execute(sql).df().dtypes
+    try:
+        sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
+        ddt = con.execute(sql).df().dtypes
+    except Exception as e:
+        return {"ok": False, "err": f"dtype check: {type(e).__name__}: {e}",
+                "phase": "oracle"}
     s_dt = {c: str(t) for c, t in sdt.items()}
     d_dt = {c: str(t) for c, t in ddt.items()}
     drift = {c: (s_dt[c], d_dt[c])
@@ -142,7 +160,12 @@ def main() -> int:
                 [sys.executable, __file__, "--one", sf_dir, out_dir,
                  name, rf],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-            running[name] = (p, time.monotonic() + t_limit, rf)
+            # 3x wall budget (ADVICE r11): oracle_check grants 1x for
+            # the first execution plus an explicit 2x for the dtype
+            # re-execution; a single 1x deadline here would SIGKILL a
+            # query that legitimately finishes its first pass near the
+            # wall, diverging from the claimed bit-for-bit mimic.
+            running[name] = (p, time.monotonic() + 3 * t_limit, rf)
         reap(block=True)
 
     n_ok = sum(1 for r in results.values() if r.get("ok"))
@@ -155,6 +178,7 @@ def main() -> int:
             json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_bad,
                        "n_oracle_timeout": n_timeout,
                        "oracle_timeout_sec": t_limit,
+                       "wall_budget_sec": 3 * t_limit,
                        "protocol": "parallel-hard-timeout",
                        "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
