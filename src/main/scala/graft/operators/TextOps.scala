@@ -376,10 +376,16 @@ object TextOps {
     * ~36 GB. This form carries one LABEL per doc instead: each
     * MATERIALIZED round takes the min over {own label, neighbors'
     * labels, label-of-label}. The pointer-jump term (label-of-label)
-    * gives O(log diameter) convergence, so `rounds` = 10 covers any
-    * component of diameter ≥ 512 — far beyond a near-clone cluster.
-    * Measured identical results with 67 s → 0.4 s at sf0.1 and
-    * >3000 s → 3 s at sf1.
+    * usually compounds coverage per round — but it follows the
+    * MIN-LABEL chain, not the whole ball, so structured id layouts
+    * degrade it toward plain per-round propagation (measured: the
+    * sf0.1 graph, diameter ~11, converges in ≤ 10 rounds; the sf1
+    * replica graph needs 12 — the r12 certificate fired at 10 and
+    * caught exactly this). `rounds` = 20 carries 8 rounds of headroom
+    * over the deepest measured corpus at ~0.3 s per extra round at
+    * sf1; a deeper corpus trips the certificate loudly and the fix is
+    * this one Int. Measured identical results with 67 s → 0.4 s at
+    * sf0.1 and >3000 s → ~4 s at sf1.
     *
     * Convergence is CERTIFIED, not assumed: if the final round still
     * changed any label, a conditional error() scalar inside `clus`
@@ -394,7 +400,7 @@ object TextOps {
     * overridable for graphs over other node/pair CTEs); emits `sym`,
     * `cl0..clN` and `clus`. MATERIALIZED is load-bearing exactly as in
     * graph_kcore: each round reads its predecessor three times. */
-  private[operators] def ccClusSql(rounds: Int = 10, cand: String = "cand",
+  private[operators] def ccClusSql(rounds: Int = 20, cand: String = "cand",
       aCol: String = "a_id", bCol: String = "b_id", nodes: String = "docs",
       nodeId: String = "doc_id"): String = {
     val steps = (1 to rounds).map { i =>
