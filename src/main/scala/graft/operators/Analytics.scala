@@ -191,16 +191,29 @@ object Analytics {
        |  SELECT event_type, day, t4, sx4, n,
        |         7 * sx2 - CAST(sx4 AS HUGEINT) * sx4 AS num
        |  FROM w
+       |), v2 AS (
+       |  -- split exact->double conversion (r12): num can pass 2^63 on a
+       |  -- skewed corpus (the giant-day fixture measured 1.25e19);
+       |  -- hi/lo at 2^62 keeps every converted integer inside the
+       |  -- exact-conversion rule (hi < 2^53, lo < 2^62 as plain
+       |  -- BIGINTs), and hi_d * 2^62 is a pure exponent shift (exact),
+       |  -- so both engines round the one final addition identically
+       |  SELECT event_type, day, t4, sx4, n,
+       |         CAST(CAST(num // 4611686018427387904 AS BIGINT) AS DOUBLE)
+       |           * 4611686018427387904.0
+       |           + CAST(CAST(num % 4611686018427387904 AS BIGINT) AS DOUBLE)
+       |           AS num_d
+       |  FROM v
        |)
        |SELECT event_type, CAST(day AS DATE) AS day,
        |       CAST(t4 AS DOUBLE) / 1.0e4 AS total,
        |       (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0 AS mean7,
-       |       sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4 AS sd7,
+       |       sqrt(num_d / 42.0) / 1.0e4 AS sd7,
        |       abs(CAST(t4 AS DOUBLE) / 1.0e4
        |           - (CAST(sx4 AS DOUBLE) / 1.0e4) / 7.0) >
-       |         2.0 * (sqrt(CAST(num AS DOUBLE) / 42.0) / 1.0e4)
+       |         2.0 * (sqrt(num_d / 42.0) / 1.0e4)
        |         AS is_anomaly
-       |FROM v WHERE n = 7$closed
+       |FROM v2 WHERE n = 7$closed
        |ORDER BY event_type, day""".stripMargin
   }
 
@@ -1091,21 +1104,34 @@ object Analytics {
         sum(col("t4").cast(D38) * col("t4")).over(w7).as("sx2"))
         .withColumn("num",
           lit(7) * col("sx2") - col("sx4").cast(D38) * col("sx4"))
-        // loud bound guard (ADVICE r8): the exact→double channel is
-        // only parity-safe while num < 2⁶³ (daily σ up to ~65k units);
-        // past it DuckDB's int128→double path drifts SILENTLY, so a
-        // fixture that crosses the bound must raise, not diverge by an
+        // loud bound guard (ADVICE r8, widened r12): the split hi/lo
+        // exact→double channel below is parity-safe while
+        // hi = num div 2⁶² stays under 2⁵³, i.e. num < 2¹¹⁵ — the r12
+        // skew leg's giant day pushed num to 1.25e19 (past the old 2⁶³
+        // direct-conversion bound) and tripped the old guard; past the
+        // NEW bound DuckDB's int128→double path drifts SILENTLY again,
+        // so a fixture crossing it must still raise, not diverge by an
         // ulp. One codegen'd comparison per surviving row; num ≥ 0 by
         // Cauchy-Schwarz, so the single-sided check is complete.
         .withColumn("num",
-          when(col("num") < lit(Long.MaxValue).cast(D38), col("num"))
+          when(col("num") < lit(BigDecimal(2).pow(115)).cast(D38), col("num"))
             .otherwise(raise_error(concat(
               lit("ts_anomaly: variance numerator passed the exact " +
-                "double-conversion bound 2^63 (daily sigma beyond " +
-                "~65k units) — num="), col("num").cast("string")))))
+                "split-conversion bound 2^115 — num="),
+              col("num").cast("string")))))
+        // split exact→double: hi/lo at 2⁶² are plain BIGINTs (hi < 2⁵³,
+        // lo < 2⁶² — both inside the exact-integer conversion rule);
+        // hi_d · 2⁶² is an exponent shift (exact), so the one final
+        // addition is the only rounding and both engines perform it
+        // identically. For num < 2⁶³ this reproduces the old direct
+        // conversion bit-for-bit (single rounding of the exact sum).
+        .withColumn("num_d",
+          expr("CAST(num div CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE)")
+            * lit(4611686018427387904.0)
+            + expr("CAST(CAST(num % CAST(4611686018427387904 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)"))
       val td = col("t4").cast("double") / lit(1.0e4)
       val mean7 = (col("sx4").cast("double") / lit(1.0e4)) / lit(7.0)
-      val sd7 = sqrt(col("num").cast("double") / lit(42.0)) / lit(1.0e4)
+      val sd7 = sqrt(col("num_d") / lit(42.0)) / lit(1.0e4)
       stats.filter(col("n") === 7)
         .select(col("event_type"), col("day"), td.as("total"),
           mean7.as("mean7"), sd7.as("sd7"),

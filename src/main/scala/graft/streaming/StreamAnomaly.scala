@@ -83,7 +83,18 @@ object StreamAnomaly {
     val num = ring.map(_._2).map(v => BigInt(v) * BigInt(v)).sum * 7 -
       BigInt(sx4) * BigInt(sx4)
     val mean7 = (sx4.toDouble / 1.0e4) / 7.0
-    val sd7 = math.sqrt(num.toDouble / 42.0) / 1.0e4
+    // split exact→double at 2⁶² (r12, mirrors the batch ts_anomaly
+    // revision character for character): num can pass 2⁶³ on a skewed
+    // corpus; hi < 2⁵³ and lo < 2⁶² both convert exactly, hi·2⁶² is an
+    // exponent shift, so the one final addition is the only rounding —
+    // identical on every engine. Same refusal bound as the batch query.
+    require(num < BigInt(2).pow(115),
+      s"stream_anomaly: variance numerator passed the exact " +
+        s"split-conversion bound 2^115 — num=$num")
+    val b62 = BigInt(1) << 62
+    val numD = (num / b62).toDouble * 4611686018427387904.0 +
+      (num % b62).toDouble
+    val sd7 = math.sqrt(numD / 42.0) / 1.0e4
     Flag(key, java.time.LocalDate.ofEpochDay(day).toString, td, mean7, sd7,
       is_anomaly = math.abs(td - mean7) > 2.0 * sd7)
   }
