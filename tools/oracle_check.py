@@ -35,7 +35,11 @@ def apply_sets(con):
     con.execute("SET TimeZone='UTC'")
     con.execute("SET threads=8")
     con.execute("SET allocator_flush_threshold='16mb'")
-    con.execute("SET temp_directory='/tmp/graft_duckdb_spill.tmp'")
+    # per-PROCESS spill dir: oracle_par runs one DuckDB per subprocess,
+    # and two processes sharing one temp_directory corrupt each other's
+    # spill blocks (r12 sf10: "Could not read enough bytes" mid-join)
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill.%d.tmp'"
+                % os.getpid())
     con.execute("SET max_temp_directory_size='64GB'")
     con.execute("SET memory_limit='%s'"
                 % os.environ.get("ORACLE_MEMORY_LIMIT", "4GB"))
