@@ -25,6 +25,71 @@ import org.apache.spark.sql.SparkSession
   * speedup.
   */
 object Bench {
+
+  /** Fork a fresh JVM running this same Bench main restricted to
+    * `names`, and return its per-query medians (the fresh-session
+    * numbers the adjudicator records as `isolated`). Empty map on any
+    * failure — a missing number is honest; a contaminated one is not. */
+  private def freshSessionTimes(names: Seq[String], sfDir: String)
+      : Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    var tmpOut: java.nio.file.Path = null
+    var tmpLog: java.nio.file.Path = null
+    try {
+      tmpOut = java.nio.file.Files.createTempFile("graft_adj_", ".json")
+      tmpLog = java.nio.file.Files.createTempFile("graft_adj_", ".log")
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      // replicate this JVM exactly (sbt's forked `run` passes
+      // --add-opens, -Xmx, -D flags on the command line) minus agents,
+      // which cannot be meaningfully duplicated into a child
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmpOut.toString)
+      pb.environment().put("SPARK_GRAFT_ADJUDICATE", "0") // no recursion
+      // child stdout/stderr must not interleave with the parent's
+      // stdout JSON protocol — capture to a log kept on failure
+      pb.redirectOutput(tmpLog.toFile)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(
+          s"[bench] adjudication fork timed out; log: $tmpLog")
+        return Map.empty
+      }
+      if (proc.exitValue() != 0) {
+        System.err.println(s"[bench] adjudication fork exited " +
+          s"${proc.exitValue()}; log: $tmpLog")
+        return Map.empty
+      }
+      val txt = new String(java.nio.file.Files.readAllBytes(tmpOut), "UTF-8")
+      """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = txt.substring(m.end, txt.indexOf('}', m.end))
+          """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
+            .findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] adjudication fork failed: ${t.getMessage}")
+      Map.empty
+    } finally {
+      try {
+        if (tmpOut != null) java.nio.file.Files.deleteIfExists(tmpOut)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -187,18 +252,18 @@ object Bench {
         (name, median, steady, firstErr, rowsOut)
       }
 
-    // ── self-adjudication (VERDICT r11 #1) ──────────────────────────────
-    // Three rounds running, driver-artifact per-query flags (r10: 25,
-    // r11: 3) dissolved on the judge's ISOLATED re-measure — the flags
-    // were contention inside the 346-query sweep (GC/page-cache churn),
-    // not code. Adjudicate here: any query reading >2x its
-    // BENCH_BASELINE entry (and >0.5s absolute over — bench_guard's
-    // floors) is RE-TIMED after the sweep, alone, same median-of-REPEAT
-    // protocol, after a GC + settle pause. The artifact records both
-    // numbers plus the run's host factor (median cur/base ratio over
-    // stable baselines — bench_guard's estimator), so a >2x row is
-    // self-explaining data, not judge archaeology. Skipped when the
-    // baseline's sf differs from this run's (a scale leg measured
+    // ── self-adjudication (VERDICT r11 #1, fresh-session r12 #1) ───────
+    // Four rounds running, driver-artifact per-query flags (r10: 25,
+    // r11: 3, r12: 4) dissolved on the judge's ISOLATED re-measure —
+    // the flags were contention inside the 346-query sweep
+    // (GC/page-cache churn), not code. Adjudicate here: any query
+    // reading >2x its BENCH_BASELINE entry (and >0.5s absolute over —
+    // bench_guard's floors) is RE-TIMED in a FORKED FRESH JVM (see
+    // freshSessionTimes), same median-of-REPEAT protocol. The artifact
+    // records both numbers plus the run's host factor (median cur/base
+    // ratio over stable baselines — bench_guard's estimator), so a >2x
+    // row is self-explaining data, not judge archaeology. Skipped when
+    // the baseline's sf differs from this run's (a scale leg measured
     // against an sf0.1 baseline would "flag" every query).
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
@@ -228,15 +293,32 @@ object Bench {
       }.sorted
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     }
-    val adjudicated: Seq[(String, Double, Double, Double)] = results
+    // FRESH-SESSION adjudication (VERDICT r12 #1): r11's in-JVM re-time
+    // (System.gc + 500 ms settle) was still sweep-contaminated — shared
+    // caches resident, 346×4 executions of page-cache/JIT/checkpoint
+    // history behind it; BENCH_r12 recorded stream_join_feed "isolated"
+    // 6.23 s where a fresh JVM measures 2.11 s. The only uncontaminated
+    // re-measure is the judge's own protocol: a FORKED fresh JVM running
+    // this same main restricted to the flagged set (same warm-up, same
+    // shared-stage materialization, same median-of-REPEAT), its
+    // per-query medians read back from its artifact file. The fork
+    // reuses this JVM's exact flags and classpath, so the child differs
+    // in exactly one variable: no sweep behind it. SPARK_GRAFT_ADJUDICATE=0
+    // in the child stops recursion; a fork that fails or times out
+    // records isolated = -1 (loudly, on stderr) rather than shipping a
+    // number measured in the wrong environment.
+    val flagged: Seq[(String, Double)] = results
       .collect { case (name, sec, _, _, _)
         if sec >= 0 && baseline.get(name)
-          .exists(b => sec > 2 * b && sec > b + 0.5) =>
-        System.gc()
-        Thread.sleep(500)
-        val iso = (1 to repeat).map(_ => timedPass(SparkEntry.queries(name))._1)
-          .filter(_ >= 0)
-        (name, sec, if (iso.nonEmpty) medianOf(iso) else -1.0, baseline(name))
+          .exists(b => sec > 2 * b && sec > b + 0.5) => (name, sec) }
+    val adjudicate = sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "1") == "1"
+    val isolated: Map[String, Double] =
+      if (flagged.isEmpty || !adjudicate) Map.empty
+      else freshSessionTimes(flagged.map(_._1), sfDir)
+    val adjudicated: Seq[(String, Double, Double, Double)] =
+      if (!adjudicate) Seq.empty
+      else flagged.map { case (name, sec) =>
+        (name, sec, isolated.getOrElse(name, -1.0), baseline(name))
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -269,7 +351,7 @@ object Bench {
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)

@@ -79,7 +79,9 @@ object SkewProbe {
     // Catalyst PRUNE the unused window/aggregate expression and the
     // probe would time a plan that never does the skewed work; summing
     // the computed column both forces it and proves the two forms
-    // compute the same answer
+    // compute the same answer. (Exception: for the RANK probe a plain
+    // sum(rn) is n(n+1)/2 under ANY permutation — see the
+    // order-sensitive checksum at the probe itself, ADVICE r12.)
     val ev = Tables.events(spark, sfDir)
       .select(col("ts").cast("date").as("day"), col("user_id"))
     def distinctNaive(): Long =
@@ -93,16 +95,29 @@ object SkewProbe {
         .agg(sum("nd")).head.getLong(0)
 
     val ranked = Tables.events(spark, sfDir).select("value", "event_id")
+    // order-SENSITIVE checksum (ADVICE r12): sum(rn) is n(n+1)/2 under
+    // ANY permutation, so require(rn == rs) on it only verified
+    // cardinality. sum((rn · event_id) mod p) discriminates orderings —
+    // the two forms agree iff each event_id carries the same rank
+    // (modulo p-collisions conspiring across millions of rows, which
+    // would require a systematic rank permutation preserving the sum —
+    // not a failure mode either implementation can produce silently).
+    // (value, event_id) is a TOTAL order (event_id unique), so both
+    // rankings are deterministic and comparable. The mod keeps every
+    // term < 1e9 so the running sum stays far from int64 overflow.
+    val rankChecksum = sum(pmod(col("rn").cast("long") * col("event_id"),
+      lit(1000000007L)))
     def rankNaive(): Long = {
       import org.apache.spark.sql.expressions.Window
       ranked.withColumn("rn", row_number().over(
           Window.orderBy("value", "event_id")))
-        .agg(sum(col("rn").cast("long"))).head.getLong(0)
+        .agg(rankChecksum).head.getLong(0)
     }
     def rankDist(): Long =
       operators.Ranking.globalRowNumber(
           ranked, Seq("value", "event_id"), cpus.toInt * 4)
-        .agg(sum(col("row_num"))).head.getLong(0)
+        .withColumn("rn", col("row_num"))
+        .agg(rankChecksum).head.getLong(0)
 
     // the registered giant-group twins: one window task sorts a whole
     // hot group (agg_winsorized) vs zero-Window distributed ranks

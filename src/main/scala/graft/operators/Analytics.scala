@@ -192,12 +192,17 @@ object Analytics {
        |         7 * sx2 - CAST(sx4 AS HUGEINT) * sx4 AS num
        |  FROM w
        |), v2 AS (
-       |  -- split exact->double conversion (r12): num can pass 2^63 on a
-       |  -- skewed corpus (the giant-day fixture measured 1.25e19);
-       |  -- hi/lo at 2^62 keeps every converted integer inside the
-       |  -- exact-conversion rule (hi < 2^53, lo < 2^62 as plain
-       |  -- BIGINTs), and hi_d * 2^62 is a pure exponent shift (exact),
-       |  -- so both engines round the one final addition identically
+       |  -- split exact->double conversion (r12, comment tightened r13):
+       |  -- num can pass 2^63 on a skewed corpus (the giant-day fixture
+       |  -- measured 1.25e19). The guarantee is IDENTICAL-ROUNDING
+       |  -- parity, not exactness of both halves: hi = num div 2^62
+       |  -- stays < 2^53 and converts exactly; lo < 2^62 does NOT
+       |  -- convert exactly past 2^53 — it takes one IEEE
+       |  -- round-to-nearest int64->double rounding, the same on both
+       |  -- engines; hi_d * 2^62 is a pure exponent shift (exact); the
+       |  -- final addition is the second identically-performed rounding.
+       |  -- Result: engine/oracle bit parity always, and <= 1 ulp from
+       |  -- the single-rounded direct conversion (double rounding).
        |  SELECT event_type, day, t4, sx4, n,
        |         CAST(CAST(num // 4611686018427387904 AS BIGINT) AS DOUBLE)
        |           * 4611686018427387904.0
@@ -1119,12 +1124,16 @@ object Analytics {
               lit("ts_anomaly: variance numerator passed the exact " +
                 "split-conversion bound 2^115 — num="),
               col("num").cast("string")))))
-        // split exact→double: hi/lo at 2⁶² are plain BIGINTs (hi < 2⁵³,
-        // lo < 2⁶² — both inside the exact-integer conversion rule);
-        // hi_d · 2⁶² is an exponent shift (exact), so the one final
-        // addition is the only rounding and both engines perform it
-        // identically. For num < 2⁶³ this reproduces the old direct
-        // conversion bit-for-bit (single rounding of the exact sum).
+        // split exact→double (comment tightened r13 — the invariant is
+        // identical-IEEE-rounding PARITY, not exactness of both halves):
+        // hi = num div 2⁶² is < 2⁵³ and converts exactly; lo < 2⁶² does
+        // NOT convert exactly past 2⁵³ — it takes one round-to-nearest
+        // int64→double rounding that Spark and DuckDB perform
+        // identically; hi_d · 2⁶² is an exponent shift (exact); the
+        // final addition is the second identically-performed rounding.
+        // So engine/oracle parity holds bit for bit, while the value may
+        // sit ≤ 1 ulp from a direct single-rounded conversion (double
+        // rounding) — do NOT "generalize" this into an exactness claim.
         .withColumn("num_d",
           expr("CAST(num div CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE)")
             * lit(4611686018427387904.0)

@@ -47,12 +47,8 @@ object DropDir {
       .parquet(srcDir)
     // same schema-dispatched ts normalization as Tables.events
     val events = graft.Tables.normalizeTs(raw)
-    val q = windowAgg(events).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, windowAgg(events).writeStream
+      .format("memory").outputMode("complete"), queryName)
     spark.table(queryName)
   }
 }

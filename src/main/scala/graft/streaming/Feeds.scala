@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.StateStoreReclaim
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Start/drain/housekeep harness for the driver-visible AvailableNow
+  * feeds (`stream_*_feed`).
+  *
+  * Why it exists (VERDICT r12 #2): four consecutive driver bench
+  * artifacts flagged the streaming feeds 2-3× over baseline, and every
+  * flag dissolved on a fresh-JVM re-measure. The feeds were the only
+  * queries whose per-execution residue was NOT reclaimed promptly
+  * inside a long sweep: each run (a) creates a checkpoint/state
+  * directory tree (Spark deletes its own TEMP checkpoints only on
+  * clean stop, and only eventually under shutdown hooks on error), and
+  * (b) leaves its `HDFSBackedStateStoreProvider`s — loaded version
+  * maps on-heap — registered in `StateStore.loadedProviders` until the
+  * next 60 s maintenance tick notices the query is gone. At ~1,400
+  * executions per sweep (346 queries × prepass + 3 timed passes) the
+  * feeds run 50+ times; their lingering state maps inflate GC pressure
+  * exactly while OTHER queries are being timed, and each feed pays the
+  * churn of its predecessors. This object makes the residue
+  * deterministic: every feed run gets an explicit fresh checkpoint dir
+  * under one per-JVM root, and both the dir and the loaded providers
+  * are released the moment the query terminates — not when a
+  * background timer gets around to it.
+  *
+  * Production analog: a real deployment gives each streaming job a
+  * DURABLE checkpoint and keeps state providers loaded on purpose
+  * (restart cheaply, incremental progress). These feeds are the batch
+  * oracle twins — run-to-completion, result read once — so their
+  * checkpoint is scratch by contract, and prompt reclamation is the
+  * correct lifecycle, not an optimization hack.
+  */
+object Feeds {
+
+  // one root per JVM, deleted recursively on exit as a backstop; each
+  // run gets a fresh numbered subdir so replays can never collide
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-feed-ck-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p
+  }
+  private val ctr = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def freshCheckpoint(name: String): java.nio.file.Path =
+    root.resolve(s"$name-${ctr.incrementAndGet()}")
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    } catch { case _: Throwable => () } // cleanup is best-effort by design
+
+  /** Post-run reclamation: delete this run's checkpoint tree and unload
+    * every state-store provider NOW instead of waiting for the 60 s
+    * maintenance tick. Guarded on no-active-streams: `unloadAll` is
+    * process-global, and evicting a CONCURRENT query's providers would
+    * force it to reload state from its checkpoint (correct but slow). */
+  def housekeep(spark: SparkSession, ck: java.nio.file.Path): Unit = {
+    deleteTree(ck)
+    if (spark.streams.active.isEmpty) StateStoreReclaim.unloadAll()
+  }
+
+  /** Start an AvailableNow run of `w` named `queryName` under an
+    * explicit fresh checkpoint, await termination, housekeep, and
+    * return the terminated query (callers read the memory sink via
+    * `spark.table(queryName)`; StreamSrm also inspects progress). */
+  def drain[T](spark: SparkSession, w: DataStreamWriter[T],
+      queryName: String): StreamingQuery = {
+    val ck = freshCheckpoint(queryName)
+    val q = w.queryName(queryName)
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally housekeep(spark, ck)
+    q
+  }
+}

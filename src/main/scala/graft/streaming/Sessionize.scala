@@ -78,12 +78,8 @@ object Sessionize {
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("value"))
       .as[Ev]
-    val q = statefulSessions(spark, raw, 30, "0 seconds")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, statefulSessions(spark, raw, 30, "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName).as[SessionOut]
   }
 

@@ -84,10 +84,14 @@ object StreamAnomaly {
       BigInt(sx4) * BigInt(sx4)
     val mean7 = (sx4.toDouble / 1.0e4) / 7.0
     // split exact→double at 2⁶² (r12, mirrors the batch ts_anomaly
-    // revision character for character): num can pass 2⁶³ on a skewed
-    // corpus; hi < 2⁵³ and lo < 2⁶² both convert exactly, hi·2⁶² is an
-    // exponent shift, so the one final addition is the only rounding —
-    // identical on every engine. Same refusal bound as the batch query.
+    // revision character for character; comment tightened r13): num can
+    // pass 2⁶³ on a skewed corpus. hi < 2⁵³ converts exactly; lo < 2⁶²
+    // is NOT exact past 2⁵³ — it takes one round-to-nearest
+    // int64→double rounding performed identically by JVM and DuckDB;
+    // hi·2⁶² is an exponent shift (exact); the final addition is the
+    // second identical rounding. Parity holds via identical IEEE
+    // rounding, with ≤ 1 ulp double-rounding drift vs a direct
+    // conversion. Same refusal bound as the batch query.
     require(num < BigInt(2).pow(115),
       s"stream_anomaly: variance numerator passed the exact " +
         s"split-conversion bound 2^115 — num=$num")
@@ -153,12 +157,8 @@ object StreamAnomaly {
       .parquet(srcDir)
       .transform(graft.Tables.normalizeTs)
       .select("event_type", "ts", "value")
-    val q = flags(spark, raw, "0 seconds")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, flags(spark, raw, "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

@@ -151,13 +151,8 @@ object StreamAsOf {
         .transform(graft.Tables.normalizeTs)
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts", "value")
-    val q = enrich(spark, side("click"), side("purchase"), "0 seconds")
-      .writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, enrich(spark, side("click"), side("purchase"), "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

@@ -90,12 +90,8 @@ object StreamCdc {
         .option("pathGlobFilter", "events.parquet")
         .parquet(srcDir))
       .select("user_id", "event_id", "ts", "event_type", "value")
-    val q = changes(spark, raw)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, changes(spark, raw)
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

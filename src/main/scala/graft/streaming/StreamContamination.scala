@@ -93,6 +93,10 @@ object StreamContamination {
     // (exactly-once inside the staging dir).
     val outDir = graft.LayoutCache
       .materialize("graft_contam_scores", srcDir, "documents") { staging =>
+        // explicit per-run checkpoint + prompt housekeeping (Feeds
+        // scaladoc) — same lifecycle as the memory-sink feeds even
+        // though this one writes parquet through foreachBatch
+        val ck = Feeds.freshCheckpoint("streamcontam")
         val q = stream.filter(!isEval).writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val s = batch.sparkSession
@@ -103,9 +107,10 @@ object StreamContamination {
               .parquet(staging)
             ()
           }
+          .option("checkpointLocation", ck.toString)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        try q.awaitTermination() finally Feeds.housekeep(spark, ck)
         // degenerate corpus (every doc in the eval split → zero
         // batches written): publish an explicitly empty-but-complete
         // layout so the marker protocol holds and readers get the

@@ -41,12 +41,8 @@ object StreamDedup {
         .parquet(srcDir)
         .transform(graft.Tables.normalizeTs)
         .select("user_id", "event_id", "ts", "value", "event_type")
-    val q = dedup(delivery().unionByName(delivery())).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, dedup(delivery().unionByName(delivery())).writeStream
+      .format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

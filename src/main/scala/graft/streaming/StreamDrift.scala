@@ -102,12 +102,8 @@ object StreamDrift {
         .option("pathGlobFilter", "events.parquet")
         .parquet(srcDir))
       .select("event_type", "ts")
-    val q = monitor(spark, raw, reference, "0 seconds")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, monitor(spark, raw, reference, "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

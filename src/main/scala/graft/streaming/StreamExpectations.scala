@@ -73,12 +73,8 @@ object StreamExpectations {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "orders.parquet")
       .parquet(srcDir)
-    val q = gate(raw)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, gate(raw)
+      .writeStream.format("memory").outputMode("complete"), queryName)
     spark.table(queryName)
   }
 }

@@ -54,12 +54,8 @@ object StreamFreq {
     * checkpoint-restart fold); the harness stays hermetic. */
   def runAvailableNow(spark: SparkSession, items: Dataset[Item],
       queryName: String = "streamfreq_out"): DataFrame = {
-    val q = heavyHitters(spark, items).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, heavyHitters(spark, items).writeStream
+      .format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

@@ -95,12 +95,8 @@ object StreamGrowth {
       .parquet(srcDir)
       .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
-    val q = curve(spark, raw, "0 seconds")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, curve(spark, raw, "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

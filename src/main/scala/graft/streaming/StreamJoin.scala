@@ -63,12 +63,8 @@ object StreamJoin {
         .transform(graft.Tables.normalizeTs)
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts")
-    val q = clickErrorJoin(side("click"), side("error")).writeStream
-      .format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, clickErrorJoin(side("click"), side("error")).writeStream
+      .format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

@@ -38,18 +38,14 @@ object StreamSrm {
       .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"))
       .withWatermark("ts", "0 seconds")
       .dropDuplicatesWithinWatermark("user_id", "day")
-    val q = deduped
+    val q = Feeds.drain(spark, deduped
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(sum(when(col("user_id") % 2 === 0, 1).otherwise(0))
         .cast("long").as("n_a"),
         sum(when(col("user_id") % 2 === 1, 1).otherwise(0))
           .cast("long").as("n_b"))
       .select(to_date(col("w.start")).as("day"), col("n_a"), col("n_b"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .writeStream.format("memory").outputMode("append"), queryName)
     // The 0-second delay keeps the day-closure contract (every day up
     // to max event time is emitted), but it makes the DEDUP guarantee
     // single-batch-only: a (user_id, day) repeated in a LATER

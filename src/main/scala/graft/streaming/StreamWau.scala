@@ -120,12 +120,8 @@ object StreamWau {
       .parquet(srcDir)
       .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
-    val q = estimates(spark, raw, "0 seconds")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Feeds.drain(spark, estimates(spark, raw, "0 seconds")
+      .writeStream.format("memory").outputMode("append"), queryName)
     spark.table(queryName)
   }
 }

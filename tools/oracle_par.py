@@ -75,9 +75,18 @@ def check_one(sf_dir: str, out_dir: str, name: str) -> dict:
     if len(srows) != len(drows):
         return {"ok": False,
                 "err": f"rowcount spark={len(srows)} duck={len(drows)}"}
-    # pandas-dtype drift (driver compares .df() frames — see oracle_check)
+    # pandas-dtype drift (driver compares .df() frames — see oracle_check).
+    # Two try blocks (ADVICE r12): a failure re-reading the ENGINE's own
+    # parquet must tag phase 'engine_output' — wrapping both re-executions
+    # in one 'oracle'-tagged block would let merge_correctness classify an
+    # engine-output OOM as checker-limited, the exact misclassification
+    # the phase tags exist to prevent.
     try:
         sdt = con.execute(f"SELECT * FROM read_parquet({files!r})").df().dtypes
+    except Exception as e:
+        return {"ok": False, "err": f"dtype check: {type(e).__name__}: {e}",
+                "phase": "engine_output"}
+    try:
         ddt = con.execute(sql).df().dtypes
     except Exception as e:
         return {"ok": False, "err": f"dtype check: {type(e).__name__}: {e}",
