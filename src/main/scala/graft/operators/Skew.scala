@@ -16,7 +16,20 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Semantically identical to `big.join(dim, Seq(key), joinType)` for
-    * inner/left joins where `dim` is unique on `key`. */
+    * inner/left joins where `dim` is unique on `key`.
+    *
+    * WHEN to reach for it — measured, not folklore (SKEWPROBE.json,
+    * sf1-skew replica, 16 cpus, prewarmed median-of-3): with the
+    * fixture's 25% hot-key share the salted form LOSES to the plain
+    * shuffle join both under AQE (0.68×) and statically planned
+    * (0.58×) — the ×salts dim replication costs more than the
+    * straggler saves when the whole join is ~1 s. The crossover sits
+    * near 50% statically-planned hot share (1.02×), and salting wins
+    * clearly at 75% (1.25×). On a real cluster the crossover moves far
+    * LEFT of these local numbers: the hot task doesn't just straggle,
+    * it spills or OOMs, which a local[n] probe cannot exhibit — and
+    * AQE's skew split only helps JOINs, never skewed aggregations.
+    * The decision rule ships as a query: see `salt_advisory` below. */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
@@ -99,6 +112,65 @@ object Skew {
         .groupBy("event_type")
         .agg(sum(col("__pd")).as("n_users"), sum(col("__pn")).as("n_events"))
         .orderBy("event_type")
+    },
+
+    // The salt-or-trust-AQE decision rule as a QUERY (VERDICT r12 #6):
+    // SKEWPROBE measured that explicit salting loses to the plain
+    // shuffle join below ~50% statically-planned hot-key share
+    // (25% hot: 0.58× static / 0.68× under AQE; 50%: 1.02×; 75%:
+    // 1.25× — sf1-skew replica, 16 cpus), so "always salt" is folklore
+    // that costs real time. This advisory profiles the candidate join
+    // keys of the fact table and emits the measured rule's verdict per
+    // key: hot-key share ≥ 0.5 → 'salt', below → 'aqe' (trust the
+    // runtime re-plan / broadcast). Plan shape is scale-safe on
+    // purpose: two aggregation passes plus an equi-join back on the
+    // max count — no global Window, so no single task ever holds a
+    // whole key column even when the key is user-grained. Ties on the
+    // max count break to the MIN key string, deterministically on both
+    // engines. At cluster scale the 0.5 constant is the LOCAL
+    // crossover; the scaladoc on [[saltedJoin]] records why the true
+    // crossover moves left as data grows (spill/OOM, not straggle).
+    Q("salt_advisory",
+      """WITH s AS (
+        |  SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT key_col, MAX(n) AS maxn,
+        |         CAST(SUM(n) AS BIGINT) AS total
+        |  FROM s GROUP BY 1
+        |), h AS (
+        |  SELECT s.key_col, MIN(s.k) AS hot_key, a.maxn, a.total
+        |  FROM s JOIN a ON s.key_col = a.key_col AND s.n = a.maxn
+        |  GROUP BY s.key_col, a.maxn, a.total
+        |)
+        |SELECT key_col, hot_key,
+        |       CAST(maxn AS DOUBLE) / CAST(total AS DOUBLE) AS hot_share,
+        |       CASE WHEN CAST(maxn AS DOUBLE) / CAST(total AS DOUBLE) >= 0.5
+        |            THEN 'salt' ELSE 'aqe' END AS advisory
+        |FROM h ORDER BY key_col""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      def keyed(colName: String) =
+        e.groupBy(col(colName).cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(colName).as("key_col"), col("k"), col("n"))
+      val counts = keyed("event_type").unionByName(keyed("user_id"))
+      val agg = counts.groupBy("key_col")
+        .agg(max(col("n")).as("maxn"), sum(col("n")).as("total"))
+      val share = col("maxn").cast("double") / col("total").cast("double")
+      counts.join(agg, Seq("key_col"))
+        .where(col("n") === col("maxn"))
+        .groupBy("key_col", "maxn", "total")
+        .agg(min(col("k")).as("hot_key"))
+        .select(col("key_col"), col("hot_key"),
+          share.as("hot_share"),
+          when(share >= 0.5, lit("salt")).otherwise(lit("aqe"))
+            .as("advisory"))
+        .orderBy("key_col")
     }
   )
 }

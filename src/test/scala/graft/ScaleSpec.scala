@@ -23,6 +23,25 @@ class ScaleSpec extends SparkSuite {
     assert(sig(plain) == sig(salted))
   }
 
+  test("salt_advisory applies the measured ≥0.5 hot-share rule") {
+    val out = SparkEntry.queries("salt_advisory")(spark, Sf001)
+      .collect()
+      .map(r => (r.getAs[String]("key_col"), r.getAs[Double]("hot_share"),
+        r.getAs[String]("advisory"))).toSeq
+    assert(out.map(_._1) == Seq("event_type", "user_id"))
+    out.foreach { case (keyCol, share, adv) =>
+      assert(share > 0.0 && share <= 1.0, s"$keyCol share $share")
+      // the advisory IS the rule — recompute it from the emitted share
+      assert(adv == (if (share >= 0.5) "salt" else "aqe"), s"$keyCol")
+    }
+    // independent recomputation of the event_type hot share
+    val e = Tables.events(spark, Sf001)
+    val total = e.count().toDouble
+    val maxN = e.groupBy("event_type").count()
+      .agg(max("count")).head.getLong(0)
+    assert(math.abs(out.head._2 - maxN / total) < 1e-12)
+  }
+
   test("saltedSumByKey ≡ plain groupBy sum") {
     val li = Tables.lineitem(spark, Sf001)
       .withColumn("amt", col("l_extendedprice").cast("decimal(12,4)"))
