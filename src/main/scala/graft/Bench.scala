@@ -117,6 +117,13 @@ object Bench {
       SparkEntry.queries("fn_gst")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
+    // the configured shared-stage storage ceiling and how many stages
+    // its enforcement evicted — recorded in the artifact (VERDICT r12
+    // #4: the sf10 leg reported 8.75 GB of shared-stage storage with
+    // no recorded ceiling, leaving the one memory axis unmeasured)
+    val cacheBudgetMb: Long =
+      sys.env.get("SPARK_GRAFT_CACHE_BUDGET_MB").map(_.toLong).getOrElse(-1L)
+    var cacheEvicted = 0
     // materialize the shared views once (see scaladoc); count() both
     // populates the cache and serves as the remaining warm-up. The
     // MinHash stages (shingles + signatures) are shared by dedup_minhash
@@ -159,6 +166,7 @@ object Bench {
       val ev = Caches.enforceBudget(spark)
       if (ev > 0) System.err.println(
         s"[bench] cache budget evicted $ev shared stage(s)")
+      cacheEvicted = ev
     } catch { case _: Throwable => () }
 
     // profiling aids (driver bench uses the defaults): SPARK_GRAFT_ONLY
@@ -351,7 +359,7 @@ object Bench {
     // batch end, i.e. after every query has populated its stages)
     val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"cache_budget_mb":$cacheBudgetMb,"cache_evicted":$cacheEvicted,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
