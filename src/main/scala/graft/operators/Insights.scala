@@ -1942,18 +1942,29 @@ object Insights {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
+      // the SAME canonicalized edge plan graph_clustering registers via
+      // Caches.shared — persisting here (a CacheManager no-op when the
+      // sibling already did) restores cross-query sharing AND collapses
+      // this query's own four re-reads of `e` (deg's union + dir's
+      // union) to one compute (VERDICT r14 task #2: the 2.4× creep was
+      // exactly this frame being rebuilt per reference)
+      val e = graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
         .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
         .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
-      val deg = e.select(col("p1").as("p"))
+        .select("p1", "p2").distinct())
+      // read twice below (da and db sides) — persist once
+      val deg = graft.Caches.shared(e.select(col("p1").as("p"))
         .unionByName(e.select(col("p2").as("p")))
-        .groupBy("p").agg(count(lit(1)).as("deg"))
+        .groupBy("p").agg(count(lit(1)).as("deg")))
       val dir = e.select(col("p1").as("u"), col("p2").as("v"))
         .unionByName(e.select(col("p2").as("u"), col("p1").as("v")))
+      // deg is bounded by the part-window (≤400 rows) — broadcast both
+      // sides so endpoint-degree lookup is map-side, no shuffle
       val de = dir
-        .join(deg.select(col("p").as("u"), col("deg").as("dx")), Seq("u"))
-        .join(deg.select(col("p").as("v"), col("deg").as("dy")), Seq("v"))
+        .join(broadcast(deg.select(col("p").as("u"), col("deg").as("dx"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("p").as("v"), col("deg").as("dy"))),
+          Seq("v"))
       val dx = col("dx").cast(D); val dy = col("dy").cast(D)
       val m = de.agg(count(lit(1)).as("n"),
         sum(dx).as("sx"), sum(dy).as("sy"), sum(dx * dy).as("sxy"),

@@ -2625,7 +2625,7 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       val tot = cnt.agg(sum("n").as("t"), count(lit(1)).as("k"))
-      val th = cnt.crossJoin(tot)
+      val th = cnt.crossJoin(broadcast(tot))
         .withColumn("r", least(lit(1.0), (col("t").cast("double") / col("k")) / col("n")))
         .withColumn("thr",
           lower(lpad(hex(floor(col("r") * 4294967296L).cast("long")), 8, "0")))
@@ -3024,7 +3024,7 @@ object TextOps {
       val biAll = t.select(explode(bigrams(col("t"))).as("b"))
         .groupBy("b").agg(count(lit(1)).as("n_pair"))
       val tot = uni.agg(sum("c").cast("long").as("nu"))
-        .crossJoin(biAll.agg(sum("n_pair").cast("long").as("nb")))
+        .crossJoin(broadcast(biAll.agg(sum("n_pair").cast("long").as("nb"))))
       val u1 = uni.select(col("w").as("w1"), col("c").as("n_w1"))
       val u2 = uni.select(col("w").as("w2"), col("c").as("n_w2"))
       biAll.filter(col("n_pair") >= 5)

@@ -35,6 +35,23 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object Feeds {
 
+  /** Opt-in state-store provider override (VERDICT r13 #3), resolved
+    * from `SPARK_GRAFT_STATE_STORE` at session build time:
+    * `rocksdb` → Spark's bundled RocksDB provider (state lives
+    * off-heap in a native LSM under the checkpoint dir — the
+    * production answer both to `stream_dedup_feed`'s >8 g ON-HEAP
+    * state at sf10 and to `HDFSBackedStateStoreProvider`'s
+    * per-partition version-map fixed cost that scales with
+    * shuffle.partitions); unset/anything else → Spark's default
+    * (HDFSBacked). A session CONFIG, not a per-feed option, because
+    * Spark resolves the provider class once per streaming query from
+    * the session conf. */
+  def stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").collect {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
+
   // one root per JVM, deleted recursively on exit as a backstop; each
   // run gets a fresh numbered subdir so replays can never collide
   private lazy val root: java.nio.file.Path = {
@@ -50,9 +67,13 @@ object Feeds {
   private def deleteTree(p: java.nio.file.Path): Unit =
     try {
       if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        // Files.walk holds a directory fd until closed — at 50+ feed
+        // runs per sweep, leaving it to GC leaks fds for the whole
+        // sweep (ADVICE r13), so close deterministically
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally s.close()
       }
     } catch { case _: Throwable => () } // cleanup is best-effort by design
 

@@ -96,6 +96,23 @@ def main() -> int:
               "(tools/record_baseline.py) or re-run Bench with matching "
               "SPARK_GRAFT_REPEAT/SPARK_GRAFT_PREPASS")
         return 1
+    # like ENVIRONMENTS only (VERDICT r13 #1): streaming state-store
+    # fixed cost scales with partition count (stream_join_feed 2.25s
+    # @4 cpus vs 6.34s @32 — same JVM, code, data), so a cpus- or
+    # partitions-mismatched comparison measures the environment, not
+    # the code; five rounds of feed false-flags came from exactly this.
+    for field in ("cpus", "shuffle_partitions", "master", "state_store"):
+        bv, rv = baseline.get(field), result.get(field)
+        if bv is not None and rv is not None and bv != rv:
+            print(f"REFUSING to compare: result {field}={rv!r} != "
+                  f"baseline {field}={bv!r} — re-run Bench with "
+                  f"SPARK_GRAFT_CPUS={bv} or re-record the baseline "
+                  "under the environment you mean to gate")
+            return 1
+        if bv is None:
+            print(f"WARNING: baseline does not record {field!r} — "
+                  "environment match unverifiable; re-record the "
+                  "baseline (tools/record_baseline.py) to pin it")
 
     # host-speed factor: median cur/base ratio over stable baselines
     ratios = sorted(

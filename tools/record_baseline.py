@@ -71,6 +71,14 @@ def main() -> int:
     if len(protocols) != 1:
         print(f"REFUSING to record: mixed protocols {sorted(protocols)}")
         return 1
+    # one environment per baseline (VERDICT r13 #1): cpus/partitions
+    # change streaming fixed costs 2-3x, so a baseline mixing them is
+    # not a baseline of anything
+    for field in ("cpus", "shuffle_partitions", "master", "state_store"):
+        vals = {r.get(field) for r in runs}
+        if len(vals) != 1:
+            print(f"REFUSING to record: mixed {field} {sorted(map(str, vals))}")
+            return 1
     failed = sorted(q for r in runs for q, s in r["queries"].items()
                     if s < 0)
     if failed:
@@ -84,6 +92,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "protocol": runs[0]["protocol"],
+        # execution environment, pinned (VERDICT r13 #1) — bench_guard
+        # refuses a comparison when these differ from the compared run
+        "cpus": runs[0].get("cpus"),
+        "shuffle_partitions": runs[0].get("shuffle_partitions"),
+        "master": runs[0].get("master"),
+        "state_store": runs[0].get("state_store"),
         "steady_total": total,
         "queries": queries,
         "queries_steady": queries,
