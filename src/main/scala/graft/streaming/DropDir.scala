@@ -48,7 +48,8 @@ object DropDir {
     // same schema-dispatched ts normalization as Tables.events
     val events = graft.Tables.normalizeTs(raw)
     Feeds.drain(spark, windowAgg(events).writeStream
-      .format("memory").outputMode("complete"), queryName)
+      .format("memory").outputMode("complete"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

@@ -79,7 +79,8 @@ object Sessionize {
         col("value"))
       .as[Ev]
     Feeds.drain(spark, statefulSessions(spark, raw, 30, "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName).as[SessionOut]
   }
 

@@ -158,7 +158,8 @@ object StreamAnomaly {
       .transform(graft.Tables.normalizeTs)
       .select("event_type", "ts", "value")
     Feeds.drain(spark, flags(spark, raw, "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

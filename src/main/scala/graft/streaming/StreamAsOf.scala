@@ -152,7 +152,8 @@ object StreamAsOf {
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts", "value")
     Feeds.drain(spark, enrich(spark, side("click"), side("purchase"), "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

@@ -91,7 +91,8 @@ object StreamCdc {
         .parquet(srcDir))
       .select("user_id", "event_id", "ts", "event_type", "value")
     Feeds.drain(spark, changes(spark, raw)
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

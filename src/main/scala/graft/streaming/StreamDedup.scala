@@ -41,8 +41,11 @@ object StreamDedup {
         .parquet(srcDir)
         .transform(graft.Tables.normalizeTs)
         .select("user_id", "event_id", "ts", "value", "event_type")
+    // double delivery: the stream ingests the source twice, so the
+    // adaptive sizing sees 2x the file bytes
     Feeds.drain(spark, dedup(delivery().unionByName(delivery())).writeStream
-      .format("memory").outputMode("append"), queryName)
+      .format("memory").outputMode("append"), queryName,
+      2 * Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

@@ -103,7 +103,8 @@ object StreamDrift {
         .parquet(srcDir))
       .select("event_type", "ts")
     Feeds.drain(spark, monitor(spark, raw, reference, "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

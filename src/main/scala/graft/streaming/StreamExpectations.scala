@@ -74,7 +74,8 @@ object StreamExpectations {
       .option("pathGlobFilter", "orders.parquet")
       .parquet(srcDir)
     Feeds.drain(spark, gate(raw)
-      .writeStream.format("memory").outputMode("complete"), queryName)
+      .writeStream.format("memory").outputMode("complete"), queryName,
+      Feeds.sourceBytes(srcDir, "orders.parquet"))
     spark.table(queryName)
   }
 }

@@ -53,9 +53,9 @@ object StreamFreq {
     * kafka source + durable checkpoint (StreamFreqSpec pins the
     * checkpoint-restart fold); the harness stays hermetic. */
   def runAvailableNow(spark: SparkSession, items: Dataset[Item],
-      queryName: String = "streamfreq_out"): DataFrame = {
+      queryName: String = "streamfreq_out", srcBytes: Long = -1L): DataFrame = {
     Feeds.drain(spark, heavyHitters(spark, items).writeStream
-      .format("memory").outputMode("append"), queryName)
+      .format("memory").outputMode("append"), queryName, srcBytes)
     spark.table(queryName)
   }
 }

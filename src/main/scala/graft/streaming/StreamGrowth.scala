@@ -96,7 +96,8 @@ object StreamGrowth {
       .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
     Feeds.drain(spark, curve(spark, raw, "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

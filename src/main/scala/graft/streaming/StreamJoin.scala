@@ -64,7 +64,8 @@ object StreamJoin {
         .filter(col("event_type") === eventType)
         .select("user_id", "event_id", "ts")
     Feeds.drain(spark, clickErrorJoin(side("click"), side("error")).writeStream
-      .format("memory").outputMode("append"), queryName)
+      .format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

@@ -45,7 +45,8 @@ object StreamSrm {
         sum(when(col("user_id") % 2 === 1, 1).otherwise(0))
           .cast("long").as("n_b"))
       .select(to_date(col("w.start")).as("day"), col("n_a"), col("n_b"))
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     // The 0-second delay keeps the day-closure contract (every day up
     // to max event time is emitted), but it makes the DEDUP guarantee
     // single-batch-only: a (user_id, day) repeated in a LATER

@@ -121,7 +121,8 @@ object StreamWau {
       .transform(graft.Tables.normalizeTs)
       .select("user_id", "ts")
     Feeds.drain(spark, estimates(spark, raw, "0 seconds")
-      .writeStream.format("memory").outputMode("append"), queryName)
+      .writeStream.format("memory").outputMode("append"), queryName,
+      Feeds.sourceBytes(srcDir, "events.parquet"))
     spark.table(queryName)
   }
 }

@@ -122,4 +122,54 @@ class StreamingSpec extends SparkSuite {
     assert(spans.length - want.length >= 1,
       "no tail withheld — the timeout gate did nothing")
   }
+
+  test("statefulShufflePartitions scales with source bytes: ceil-divide " +
+      "by the 8 MB local target, floor 1, ceiling the hard cap") {
+    import graft.streaming.Feeds
+    assert(Feeds.statefulShufflePartitions(0L) == 1)
+    assert(Feeds.statefulShufflePartitions(1L) == 1)
+    assert(Feeds.statefulShufflePartitions(8L << 20) == 1)
+    assert(Feeds.statefulShufflePartitions((8L << 20) + 1) == 2)
+    assert(Feeds.statefulShufflePartitions(200L << 20) == 25)
+    assert(Feeds.statefulShufflePartitions(Long.MaxValue / 2) == (1 << 15))
+    // a negative (listing failed) never reaches the formula via drain,
+    // but the formula itself still degrades to the floor
+    assert(Feeds.statefulShufflePartitions(-5L) == 1)
+  }
+
+  test("drain's adaptive sizing reaches the state operator and the " +
+      "session conf is restored afterwards") {
+    import graft.streaming.Feeds
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // pin the session high so the override is observable either way
+    spark.conf.set(key, "17")
+    try {
+      val tmp = Files.createTempDirectory("adaptparts").toString
+      Files.copy(Paths.get(s"$Sf001/events.parquet"),
+        Paths.get(s"$tmp/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val bytes = Feeds.sourceBytes(tmp, "events.parquet")
+      assert(bytes > 0, "sourceBytes must see the staged file")
+      val want = Feeds.statefulShufflePartitions(bytes)
+      assert(want == 1, "sf0.001 events must derive the 1-partition floor")
+      val schema = spark.read.parquet(s"$tmp/events.parquet").schema
+      val agg = spark.readStream.schema(schema).parquet(tmp)
+        .transform(Tables.normalizeTs)
+        .groupBy("event_type").count()
+      val q = Feeds.drain(spark,
+        agg.writeStream.format("memory").outputMode("complete"),
+        "adapt_parts_test", bytes)
+      assert(spark.conf.get(key) == "17",
+        "drain must restore the session's shuffle-partition setting")
+      val sop = q.lastProgress.stateOperators
+      assert(sop.length > 0, "stateful agg must report a state operator")
+      assert(sop(0).numShufflePartitions == want.toLong,
+        s"state operator ran at ${sop(0).numShufflePartitions} " +
+          s"partitions, expected the derived $want")
+      // and the sizing is honestly adaptive, not a constant: a source
+      // past the 8 MB target derives more than one partition
+      assert(Feeds.statefulShufflePartitions(bytes + (64L << 20)) > 1)
+    } finally spark.conf.set(key, prev)
+  }
 }
