@@ -649,10 +649,17 @@ object Graph {
     Q("graph_triangles_deg", trianglesOracleSql) { (s, d) =>
       val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
+      // r14: route the edge set through the shared-stage cache — the
+      // IDENTICAL canonicalized plan graph_triangles persists (the
+      // graph_assortativity r13 fix, same family). Uncached, the plan
+      // below embedded ~45 copies of the lineitem self-join subtree
+      // (explain: 4,333 lines, 280 Exchanges, 180 scans — deg's two
+      // union branches × dirE's two broadcast-deg joins × tri's three
+      // consumers × the final three union branches all re-derive e).
+      val e = graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
         .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
         .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
+        .select("p1", "p2").distinct())
       val deg = e.select(col("p1").as("v"))
         .unionByName(e.select(col("p2").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -673,6 +680,11 @@ object Graph {
             .otherwise(struct(col("d1").as("dg"), col("p1").as("id")))
             .as("dstK"))
         .select(col("src"), col("dstK"), col("dstK.id").as("dst"))
+        // r14: lazy SER checkpoint (the coreness/bfs discipline) — the
+        // oriented edge list feeds THREE subtrees (both wedge arms and
+        // the closing-edge semi-join); without it each consumer re-ran
+        // the two broadcast-deg joins, tripling the plan
+        .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
       // wedges at the lowest-order corner: two out-edges of src, kept
       // once per unordered pair via the SAME (degree, id) order; the
       // closing edge is oriented b→c by construction

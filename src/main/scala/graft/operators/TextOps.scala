@@ -182,6 +182,12 @@ object TextOps {
             xxhash64(concat_ws(" ", slice(t, i, lit(8))))
               .as("gram")))), 1)).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+      // r14: lazy SER checkpoint — `g` feeds BOTH the duplicate-gram
+      // agg and the occurrence join; uncheckpointed, the tokenize →
+      // gram-explode → xxhash64 stage (the kernel's CPU-heavy pass)
+      // ran twice per execution
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dup = g.groupBy("gram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gram")
     val occ = g.join(dup, Seq("gram"))
@@ -1688,7 +1694,8 @@ object TextOps {
         .select(col("source").as("key"), explode(toks(col("text"))).as("item"))
         .as[graft.streaming.StreamFreq.Item]
       val feed = graft.streaming.StreamFreq
-        .runAvailableNow(s, items, "stream_freq_feed_sink")
+        .runAvailableNow(s, items, "stream_freq_feed_sink",
+          graft.streaming.Feeds.sourceBytes(d, "documents.parquet"))
       // freshest snapshot per key = the rows carrying the key's max n
       val snap = feed
         .withColumn("maxn", max("n").over(Window.partitionBy("key")))
