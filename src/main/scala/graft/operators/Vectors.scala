@@ -351,7 +351,9 @@ object Vectors {
 
   /** In-cell pairs above the SemDeDup cosine threshold (0.4) — the
     * explicitly-bounded quadratic kernel: pairs are enumerated only
-    * within a cell, never corpus-wide. */
+    * within a cell, never corpus-wide. Carries the cell id out: every
+    * pair is WITHIN one cell by construction, which is what lets
+    * dedup_semantic decompose its connectivity per cell (r14). */
   private[graft] def semanticPairs(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"), col("list_id"))
@@ -360,7 +362,53 @@ object Vectors {
     a.join(b, Seq("list_id"))
       .filter(col("a_id") < col("b_id"))
       .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb"))) > 0.4)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .select(col("list_id"), col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
+  /** Min-label connected components of the in-cell pair graph,
+    * cell-locally (r14, guide §1.2 "fix the distributed algorithm
+    * first"): [[semanticPairs]] edges NEVER cross cells, so global
+    * connectivity decomposes exactly into per-cell connectivity — the
+    * SemDeDup paper's own shape (dedup runs inside each cluster). One
+    * shuffle keyed on the cell replaces the iterative CC loop's
+    * ~3 materialized rounds × (join + agg + self-join) — the loop
+    * stays the right tool for graphs that DON'T decompose (the
+    * MinHash candidate graph's bands overlap arbitrarily). Per-group
+    * state is O(cell's pairs + nodes) — the same bound the quadratic
+    * pair kernel itself already carries (at real scale nlist grows
+    * with the corpus, keeping cells bounded). Union-by-min-id makes
+    * every final root the component's min vertex id, matching the
+    * min-label contract exactly; paired vertices only — callers union
+    * the singletons back. */
+  private[graft] def cellLocalComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("list_id").cast("int"), col("src").cast("long"),
+        col("dst").cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { case (_, a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // union by MIN id → root = component min
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("id", "label")
   }
 
   /** Fixed deterministic coarse-quantizer centroid component — the same
@@ -1299,10 +1347,21 @@ object Vectors {
          |       c.cluster, c.cluster = c.vec_id AS is_kept
          |FROM clus c LEFT JOIN assigned a ON a.vec_id = c.vec_id
          |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+      // r14: the cell assignment feeds four subtrees (both pair sides,
+      // the singleton anti-join, the final cell attach) — checkpoint it
+      // once; connectivity then resolves CELL-LOCALLY (see
+      // [[cellLocalComponents]]: in-cell pairs can't cross cells, so
+      // one cell-keyed shuffle replaces the iterative CC loop), and
+      // docs with no pair partner come back as their own singleton
+      // cluster exactly as Graph.connectedComponents' solo branch did.
       val assigned = semanticAssigned(s, d, FixedNList)
-      val pairs = semanticPairs(assigned)
-      Graph.connectedComponents(
-          assigned.select(col("vec_id").as("id")), pairs)
+        .localCheckpoint(eager = false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val paired = cellLocalComponents(semanticPairs(assigned))
+      val solo = assigned.select(col("vec_id").as("id"))
+        .join(paired, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      paired.unionByName(solo)
         .join(assigned.select(col("vec_id").as("id"), col("list_id")),
           Seq("id"))
         .select(col("id").as("vec_id"), col("list_id").as("cell"),

@@ -635,4 +635,32 @@ class VectorsSpec extends SparkSuite {
         s"Cauchy-Schwarz violated at ($i,$j)")
     }
   }
+
+  test("cellLocalComponents ≡ the iterative min-label CC on the real " +
+      "semantic pair graph, and on a planted chain (transitivity)") {
+    import org.apache.spark.sql.functions._
+    // the real graph: dedup_semantic's own pairs at sf0.001
+    val assigned = operators.Vectors
+      .semanticAssigned(spark, Sf001, operators.Vectors.FixedNList)
+    val pairs = operators.Vectors.semanticPairs(assigned)
+    val local = operators.Vectors.cellLocalComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = operators.Graph.connectedComponents(
+        pairs.select(col("src").as("id"))
+          .unionByName(pairs.select(col("dst").as("id"))).distinct(),
+        pairs.select("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == loop,
+      "cell-local union-find diverges from the iterative CC labels")
+    assert(local.nonEmpty, "fixture produced no semantic pairs — vacuous")
+    // planted: a 4-chain (transitive closure through intermediates) and
+    // a separate 2-clique inside one cell; min-id labels expected
+    import spark.implicits._
+    val planted = Seq((3, 10L, 11L), (3, 11L, 12L), (3, 12L, 13L),
+      (3, 20L, 21L)).toDF("list_id", "src", "dst")
+    val got = operators.Vectors.cellLocalComponents(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
 }
