@@ -207,9 +207,15 @@ object Vectors {
     * partition-prunable downstream as every IVF variant here. */
   def ivfDataFitTopK(s: SparkSession, d: String, k: Int, nlist: Int,
       nprobe: Int, steps: Int): DataFrame = {
+    // r14: lazy SER checkpoint — `base` (scan + norm + per-element
+    // quantization) feeds the seed draw, one assignment pass per Lloyd
+    // step and the final assignment; uncheckpointed it recomputed per
+    // consumer (steps + 2 scans of the corpus)
     val base = normed(s, d).withColumn("xq",
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000).cast("long")))
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")))
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seeds = base
       .select(col("vec_id"), col("xq"),
         md5(concat(lit("ivfseed#"), col("vec_id").cast("string"))).as("h"))
@@ -219,11 +225,18 @@ object Vectors {
       seeds.toIndexedSeq.zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Long](0).toIndexedSeq) }
     // exact-integer squared-L2 to every current centroid; min of
-    // (dist, list_id) structs = assignment with the smallest-list tie
+    // (dist, list_id) structs = assignment with the smallest-list tie.
+    // r14: the distance is the codegen'd [[graft.plans.VectorL2Sq]]
+    // loop — the composed aggregate(zip_with(...)) higher-order form
+    // interpreted its lambda per element, (corpus × nlist × Dim) times
+    // per Lloyd step; integer addition is associative so the results
+    // are identical
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.VectorL2Sq.register)
     def distStructs(e: Column): Column = array(centroids.map { case (lid, cv) =>
       val lits = array(cv.map(lit): _*)
-      struct(aggregate(zip_with(e, lits, (x, c) => (x - c) * (x - c)),
-        lit(0L), (a, t) => a + t).as("dist"), lit(lid).as("list_id"))
+      struct(call_function("vector_l2sq", e, lits).as("dist"),
+        lit(lid).as("list_id"))
     }: _*)
     def assign(df: DataFrame): DataFrame = df.withColumn("list_id",
       array_min(distStructs(col("xq"))).getField("list_id"))

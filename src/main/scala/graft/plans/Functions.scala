@@ -21,5 +21,6 @@ object Functions {
   def registerAll(spark: SparkSession): Unit = {
     VectorDot.register(spark)
     VectorSqDist.register(spark)
+    VectorL2Sq.register(spark)
   }
 }

@@ -315,4 +315,35 @@ class ExtensionSpec extends SparkSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("vector_l2sq codegen'd expression ≡ the composed integer " +
+      "(x−c)² fold on real quantized embeddings; nulls and mismatches") {
+    graft.plans.VectorL2Sq.register(spark)
+    // the exact composed form ivfDataFitTopK used: xq = floor(x·1000)
+    // as ARRAY<BIGINT> against a literal long centroid
+    val xq = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("long"))
+    val cen = array((1 to operators.Vectors.Dim).map(j =>
+      lit((j * 37 % 200 - 100).toLong)): _*)
+    val cmp = Tables.embeddings(spark, Sf001).select(
+      call_function("vector_l2sq", xq, cen).as("fast"),
+      aggregate(zip_with(xq, cen, (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v).as("slow"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "integer L2 fold diverges")
+      assert(r.getLong(0) >= 0L)
+    }
+    val edge = spark.sql(
+      """SELECT vector_l2sq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS a,
+        |       vector_l2sq(array(1L, 2L), array(3L)) AS b,
+        |       vector_l2sq(array(1L, 2L), array(3L, 4L)) AS c
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getLong(2) == 8L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT vector_l2sq(array(1.0d), array(2.0d))").collect()
+    }
+    assert(err.getMessage.contains("vector_l2sq"))
+  }
 }
