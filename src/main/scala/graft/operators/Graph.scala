@@ -235,6 +235,34 @@ object Graph {
     (labels, rounds)
   }
 
+  /** The canonical co-purchase DISTINCT edge set (p1 < p2, parts bought
+    * together in one order) over the < 400 part window, persisted once
+    * per session through `Caches.shared` (r14): eight graph-family
+    * queries and two insight queries embed this exact subplan, and
+    * before this helper each one that didn't route through the shared
+    * cache re-ran the lineitem self-join per execution — worse, the
+    * src/dst-named rebuilds canonicalized UNEQUAL to the cached
+    * p1/p2-named plan, so they missed the cross-query hit entirely
+    * (the graph_assortativity r13 creep, found again in coreness/
+    * kcore/ktruss/label_spread). One construction point makes every
+    * consumer's subtree equal by construction; renames happen ABOVE
+    * the cached stage. */
+  private[graft] def coEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
+      .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .select("p1", "p2").distinct())
+  }
+
+  /** [[coEdges]] renamed to the (src, dst) convention the iterative
+    * kernels use — the rename sits above the shared cached stage. */
+  private[graft] def coEdgesSrcDst(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    coEdges(s, d).select(col("p1").as("src"), col("p2").as("dst"))
+
   /** The near-clone corpus as a graph: vertices = docs, edges = the
     * MinHash-banded candidate pairs. */
   private[graft] def dedupGraph(s: org.apache.spark.sql.SparkSession,
@@ -563,12 +591,7 @@ object Graph {
     // id) bounds the 2-path fan-out by sqrt(|E|) per node — same plan
     // shape, different orientation key.
     Q("graph_triangles", trianglesOracleSql) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
+      val e = coEdges(s, d)
       val tri = e.select(col("p1").as("a"), col("p2").as("b"))
         .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
         .join(e.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
@@ -615,13 +638,7 @@ object Graph {
         |       CAST(CAST(3 * (SELECT COUNT(*) FROM tri) AS DOUBLE)
         |            / nullif((SELECT SUM(d * (d - 1) // 2) FROM deg), 0)
         |         AS DOUBLE) AS global_cc""".stripMargin) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
-      val eC = graft.Caches.shared(e)
+      val eC = coEdges(s, d)
       val tri = eC.select(col("p1").as("a"), col("p2").as("b"))
         .join(eC.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
         .join(eC.select(col("p1").as("a"), col("p2").as("c")),
@@ -654,19 +671,12 @@ object Graph {
     // algorithm-independence precedent); GraphSpec pins row equality
     // with graph_triangles AND the √-bound on oriented out-degree.
     Q("graph_triangles_deg", trianglesOracleSql) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // r14: route the edge set through the shared-stage cache — the
-      // IDENTICAL canonicalized plan graph_triangles persists (the
-      // graph_assortativity r13 fix, same family). Uncached, the plan
-      // below embedded ~45 copies of the lineitem self-join subtree
+      // r14: shared edge set ([[coEdges]]). Uncached, the plan below
+      // embedded ~45 copies of the lineitem self-join subtree
       // (explain: 4,333 lines, 280 Exchanges, 180 scans — deg's two
       // union branches × dirE's two broadcast-deg joins × tri's three
       // consumers × the final three union branches all re-derive e).
-      val e = graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct())
+      val e = coEdges(s, d)
       val deg = e.select(col("p1").as("v"))
         .unionByName(e.select(col("p2").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -816,12 +826,7 @@ object Graph {
          |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
          |FROM s8 GROUP BY src ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+      val e = coEdgesSrcDst(s, d) // shared cached stage (r14)
       kcore(e, k = 16).orderBy("id")
     },
 
@@ -864,12 +869,7 @@ object Graph {
          |SELECT id, CAST(h AS BIGINT) AS coreness
          |FROM h12 ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+      val e = coEdgesSrcDst(s, d) // shared cached stage (r14)
       coreness(e).select(col("id"), col("h").as("coreness")).orderBy("id")
     },
 
@@ -926,12 +926,7 @@ object Graph {
          |FROM part400 p LEFT JOIN l3 l ON l.id = p.id
          |ORDER BY p.id""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+      val e = coEdgesSrcDst(s, d) // shared cached stage (r14)
       val sym = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
@@ -1011,12 +1006,7 @@ object Graph {
          |ON u.src = s.src AND u.dst = s.dst
          |ORDER BY s.src, s.dst""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+      val e = coEdgesSrcDst(s, d) // shared cached stage (r14)
       ktruss(e, k = 5).orderBy("src", "dst")
     },
 
@@ -1066,13 +1056,7 @@ object Graph {
         |JOIN deg db ON db.id = cn.b
         |LEFT JOIN e ex ON ex.p1 = cn.a AND ex.p2 = cn.b
         |ORDER BY cn.a, cn.b""".stripMargin) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
-        .localCheckpoint(eager = false) // e feeds 3 branches: cut lineage once
+      val e = coEdges(s, d) // shared cached stage replaces the local checkpoint (r14)
       val sym = e.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))

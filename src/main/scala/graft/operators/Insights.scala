@@ -744,12 +744,7 @@ object Insights {
         |SELECT CAST(deg AS BIGINT) AS degree,
         |       CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY deg ORDER BY degree""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct()
+      val e = Graph.coEdges(s, d) // shared cached stage (r14)
       e.select(col("p1").as("p"))
         .unionByName(e.select(col("p2").as("p")))
         .groupBy("p").agg(count(lit(1)).as("deg"))
@@ -1940,18 +1935,9 @@ object Insights {
         |         AS DOUBLE) AS r
         |FROM m""".stripMargin) { (s, d) =>
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
-      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // the SAME canonicalized edge plan graph_clustering registers via
-      // Caches.shared — persisting here (a CacheManager no-op when the
-      // sibling already did) restores cross-query sharing AND collapses
-      // this query's own four re-reads of `e` (deg's union + dir's
-      // union) to one compute (VERDICT r14 task #2: the 2.4× creep was
-      // exactly this frame being rebuilt per reference)
-      val e = graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
-        .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
-        .select("p1", "p2").distinct())
+      // the SAME canonicalized edge plan the whole graph family shares
+      // (r13 fix, centralized into Graph.coEdges in r14)
+      val e = Graph.coEdges(s, d)
       // read twice below (da and db sides) — persist once
       val deg = graft.Caches.shared(e.select(col("p1").as("p"))
         .unionByName(e.select(col("p2").as("p")))
