@@ -196,6 +196,11 @@ object Temporal {
       maxBucketsPerInterval, col("start_us"), col("end_us"))
     val b = sp.select(col("user_id"), col("sid"), col("start_us"),
       col("end_us"), explode(sequence(lo, guardedHi)).as("bk"))
+      // r14: lazy SER checkpoint — `b` feeds BOTH sides of the bucket
+      // self-join; uncheckpointed, the span derivation (a sessionize
+      // window over the events table) ran twice per execution
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     b.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
         col("start_us").as("sa"), col("end_us").as("ea"), col("bk"))
       .join(b.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
