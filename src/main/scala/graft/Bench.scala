@@ -106,9 +106,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // batch shuffle sizing knob (VERDICT r14 #5): default stays the
+    // historical `= cpus` so driver runs remain comparable run-over-run;
+    // SPARK_GRAFT_SHUFFLE_PARTS overrides for measured experiments
+    // (the r15 A/B grid is recorded in OPTIMIZATION_r15.md)
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATE_STORE=rocksdb → RocksDB streaming state
@@ -413,13 +418,26 @@ object Bench {
       sys.env.get("SPARK_GRAFT_STATE_STORE").filter(_ == "rocksdb")
         .getOrElse("hdfs")
     val envJson =
-      s""""cpus":"$cpus","shuffle_partitions":"$cpus","master":"local[$cpus]","state_store":"$stateStore","baseline_cpus":${if (baselineCpus == null) "null" else "\"" + baselineCpus + "\""}"""
+      s""""cpus":"$cpus","shuffle_partitions":"$shufParts","master":"local[$cpus]","state_store":"$stateStore","baseline_cpus":${if (baselineCpus == null) "null" else "\"" + baselineCpus + "\""}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol",$envJson,"steady_total":$steadyTotal,"queries":$qs,"queries_steady":$qsSteady,"rows_out":$rowsOut,"host_factor":${f3(hostFactor)},"adjudicated":$adjJson,"adjudication":"fresh-jvm","errors":$errors,"error_msgs":$errorMsgs,"storage_mem_bytes":$storageMem,"cache_budget_mb":$cacheBudgetMb,"cache_evicted":$cacheEvicted,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     catch { case _: Throwable => () }
+    // per-run-named copy (VERDICT r14 #1/#2): the r14 driver's 8-cpu
+    // scaling run OVERWROTE the 32-cpu run's BENCH_LOCAL.json, losing
+    // the full-sweep per-query map and its host_factor — the evidence
+    // needed to apportion a 232-vs-152 s gap between host load and
+    // code. A cpus-suffixed sibling survives same-session runs at
+    // different core counts; the unsuffixed path stays the contract.
+    try {
+      val byCpu =
+        if (out.endsWith(".json")) out.dropRight(5) + s"_c$cpus.json"
+        else out + s"_c$cpus"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(byCpu), line)
+      ()
+    } catch { case _: Throwable => () }
     // batch done — release every session-shared persisted stage
     // (Caches scaladoc: releasing between repeats would defeat the
     // steady-state sharing, so the release lives HERE, not per query)
@@ -441,7 +459,29 @@ object Bench {
     val qsCompact = slowest
       .map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","cpus":"$cpus","steady_total":${f3(steadyTotal)},"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
+    // Self-adjudicating summary fields (VERDICT r14 #1/#2): the driver
+    // keeps only this tail line, and its r14 PERF diff was structurally
+    // top-20-overlap — 9 improvements read as "dropped", 8 contention-
+    // inflated rows as "new", and the geomean covered an 11-query
+    // intersection. Carry the FULL-REGISTRY comparison and the run's
+    // host diagnosis in the compact line itself so a driver tail alone
+    // distinguishes host load from code regression:
+    //   vs_baseline_total   Σnow / Σbaseline over every query present
+    //                       in both (same sf + cpus enforced above)
+    //   vs_baseline_geomean geometric mean of per-query now/baseline
+    //   n_flagged           queries >2x baseline (+0.5s floor) this run
+    //   n_isolated_at_base  flagged queries whose fresh-JVM re-time
+    //                       clears the same threshold (= host noise)
+    val common = results.collect { case (n, sec, _, _, _)
+      if sec >= 0 && baseline.get(n).exists(_ > 0) => (sec, baseline(n)) }
+    val vsBaseTotal =
+      if (common.isEmpty) -1.0 else common.map(_._1).sum / common.map(_._2).sum
+    val vsBaseGeo =
+      if (common.isEmpty) -1.0
+      else math.exp(common.map(c => math.log(c._1 / c._2)).sum / common.size)
+    val nIsolatedAtBase = adjudicated.count { case (_, _, iso, b) =>
+      iso >= 0 && !(iso > 2 * b && iso > b + 0.5) }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","protocol":"$protocol","cpus":"$cpus","steady_total":${f3(steadyTotal)},"host_factor":${f3(hostFactor)},"vs_baseline_total":${f3(vsBaseTotal)},"vs_baseline_geomean":${f3(vsBaseGeo)},"n_baseline_common":${common.size},"n_flagged":${flagged.size},"n_isolated_at_base":$nIsolatedAtBase,"queries":$qsCompact,"n_queries":${results.size},"queries_full":"$out","errors":$errors,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

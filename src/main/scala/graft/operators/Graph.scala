@@ -263,6 +263,38 @@ object Graph {
       d: String): DataFrame =
     coEdges(s, d).select(col("p1").as("src"), col("p2").as("dst"))
 
+  /** The canonical WEIGHTED co-purchase edge set (p1 < p2,
+    * w = number of DISTINCT orders sharing the pair, thresholded to
+    * w ≥ 2), persisted once per session through `Caches.shared`
+    * (VERDICT r14 #4 — the same canonicalization-miss creep [[coEdges]]
+    * closed for the distinct kernel): graph_ppr, graph_walk_sample,
+    * graph_reach and the LPA family (graph_lpa / graph_modularity via
+    * [[lpaGraph]]) each rebuilt their own weighted lineitem self-join
+    * per execution. One construction point; renames sit ABOVE the
+    * cached stage so every consumer's subtree canonicalizes equal.
+    * `count(*)` over the DISTINCT (ok, p) projection ≡ the
+    * `countDistinct(ok)` some call sites previously computed over the
+    * raw projection — each surviving (ok, p1, p2) combination appears
+    * exactly once in the join. */
+  private[graft] def coEdgesWeighted(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    graft.Caches.shared(li.select(col("ok"), col("p").as("p1"))
+      .join(li.select(col("ok"), col("p").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2))
+  }
+
+  /** [[coEdgesWeighted]] renamed to (src, dst, w) — rename above the
+    * shared cached stage. */
+  private[graft] def coEdgesWeightedSrcDst(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    coEdgesWeighted(s, d).select(col("p1").as("src"),
+      col("p2").as("dst"), col("w"))
+
   /** The near-clone corpus as a graph: vertices = docs, edges = the
     * MinHash-banded candidate pairs. */
   private[graft] def dedupGraph(s: org.apache.spark.sql.SparkSession,
@@ -1116,15 +1148,8 @@ object Graph {
          |$rounds
          |SELECT id, dist FROM u8 ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst")
-        .agg(countDistinct("ok").as("w"))
-        .filter(col("w") >= 2)
-        .select("src", "dst")
+      // r15: the weighted kernel through the shared cached stage
+      val e = coEdgesWeightedSrcDst(s, d).select("src", "dst")
       val seeds = e.select(col("src"))
         .unionByName(e.select(col("dst").as("src")))
         .filter(col("src") < 20).distinct().select(col("src").as("id"))
@@ -1371,14 +1396,7 @@ object Graph {
          |SELECT id, CAST(r AS BIGINT) AS ppr FROM r4
          |WHERE r > 0 ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val e = coEdgesWeightedSrcDst(s, d) // shared cached stage (r15)
       val sym = e.unionByName(
           e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .localCheckpoint(eager = false)
@@ -1465,14 +1483,7 @@ object Graph {
          |  UNION ALL SELECT start, 4, cur FROM w4) u
          |ORDER BY start, step, node""".stripMargin
     }) { (s, d) =>
-      val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val e = coEdgesWeightedSrcDst(s, d) // shared cached stage (r15)
       val sym = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       val wAdj = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
@@ -1494,6 +1505,12 @@ object Graph {
           .join(adj, col("cur") === col("src") &&
             col("idx") === h % col("deg"))
           .select(col("start"), col("dst").as("cur"))
+          // r15 (VERDICT r14 #3, guide §2.4): each frontier feeds BOTH
+          // the next step and its own ledger branch — uncheckpointed,
+          // branch t of the final union re-derived the whole
+          // frontier₁..ₜ join chain, O(k²) joins for a k-step walk
+          .localCheckpoint(eager = false,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         steps += frontier.select(col("start"), lit(t).as("step"),
           col("cur").as("node"))
       }
@@ -1510,19 +1527,14 @@ object Graph {
     * to one giant community in a round, exercising nothing). */
   private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val li = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val e = li.select(col("ok"), col("p").as("src"))
-      .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-      .filter(col("src") < col("dst"))
-      .groupBy("src", "dst")
-      .agg(countDistinct("ok").as("w"))
-      .filter(col("w") >= 2)
-      .select(col("src").as("p1"), col("dst").as("p2"))
-      .localCheckpoint(eager = false)
+    // r15: the weighted kernel through the shared cached stage (the
+    // checkpoint that used to cut this stage's lineage is subsumed by
+    // the cache — consumers read the InMemoryTableScan directly)
+    val e = coEdgesWeighted(s, d).select(col("p1"), col("p2"))
     val sym = e.select(col("p1").as("src"), col("p2").as("dst"))
       .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
-    val v = li.select(col("p").as("id")).distinct()
+    val v = graft.Tables.lineitem(s, d).filter(col("l_partkey") < 400)
+      .select(col("l_partkey").as("id")).distinct()
       .localCheckpoint(eager = false)
     (e, v, sym)
   }

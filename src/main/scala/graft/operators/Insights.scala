@@ -144,6 +144,16 @@ object Insights {
       .withColumn("grp", (col("user_id") % 2).cast("int"))
   }
 
+  /** [[causalUsers]] through the session-shared cache (VERDICT r14 #6,
+    * the coEdges discipline): seven queries (evt_ab_cuped,
+    * evt_matched_lift, evt_did, evt_ipw_lift, evt_score_auc,
+    * evt_calibration_curve, evt_uplift_qini) embed this exact
+    * subplan — uncached, each re-scanned and re-aggregated the whole
+    * events table per execution. One construction point; every
+    * consumer's column pruning happens ABOVE the cached stage. */
+  private def causalUsersShared(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = graft.Caches.shared(causalUsers(s, d))
+
   /** SQL mirror of [[causalUsers]]: `mid` + `u(user_id, grp, x, y,
     * stratum)` CTEs. */
   private val causalUsersSql: String =
@@ -1724,7 +1734,7 @@ object Insights {
         |         AS lift_cuped
         |FROM g""".stripMargin) { (s, d) =>
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
       val xD = col("x").cast(D)
       val yD = col("y").cast(D)
       val g = u.agg(count(lit(1)).as("n"),
@@ -1800,7 +1810,7 @@ object Insights {
         |            / nullif(COUNT(m_y), 0) / 10000 AS DOUBLE)
         |         AS mean_dist
         |FROM m2""".stripMargin) { (s, d) =>
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
       val t = u.filter(col("grp") === 1)
         .select("user_id", "x", "y", "stratum")
       val c = u.filter(col("grp") === 0)
@@ -1870,7 +1880,7 @@ object Insights {
         |               - CAST(sxa AS DOUBLE) / na / 10000) AS DOUBLE)
         |         AS did
         |FROM g""".stripMargin) { (s, d) =>
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
       val g = u.agg(
         sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
         sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("sxa"),
@@ -2448,7 +2458,7 @@ object Insights {
          |         - CAST(yc AS DOUBLE) / nullif(n_control, 0) / 10000
          |         AS lift
          |FROM g ORDER BY stratum""".stripMargin) { (s, d) =>
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
       val g = u.groupBy("stratum")
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_treated"),
@@ -2569,7 +2579,7 @@ object Insights {
          |            / CAST(nullif(2 * np * nn, 0) AS DOUBLE) AS DOUBLE)
          |         AS auc
          |FROM tot""".stripMargin) { (s, d) =>
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
         .select(col("user_id"), col("x"),
           when(col("y") > 2000000L, 1L).otherwise(0L).as("pos"))
       val ranked = Ranking.globalRowNumber(u, Seq("x", "user_id"), 32)
@@ -2727,7 +2737,7 @@ object Insights {
          |       CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 10000 AS DOUBLE)
          |         AS mean_x
          |FROM dk GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
-      val u = causalUsers(s, d)
+      val u = causalUsersShared(s, d)
         .select(col("user_id"), col("x"),
           when(col("y") > 2000000L, 1L).otherwise(0L).as("pos"))
       val ranked = Ranking.globalRowNumber(u, Seq("x", "user_id"), 32)
@@ -2796,7 +2806,7 @@ object Insights {
          |         END AS DOUBLE) AS qini
          |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val u = causalUsers(s, d).select(col("user_id"), col("grp"),
+      val u = causalUsersShared(s, d).select(col("user_id"), col("grp"),
         col("y"), (-col("x")).as("xneg")) // xneg asc ≡ x desc
       val ranked = Ranking.globalRowNumber(u, Seq("xneg", "user_id"), 32)
       val tot = ranked.agg(count(lit(1)).as("n"))

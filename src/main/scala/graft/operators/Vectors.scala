@@ -231,8 +231,11 @@ object Vectors {
     // interpreted its lambda per element, (corpus × nlist × Dim) times
     // per Lloyd step; integer addition is associative so the results
     // are identical
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.VectorL2Sq.register)
+    // register on the session that builds the plan (ADVICE r14): the
+    // thread's active session is not necessarily `s` — e.g. a plan
+    // built for a cloned/background session would fail analysis on
+    // call_function("vector_l2sq") if only the active one was registered
+    graft.plans.VectorL2Sq.register(s)
     def distStructs(e: Column): Column = array(centroids.map { case (lid, cv) =>
       val lits = array(cv.map(lit): _*)
       struct(call_function("vector_l2sq", e, lits).as("dist"),

@@ -66,7 +66,8 @@ object Feeds {
     * data; the scalable rule is to derive it from the source volume so
     * each partition carries enough state to amortize its fixed cost:
     *
-    *   partitions = clamp(ceil(srcBytes / targetBytes), 1, cap)
+    *   partitions = clamp(max(ceil(srcBytes / targetBytes),
+    *                          min(cores, srcBytes / minBytes)), 1, cap)
     *
     * `targetBytes` defaults to 8 MB of source parquet per partition —
     * calibrated to the measured local fixed cost (~40 ms/partition/
@@ -75,20 +76,37 @@ object Feeds {
     * production deployment raises `SPARK_GRAFT_STREAM_PART_BYTES` to
     * land per-partition STATE in the 100-500 MB band the state-store
     * providers are designed around (and the cap with it); the local
-    * default keeps the ramp visible at bench scale: sf0.01 → 1,
-    * sf0.1 → 1, sf1 → ~3, sf10 → ~25 partitions — the sf10 leg keeps
-    * its parallelism while the fixed-cost floor stops scaling with the
-    * host's core count. Results are partition-count-independent (every
+    * defaults keep the ramp visible at bench scale: sf0.01 → 1,
+    * sf0.1 → 4 (the parallelism floor — see the r15 note in the body),
+    * sf1/sf10 → the floor caps at `cores` and the linear term takes
+    * over above it. Results are partition-count-independent (every
     * feed is an exact aggregation/join/dedup; the full registry is
-    * oracle-green at both 4 and 32 partitions), so this changes cost,
+    * oracle-green at 1, 4 and 32 partitions), so this changes cost,
     * never output. */
   def statefulShufflePartitions(srcBytes: Long, cores: Int = 1): Int = {
     val target = sys.env.get("SPARK_GRAFT_STREAM_PART_BYTES")
       .map(_.toLong).filter(_ > 0).getOrElse(8L << 20)
     val cap = sys.env.get("SPARK_GRAFT_STREAM_MAX_PARTS")
       .map(_.toInt).filter(_ > 0).getOrElse(1 << 15)
-    val derived =
-      math.max(1, math.min(cap.toLong, (srcBytes + target - 1) / target).toInt)
+    // Parallelism floor (r15): the r14 formula collapsed every sf0.1
+    // feed to ONE partition, and the full-sweep A/B showed that to be
+    // the round's global regression — the 13 feeds went 25.4 → 36.6 s
+    // inside the sweep and dragged the surrounding ts_/txt_ queries
+    // with them (one long serial stateful task per micro-batch is
+    // maximally exposed to sweep-context GC), while the feeds-only
+    // grid reads FLAT anywhere in 1-8 partitions (18.5-19.6 s) and
+    // only degrades at 16+ (29.7/34.1 s — the per-store fixed cost the
+    // r14 change correctly removed). So: use the available parallelism
+    // while each partition still carries ≥ `minBytes` of source — a
+    // data-bounded floor, with cores only as the availability cap; at
+    // scale the 8 MB linear term dominates and the floor is inactive.
+    val minBytes = sys.env.get("SPARK_GRAFT_STREAM_MIN_PART_BYTES")
+      .map(_.toLong).filter(_ > 0).getOrElse(512L << 10)
+    val c0 = math.max(1, cores)
+    val floorP = math.min(c0.toLong,
+      if (srcBytes > 0) srcBytes / minBytes else 0L).toInt
+    val derived = math.max(floorP,
+      math.max(1, math.min(cap.toLong, (srcBytes + target - 1) / target).toInt))
     // Core alignment (guide §2.6 — stragglers): once the data-derived
     // count is within an order of the executor parallelism, a count
     // just UNDER it is the worst of both worlds — e.g. 26 partitions
@@ -98,10 +116,9 @@ object Feeds {
     // Round UP to the next multiple of `cores`; below cores/2 the
     // fixed cost dominates and the raw derived count stands. Data
     // still drives the count — cores only snap its grain.
-    val c = math.max(1, cores)
     val aligned =
-      if (derived <= c / 2) derived
-      else (((derived + c - 1) / c) * c)
+      if (derived <= c0 / 2) derived
+      else (((derived + c0 - 1) / c0) * c0)
     math.min(cap, aligned)
   }
 
@@ -114,9 +131,20 @@ object Feeds {
       val dir = java.nio.file.Paths.get(srcDir)
       val m = java.nio.file.FileSystems.getDefault
         .getPathMatcher("glob:" + glob)
+      // a glob match can be a DIRECTORY (the standard multi-part
+      // parquet layout); Files.size on it returns the ~4 KB directory
+      // entry, silently deriving 1 partition for arbitrarily large
+      // input (ADVICE r14) — sum the regular files under it instead
+      def sizeOf(p: java.nio.file.Path): Long =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val w = java.nio.file.Files.walk(p)
+          try w.filter(f => java.nio.file.Files.isRegularFile(f))
+            .mapToLong(f => java.nio.file.Files.size(f)).sum()
+          finally w.close()
+        } else java.nio.file.Files.size(p)
       val s = java.nio.file.Files.list(dir)
       try s.filter(p => m.matches(p.getFileName))
-        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        .mapToLong(p => sizeOf(p)).sum()
       finally s.close()
     } catch { case _: Throwable => -1L }
 
@@ -172,9 +200,19 @@ object Feeds {
       queryName: String, srcBytes: Long = -1L): StreamingQuery = {
     val ck = freshCheckpoint(queryName)
     val key = "spark.sql.shuffle.partitions"
+    // NOTE: this temporarily mutates the SHARED session conf; feeds are
+    // drained sequentially by every driver in this repo (Bench, Verify,
+    // the specs), and a concurrent batch query on the same session
+    // would otherwise observe the override (ADVICE r14 — documented
+    // assumption, not enforced)
     val prev = if (srcBytes >= 0) spark.conf.getOption(key) else None
     if (srcBytes >= 0)
-      spark.conf.set(key, statefulShufflePartitions(srcBytes).toString)
+      // pass the REAL parallelism so the core-grain alignment branch is
+      // live (ADVICE r14: the default cores=1 made it unreachable —
+      // at sf10 on 32 cores feeds ran at the just-under-core-count
+      // partition count the alignment exists to avoid)
+      spark.conf.set(key, statefulShufflePartitions(srcBytes,
+        spark.sparkContext.defaultParallelism).toString)
     try {
       val q = w.queryName(queryName)
         .option("checkpointLocation", ck.toString)

@@ -137,6 +137,22 @@ class StreamingSpec extends SparkSuite {
     assert(Feeds.statefulShufflePartitions(-5L) == 1)
   }
 
+  test("statefulShufflePartitions parallelism floor (r15): available " +
+      "cores engage only while each partition carries >= 512 KB") {
+    import graft.streaming.Feeds
+    // sf0.1-shaped source (2 MB) on 32 cores: the r14 formula collapsed
+    // to 1 partition — the measured full-sweep regression; the floor
+    // derives min(32, 2MB/512KB) = 4
+    assert(Feeds.statefulShufflePartitions(2L << 20, 32) == 4)
+    // tiny source: the floor stays inactive regardless of cores
+    assert(Feeds.statefulShufflePartitions(200L << 10, 32) == 1)
+    // large source: the floor caps at cores, the linear term and the
+    // core alignment take over (200 MB -> max(25, 32) = 32)
+    assert(Feeds.statefulShufflePartitions(200L << 20, 32) == 32)
+    // single-core callers (the formula unit tests above) are unchanged
+    assert(Feeds.statefulShufflePartitions(2L << 20) == 1)
+  }
+
   test("drain's adaptive sizing reaches the state operator and the " +
       "session conf is restored afterwards") {
     import graft.streaming.Feeds
